@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // non-ANSI: CAST yields null on unparseable input, matching the
+      // reference's errors='coerce' semantics (SURVEY.md §7.4).
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet stores TIMESTAMP(NANOS); read as long, normalized
+      // to micros in graft.Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
