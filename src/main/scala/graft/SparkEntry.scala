@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered query suites, in build order. */
-  def suites: Seq[QuerySuite] = Seq(RelationalSuite)
+  def suites: Seq[QuerySuite] = Seq(RelationalSuite, EtlSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.queries)
 
