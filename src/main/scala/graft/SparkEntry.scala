@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered query suites, in build order. */
-  def suites: Seq[QuerySuite] = Seq(RelationalSuite, EtlSuite)
+  def suites: Seq[QuerySuite] =
+    Seq(RelationalSuite, EtlSuite, TextSuite, DedupSuite, SimilaritySuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.queries)
 

@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines, Spark-first and
+  * shuffle-aware:
+  *
+  *  - exact: hash-groupBy on a content fingerprint — ONE shuffle keyed by
+  *    the (uniform) hash, never by raw text; no window over the corpus.
+  *  - MinHash+LSH: shingle → per-seed min-hash signature → banded bucket
+  *    join. Signatures are computed entirely inside whole-stage codegen
+  *    (higher-order array functions over each row); only candidate-pair
+  *    generation shuffles, keyed by (band, bandHash) — the classic
+  *    sub-quadratic near-dup join. 100 TB note: bucket skew from
+  *    boilerplate-heavy corpora is the known hazard — cap bucket size
+  *    before the self-join (maxBucket) so a degenerate bucket cannot
+  *    produce O(n²) pairs.
+  *  - SimHash: 64-bit signature as a bit-count vector, built from per-
+  *    (token,bit) hashes — again pure array expressions, no UDF.
+  *  - n-gram Jaccard: exact verify step over candidate pairs via
+  *    array_intersect / distinct-union.
+  */
+object Dedup {
+
+  // ---------- exact ---------------------------------------------------
+
+  /** One row per distinct content: keeper id (min), duplicate count. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(TextFunctions.exactFingerprint(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** The deduplicated corpus: keep the min-id row per content hash.
+    * Implemented as a semi-join against the keeper set (shuffle on the
+    * uniform hash key), not a window over raw text.
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val keepers = exactGroups(docs, idCol, textCol)
+      .select(col("keeper").as(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  // ---------- MinHash + LSH -------------------------------------------
+
+  /** Token k-shingles as one array column (k consecutive tokens joined);
+    * short docs fall back to the whole-doc shingle.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** MinHash signature: element s = min over shingles of xxhash64(shingle, s).
+    * Pure per-row expression — no explode, no shuffle.
+    */
+  def minhashSignature(sh: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(sh, x => xxhash64(x, s))))
+
+  /** LSH bands: band i hashes signature rows [i*r, (i+1)*r). Same band
+    * hash in any band ⇒ candidate pair.
+    */
+  def bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      i => struct(
+        i.cast("int").as("band"),
+        xxhash64(slice(sig, i * rowsPerBand + 1, lit(rowsPerBand))).as("bh")))
+
+  /** Per-doc minhash signatures frame: (id, sig).
+    *
+    * Deliberately NOT the per-row higher-order form
+    * ([[minhashSignature]]): HOF lambdas are interpreted in Spark, and
+    * they re-evaluate the shingle array per seed. Exploding shingles and
+    * taking `numHashes` min-aggregates keeps every hash inside
+    * whole-stage codegen with map-side partial aggregation — one shuffle
+    * keyed by doc id, ~10× faster and the shape that scales.
+    */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int, numHashes: Int): DataFrame = {
+    val ex = docs.select(
+      col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleK)).as("sh"))
+    val aggs = (0 until numHashes).map(s =>
+      min(xxhash64(col("sh"), lit(s))).as(s"h$s"))
+    ex.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+              array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Fraction of agreeing signature positions — the MinHash estimator of
+    * Jaccard similarity. Cheap pre-verify filter for candidate pairs.
+    */
+  def signatureSimilarity(sa: Column, sb: Column): Column =
+    aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(sa).cast("double")
+
+  /** Candidate near-duplicate pairs (a < b) from banded minhash buckets.
+    *
+    * Band geometry defaults (8 bands × 8 rows) target high-similarity
+    * dedup: collision probability 1-(1-j^8)^8 is ~1 at j≥0.9 but <3% at
+    * j=0.5 — essential on boilerplate-heavy corpora where loose bands
+    * make candidate generation quadratic.
+    *
+    * @param maxBucket skew guard: buckets larger than this (pathological
+    *                  boilerplate) are dropped rather than joined, keeping
+    *                  worst-case pair count ≤ buckets·maxBucket².
+    */
+  def lshCandidatePairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      numBands: Int = 8,
+      maxBucket: Int = 200): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
+    val banded = sigs
+      .select(col("id"),
+              explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val guarded = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val l = guarded.select(col("band"), col("bh"), col("id").as("a"))
+    val r = guarded.select(col("band"), col("bh"), col("id").as("b"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard similarity between two text columns. */
+  def jaccard(textA: Column, textB: Column): Column = {
+    val ta = TextFunctions.distinctTokens(textA)
+    val tb = TextFunctions.distinctTokens(textB)
+    val i = size(array_intersect(ta, tb)).cast("double")
+    val u = size(array_distinct(concat(ta, tb))).cast("double")
+    when(u === 0, lit(0.0)).otherwise(i / u)
+  }
+
+  /** MinHash-LSH near-dup pipeline, staged cheap-to-expensive:
+    * banded candidates → signature-agreement estimate filter (slack
+    * below `minJaccard` to protect recall) → exact token-set Jaccard
+    * verify on the survivors only. The expensive text join touches only
+    * rows that already look similar — at 100 TB the estimate filter is
+    * what keeps verify cost proportional to true-duplicate density, not
+    * candidate density.
+    */
+  def nearDuplicatePairs(
+      docs: DataFrame,
+      minJaccard: Double = 0.8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 64): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
+    val pairs = lshCandidatePairs(docs, idCol, textCol, shingleK, numHashes)
+    val estimated = pairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sb")), "b")
+      .withColumn("est", signatureSimilarity(col("sa"), col("sb")))
+      .filter(col("est") >= minJaccard - 0.15)
+      .select(col("a"), col("b"))
+    val da = docs.select(col(idCol).as("a"), col(textCol).as("ta"))
+    val db = docs.select(col(idCol).as("b"), col(textCol).as("tb"))
+    estimated.join(da, "a").join(db, "b")
+      .withColumn("jaccard", jaccard(col("ta"), col("tb")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------- SimHash -------------------------------------------------
+
+  /** 64-bit SimHash as an array of 64 bits (0/1). Bit b is the sign of
+    * Σ_tokens (2·((xxhash64(token, b) mod 2)) − 1): a deterministic
+    * random-hyperplane rounding in GF(2). Array form keeps every
+    * operation codegen-able (no variable-distance bit shifts).
+    */
+  def simhashBits(text: Column): Column = {
+    val toks = TextFunctions.distinctTokens(text)
+    transform(sequence(lit(0), lit(63)), b => {
+      val contrib = aggregate(
+        toks, lit(0L),
+        (acc, t) => acc + (pmod(xxhash64(t, b), lit(2)) * 2 - 1))
+      when(contrib > 0, lit(1)).otherwise(lit(0)).cast("int")
+    })
+  }
+
+  /** Hamming distance between two equal-length bit arrays. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0),
+      (acc, v) => acc + v)
+
+  /** Compact hex rendering of a 64-bit array (16 hex chars) for
+    * storage/display.
+    */
+  def bitsToHex(bits: Column): Column = {
+    val nibbles = transform(sequence(lit(0), lit(15)), i => {
+      val v = element_at(bits, i * 4 + 1) * 8 + element_at(bits, i * 4 + 2) * 4 +
+              element_at(bits, i * 4 + 3) * 2 + element_at(bits, i * 4 + 4)
+      element_at(split(lit("0,1,2,3,4,5,6,7,8,9,a,b,c,d,e,f"), ","), v + 1)
+    })
+    concat_ws("", nibbles)
+  }
+
+  /** SimHash near-dup pairs: bucket by the first `prefixBits` bits (an
+    * LSH on the signature prefix), then verify full Hamming distance.
+    */
+  def simhashNearPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      prefixBits: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val withSig = docs.select(
+      col(idCol).as("id"),
+      simhashBits(col(textCol)).as("sig"))
+    val withBucket = withSig.withColumn(
+      "bucket", slice(col("sig"), 1, prefixBits))
+    val l = withBucket.select(col("bucket"), col("id").as("a"), col("sig").as("sa"))
+    val r = withBucket.select(col("bucket"), col("id").as("b"), col("sig").as("sb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", hamming(col("sa"), col("sb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

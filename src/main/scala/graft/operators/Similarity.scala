@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), for training-data curation at scale.
+  *
+  *  - Brute-force cosine top-k: broadcast the (small) query set, score
+  *    every corpus vector, rank per query with a window. Exact; the
+  *    baseline and the oracle-checked path. Linear in corpus size —
+  *    each partition scores independently, one shuffle for the top-k.
+  *  - Hyperplane-LSH buckets: sign-of-dot-product against `nPlanes`
+  *    deterministic pseudo-random hyperplanes → integer bucket;
+  *    neighbors are only scored within the query's bucket. Sub-linear
+  *    probe cost at 100 TB (bucket join instead of full scan), at the
+  *    cost of recall — the standard trade.
+  *
+  * All arithmetic is double-precision array expressions
+  * (zip_with/aggregate): codegen'd, no UDF, and bit-reproducible across
+  * engines for the oracle.
+  */
+object Similarity {
+
+  /** Cast any numeric array to array<double> for stable arithmetic. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential-fold dot product (left-to-right, matching DuckDB's
+    * list_sum order so oracle doubles are bit-identical).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param queries small frame (query_id, query_vec) — broadcast.
+    * @param excludeSelf drop hits where corpus id == query id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(
+        queries.select(col("query_id"), asDouble(col("query_vec")).as("q"))))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("v"), col("q")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane p, dim j →
+    * a value in [-1, 1) derived from xxhash64 — reproducible everywhere,
+    * no RNG state.
+    */
+  private def planeComponent(p: Int, j: Column): Column =
+    (pmod(xxhash64(lit(p), j), lit(2000)).cast("double") / 1000.0) - 1.0
+
+  /** Sign bucket over `nPlanes` hyperplanes as an int in [0, 2^nPlanes). */
+  def hyperplaneBucket(vec: Column, nPlanes: Int = 8): Column = {
+    val v = asDouble(vec)
+    val bits = (0 until nPlanes).map { p =>
+      val d = aggregate(
+        zip_with(v, transform(sequence(lit(0), size(v) - 1),
+          j => planeComponent(p, j)), (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: score only corpus vectors sharing the query's
+    * hyperplane bucket. Recall < 1 by design; bucket count 2^nPlanes
+    * controls the probe fraction.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nPlanes: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
+    val q = queries.select(
+      col("query_id"), asDouble(col("query_vec")).as("q"),
+      hyperplaneBucket(col("query_vec"), nPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("v"), col("q")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 6).as("cos"))
+  }
+}

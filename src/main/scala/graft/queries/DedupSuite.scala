@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.Dedup
+
+/** Deduplication operators through the correctness gate.
+  *
+  * Exact dedup and n-gram Jaccard are fully oracle-checked. The
+  * MinHash-LSH and SimHash pipelines hash with xxhash64 (not available
+  * in DuckDB), so they are validated on a *planted-duplicate* corpus —
+  * the corpus unioned with itself under shifted ids — where the expected
+  * answer (every doc pairs with its clone at similarity 1) is known by
+  * construction and pinned in unit tests; the driver records rows>0.
+  */
+object DedupSuite extends QuerySuite {
+
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+
+  /** documents ∪ (documents with doc_id + 1,000,000): every text exists
+    * exactly twice — ground truth for near-dup pipelines.
+    */
+  private def planted(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  // ---- exact dedup: hash-groupBy (oracle-checked) --------------------
+  private val dedupExact = GraftQuery(
+    "q_dedup_exact",
+    (s, d) =>
+      Dedup.exactGroups(documents(s, d))
+        .orderBy(asc("keeper")),
+    Some(s"""SELECT md5(array_to_string($toksSql, ' ')) AS text_hash,
+               MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+             FROM documents GROUP BY 1 ORDER BY keeper"""),
+    headline = true)
+
+  // ---- exact dedup: surviving corpus (oracle-checked) ----------------
+  private val dedupDrop = GraftQuery(
+    "q_dedup_drop",
+    (s, d) =>
+      Dedup.dropExactDuplicates(planted(s, d))
+        .select("doc_id")
+        .orderBy(asc("doc_id")),
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM documents)
+             SELECT MIN(doc_id) AS doc_id FROM corpus
+             GROUP BY md5(array_to_string($toksSql, ' '))
+             ORDER BY doc_id"""))
+
+  // ---- n-gram (token-set) Jaccard over bounded pairs (oracle-checked) -
+  private val ngramJaccard = GraftQuery(
+    "q_ngram_jaccard",
+    (s, d) => {
+      val docs = documents(s, d)
+      val a = docs.select(col("source"), col("doc_id").as("a"),
+                          col("text").as("ta"))
+      val b = docs.select(col("source"), col("doc_id").as("b"),
+                          col("text").as("tb"))
+      a.join(b, Seq("source"))
+        .filter(col("b") > col("a") && col("b") - col("a") <= 20)
+        .withColumn("jac", Dedup.jaccard(col("ta"), col("tb")))
+        .filter(col("jac") > 0.3)
+        .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+        .orderBy(asc("a"), asc("b"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, source,
+                list_distinct(list_filter(
+                  string_split_regex(trim(text), '\s+'), x -> x <> ''))
+                  AS toks
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) AS jac
+              FROM t a JOIN t b ON a.source = b.source
+              WHERE b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20)
+            SELECT a, b, ROUND(jac, 6) AS jac FROM pairs
+            WHERE jac > 0.3 ORDER BY a, b"""))
+
+  // ---- MinHash+LSH near-dup pipeline on planted duplicates -----------
+  //      (xxhash64-based: no SQL oracle; rows>0 + unit-test ground truth)
+  private val minhashPairs = GraftQuery(
+    "q_dedup_minhash",
+    (s, d) =>
+      Dedup.nearDuplicatePairs(planted(s, d), minJaccard = 0.9)
+        .orderBy(asc("a"), asc("b")),
+    None)
+
+  // ---- SimHash signatures + near pairs on planted duplicates ---------
+  private val simhashSignatures = GraftQuery(
+    "q_simhash_signatures",
+    (s, d) =>
+      documents(s, d).select(
+          col("doc_id"),
+          Dedup.bitsToHex(Dedup.simhashBits(col("text"))).as("simhash_hex"))
+        .orderBy(asc("doc_id")),
+    None)
+
+  private val simhashPairs = GraftQuery(
+    "q_dedup_simhash",
+    (s, d) =>
+      Dedup.simhashNearPairs(planted(s, d), maxHamming = 3)
+        .orderBy(asc("a"), asc("b")),
+    None)
+
+  override val queries: Seq[GraftQuery] = Seq(
+    dedupExact, dedupDrop, ngramJaccard, minhashPairs,
+    simhashSignatures, simhashPairs)
+}

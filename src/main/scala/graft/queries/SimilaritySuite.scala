@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.Similarity
+
+/** Embedding similarity search through the correctness gate: exact
+  * brute-force cosine top-k is fully oracle-checked (double-precision
+  * arithmetic matches DuckDB bit-for-bit); the hyperplane-LSH variant is
+  * xxhash64-seeded (no SQL oracle) and validated against the exact path
+  * in unit tests (recall sanity).
+  */
+object SimilaritySuite extends QuerySuite {
+
+  private def queryVectors(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  // DuckDB double-precision cosine building blocks
+  private val oracleCosine =
+    """list_sum(list_transform(list_zip(c.v, q.q), x -> x[1] * x[2])) /
+       sqrt(list_sum(list_transform(c.v, x -> x * x)) *
+            list_sum(list_transform(q.q, x -> x * x)))"""
+
+  // ---- exact brute-force top-k (oracle-checked) ----------------------
+  private val topK = GraftQuery(
+    "q_embedding_topk",
+    (s, d) =>
+      Similarity.bruteForceTopK(
+        embeddings(s, d), queryVectors(s, d), k = 3)
+        .orderBy(asc("query_id"), asc("rank")),
+    Some(s"""WITH c AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+             q AS (
+               SELECT vec_id AS query_id, v AS q FROM c WHERE vec_id < 3),
+             scored AS (
+               SELECT q.query_id, c.vec_id AS neighbor_id,
+                 $oracleCosine AS cos
+               FROM c, q WHERE c.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(cos, 6) AS cos
+             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+    headline = true)
+
+  // ---- bounded pairwise cosine (oracle-checked) ----------------------
+  private val pairCosine = GraftQuery(
+    "q_embedding_pairs",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
+      a.join(b, col("b") > col("a") && col("b") - col("a") <= 5)
+        .select(col("a"), col("b"),
+                round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") > 0.2)
+        .orderBy(asc("a"), asc("b"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                ROUND(
+                  list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+                  sqrt(list_sum(list_transform(a.v, x -> x * x)) *
+                       list_sum(list_transform(b.v, x -> x * x))), 6) AS cos
+              FROM e a JOIN e b
+                ON b.vec_id > a.vec_id AND b.vec_id - a.vec_id <= 5)
+            SELECT a, b, cos FROM pairs WHERE cos > 0.2 ORDER BY a, b"""))
+
+  // ---- hyperplane-LSH bucketed top-k (approximate; no SQL oracle) ----
+  private val lshTopK = GraftQuery(
+    "q_embedding_lsh",
+    (s, d) =>
+      Similarity.lshTopK(
+        embeddings(s, d), queryVectors(s, d), k = 3, nPlanes = 6)
+        .orderBy(asc("query_id"), asc("rank")),
+    None)
+
+  // ---- embedding near-dup detection on planted clones ----------------
+  private val embDedup = GraftQuery(
+    "q_dedup_embedding",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val doubled = e.unionByName(
+        e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val withB = doubled.select(
+        col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"),
+        Similarity.hyperplaneBucket(col("embedding"), nPlanes = 8).as("bucket"))
+      val l = withB.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
+      val r = withB.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
+      l.join(r, Seq("bucket"))
+        .filter(col("a") < col("b"))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos") > 0.999999)
+        .select(col("a"), col("b"))
+        .orderBy(asc("a"), asc("b"))
+    },
+    None)
+
+  override val queries: Seq[GraftQuery] =
+    Seq(topK, pairCosine, lshTopK, embDedup)
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates to min-id keeper") {
+    val g = Dedup.exactGroups(corpus).orderBy("keeper").collect()
+    val byKeeper = g.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeeper(1L) == 2L)       // docs 1+2 together
+    assert(byKeeper(3L) == 1L)
+    assert(byKeeper(4L) == 1L)
+  }
+
+  test("dropExactDuplicates keeps min-id row per content") {
+    val ids = Dedup.dropExactDuplicates(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("jaccard: hand-computed values") {
+    val df = Seq(("a b", "b c"), ("a b c", "a b c"), ("a", "b"), ("", ""))
+      .toDF("ta", "tb")
+    val got = df.select(Dedup.jaccard(col("ta"), col("tb"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0 / 3.0) < 1e-12)
+    assert(got(1) == 1.0)
+    assert(got(2) == 0.0)
+    assert(got(3) == 0.0)
+  }
+
+  test("minhash near-dup pipeline finds exact and near duplicates") {
+    val pairs = Dedup.nearDuplicatePairs(corpus, minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"exact dup pair (1,2) not found in $pairs")
+    // doc 3 differs by one token out of ~10 distinct: token jaccard ~0.8+
+    assert(pairs.forall(p => p._3 >= 0.8))
+    assert(!pairs.exists(p => p._2 == 4L), "unrelated doc flagged")
+  }
+
+  test("signatureSimilarity is 1.0 for identical texts") {
+    val sigs = Dedup.signatures(corpus.filter($"doc_id" <= 2), "doc_id", "text",
+      shingleK = 5, numHashes = 64)
+    val two = sigs.orderBy("id").collect()
+    assert(two(0).getSeq[Long](1) == two(1).getSeq[Long](1))
+  }
+
+  test("simhash: identical text -> identical bits; near text -> small hamming") {
+    val sigs = corpus.filter($"doc_id" =!= 5L).select(
+      $"doc_id", Dedup.simhashBits($"text").as("bits"))
+    val m = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(m(1L) == m(2L))
+    val hamming13 = m(1L).zip(m(3L)).count { case (a, b) => a != b }
+    val hamming14 = m(1L).zip(m(4L)).count { case (a, b) => a != b }
+    assert(hamming13 < hamming14, s"near-dup $hamming13 !< unrelated $hamming14")
+  }
+
+  test("simhashNearPairs finds the planted exact pair") {
+    val pairs = Dedup.simhashNearPairs(corpus, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("bitsToHex renders 64 bits as 16 hex chars") {
+    val hex = corpus.filter($"doc_id" === 1L)
+      .select(Dedup.bitsToHex(Dedup.simhashBits($"text"))).as[String].head()
+    assert(hex.length == 16 && hex.matches("[0-9a-f]{16}"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(1.0f, 0.0f, 0.0f))   // clone of 0
+  ).toDF("vec_id", "embedding")
+
+  private val queries = vecs.filter($"vec_id" === 0L)
+    .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+
+  test("cosine: hand-computed values") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0), 1.0),
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(1.0, 0.0), Array(-1.0, 0.0), -1.0)).toDF("a", "b", "want")
+    df.collect() // force schema
+    val got = df.select(Similarity.cosine($"a", $"b"), $"want").collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("bruteForceTopK: exact ranking, self excluded") {
+    val top = Similarity.bruteForceTopK(vecs, queries, k = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(4L, 1L, 2L))  // clone, near, orthogonal
+    assert(top(0).getDouble(3) == 1.0)
+    assert(!top.map(_.getLong(2)).contains(0L))
+  }
+
+  test("lshTopK finds the identical clone (same bucket by construction)") {
+    val top = Similarity.lshTopK(vecs, queries, k = 2, nPlanes = 4).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(2) == 4L && top.head.getDouble(3) == 1.0)
+  }
+
+  test("hyperplaneBucket is deterministic and within range") {
+    val b1 = vecs.select(Similarity.hyperplaneBucket($"embedding", 8)).as[Int].collect()
+    val b2 = vecs.select(Similarity.hyperplaneBucket($"embedding", 8)).as[Int].collect()
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 256))
+    assert(b1(0) == b1(4), "identical vectors must share a bucket")
+  }
+}
