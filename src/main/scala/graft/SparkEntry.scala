@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All registered query suites, in build order. */
   def suites: Seq[QuerySuite] =
-    Seq(RelationalSuite, EtlSuite, TextSuite, DedupSuite, SimilaritySuite)
+    Seq(RelationalSuite, EtlSuite, TextSuite, DedupSuite, SimilaritySuite,
+        AdvancedSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.queries)
 

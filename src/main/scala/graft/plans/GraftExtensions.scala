@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import graft.functions.WktPoint
+
+/** Engine extension point (SparkSessionExtensions): registers the
+  * custom codegen'd expressions so they are first-class in both the
+  * Column API and SQL text (`SELECT wkt_point(location) ...`).
+  *
+  * Wire-up:
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  * or post-hoc on an existing session via [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    val (name, info, builder) = WktPoint.registration
+    e.injectFunction((FunctionIdentifier(name), info, builder))
+  }
+}
+
+/** Post-hoc registration for sessions built without extensions (e.g. the
+  * driver-owned Verify/Bench sessions).
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val (name, _, builder) = WktPoint.registration
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}

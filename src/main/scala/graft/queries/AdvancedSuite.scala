@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.WktPoint
+import graft.operators.Multimodal
+import graft.plans.GraftFunctions
+import graft.streaming.EventsStream
+
+/** Extension-point surfaces through the correctness gate: the custom
+  * codegen'd WktPoint expression, the Structured Streaming pipeline
+  * (run with availableNow so its final table must equal the batch
+  * oracle), and the multimodal feature plumbing.
+  */
+object AdvancedSuite extends QuerySuite {
+
+  // ---- custom Catalyst expression, SQL-registered (SURVEY.md §7.4) ---
+  private val wktPointExpr = GraftQuery(
+    "q_wkt_point_expr",
+    (s, d) => {
+      GraftFunctions.register(s)
+      val pts = customer(s, d).select(
+        col("c_custkey"),
+        concat(lit("POINT ("), col("c_nationkey").cast("string"), lit(" "),
+               col("c_custkey").cast("string"), lit(")")).as("location"))
+      pts.select(
+          col("c_custkey"),
+          WktPoint.wkt_point(col("location")).as("pt"))
+        .select(
+          col("c_custkey"),
+          col("pt.latitude").as("latitude"),
+          col("pt.longitude").as("longitude"))
+        .orderBy(asc("c_custkey"))
+        .limit(500)
+    },
+    Some("""WITH pts AS (
+              SELECT c_custkey,
+                'POINT (' || CAST(c_nationkey AS VARCHAR) || ' ' ||
+                CAST(c_custkey AS VARCHAR) || ')' AS location
+              FROM customer)
+            SELECT c_custkey,
+              CAST(NULLIF(regexp_extract(location,
+                'POINT\s*\(\s*([-0-9.]+)\s+([-0-9.]+)\s*\)', 2), '')
+                AS DOUBLE) AS latitude,
+              CAST(NULLIF(regexp_extract(location,
+                'POINT\s*\(\s*([-0-9.]+)\s+([-0-9.]+)\s*\)', 1), '')
+                AS DOUBLE) AS longitude
+            FROM pts ORDER BY c_custkey LIMIT 500"""))
+
+  // ---- streaming pipeline vs batch oracle ----------------------------
+  private val streamHourly = GraftQuery(
+    "q_events_stream_hourly",
+    (s, d) => {
+      val streamed = EventsStream.hourlyCounts(EventsStream.readEvents(s, d))
+      EventsStream.runToCompletion(s, streamed)
+        .orderBy(asc("hour"), asc("event_type"))
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
+                AS hour,
+              event_type, COUNT(*) AS cnt,
+              ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  // ---- multimodal plumbing -------------------------------------------
+  private val multimodal = GraftQuery(
+    "q_multimodal_features",
+    (s, d) => {
+      val media = Multimodal.synthesizeMedia(documents(s, d))
+      Multimodal.extractFeatures(s, media)
+        .toDF()
+        .select(
+          col("doc_id"), col("media_type"), col("n_bytes"),
+          size(col("features")).as("feat_dim"))
+        .orderBy(asc("doc_id"))
+    },
+    Some("""SELECT doc_id,
+              CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+              END AS media_type,
+              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+              8 AS feat_dim
+            FROM documents ORDER BY doc_id"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(wktPointExpr, streamHourly, multimodal)
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming rendition of the reference's blob-arrival loop
+  * (/root/reference/pipeline.py:126-150): what was "list blobs, read
+  * each, concat" becomes a file-source stream with event-time windowing
+  * and watermark-bounded state — the §7.5 extension the reference's
+  * README aspires to (/root/reference/README.md:41-42).
+  *
+  * Scale design: per-key state lives in the state store, bounded by the
+  * watermark; `availableNow` gives batch-parity runs (process everything
+  * present, then stop), which is also how the correctness gate executes
+  * it against the DuckDB oracle.
+  */
+object EventsStream {
+
+  /** File-source stream over the events parquet (nanos ts normalized the
+    * same way as the batch loader).
+    *
+    * The file stream source requires a *directory*; the testdata lays
+    * each table out as a single file, so stage a symlink directory under
+    * java.io.tmpdir (read-only view, nothing copied).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val sourceDir =
+      if (Files.isDirectory(src)) src
+      else {
+        val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_src_${Integer.toHexString(src.toString.hashCode)}")
+        Files.createDirectories(stage)
+        val link = stage.resolve("events.parquet")
+        if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+        stage
+      }
+    val batchSchema = spark.read.parquet(src.toString).schema
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .parquet(sourceDir.toString)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Hourly tumbling-window counts per event type with a 2-hour
+    * watermark: the streaming twin of the batch `q_events_hourly`.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Watermark-bounded streaming dedup by event_id (exactly-once-style
+    * ingestion guard for at-least-once sources).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a streaming frame to completion over the data currently present
+    * (`availableNow`) into a memory sink, returning the final table as a
+    * batch DataFrame. Used by the gate: streaming results must equal the
+    * batch oracle.
+    */
+  def runToCompletion(
+      spark: SparkSession,
+      streamed: DataFrame,
+      outputMode: String = "complete"): DataFrame = {
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+    } finally {
+      if (q.isActive) q.stop()
+    }
+    spark.table(name)
+  }
+}
