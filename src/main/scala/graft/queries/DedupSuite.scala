@@ -92,7 +92,8 @@ object DedupSuite extends QuerySuite {
     (s, d) =>
       Dedup.nearDuplicatePairs(planted(s, d), minJaccard = 0.9)
         .orderBy(asc("a"), asc("b")),
-    None)
+    None,
+    headline = true)
 
   // ---- SimHash signatures + near pairs on planted duplicates ---------
   private val simhashSignatures = GraftQuery(

@@ -336,6 +336,8 @@ object RelationalSuite extends QuerySuite {
         .orderBy(asc("o_orderkey"))
         .limit(1000)
     },
+    headline = true,
+    oracle =
     Some("""WITH updates AS (
               SELECT o_orderkey, -o_totalprice AS o_totalprice, 1 AS pri
               FROM orders WHERE o_orderkey % 10 = 0),

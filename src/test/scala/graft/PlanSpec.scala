@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants (SURVEY.md §4.2): these are the properties
+  * that make the plans survive a 100× scale-up — filters reaching the
+  * parquet scan, pruned read schemas, broadcast joins for dims, true
+  * top-k instead of global sorts. A regression here is a performance
+  * bug even while results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    finalPlan(df.queryExecution.executedPlan).toString
+  }
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  test("q_filter_sort: predicate pushed to parquet scan, schema pruned") {
+    val s = plan("q_filter_sort")
+    assert(s.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed:\n$s")
+    assert(!s.contains("l_extendedprice"), s"unneeded column read:\n$s")
+  }
+
+  test("q_count_by_brand: only p_brand read; sort+limit is TakeOrdered") {
+    val s = plan("q_count_by_brand")
+    assert(s.contains("ReadSchema: struct<p_brand:string>"),
+      s"column pruning failed:\n$s")
+    assert(s.contains("TakeOrderedAndProject"), s"no top-k operator:\n$s")
+  }
+
+  test("q_join_inner: dims joined via BroadcastHashJoin, no shuffle of fact") {
+    val s = plan("q_join_inner")
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$s")
+  }
+
+  test("q_segment_revenue: customer side broadcast; agg is partial+final hash") {
+    val s = plan("q_segment_revenue")
+    assert(s.contains("BroadcastHashJoin"), s"customer not broadcast:\n$s")
+    assert(s.contains("HashAggregate"), s"expected hash aggregation:\n$s")
+  }
+
+  test("q_top5_cte_join: top-k subplan broadcast back against part") {
+    val s = plan("q_top5_cte_join")
+    assert(s.contains("BroadcastHashJoin"), s"top-5 side not broadcast:\n$s")
+  }
+
+  test("q_filter_sort: ordered limit plans as TakeOrderedAndProject") {
+    val s = plan("q_filter_sort")
+    assert(s.contains("TakeOrderedAndProject"), s"no top-k operator:\n$s")
+  }
+
+  test("q_pricing_summary: date filter pushed, partial aggregation present") {
+    val s = plan("q_pricing_summary")
+    assert(s.contains("PushedFilters") && s.contains("l_shipdate"),
+      s"shipdate filter not pushed:\n$s")
+    assert(s.contains("HashAggregate"), s"expected hash agg:\n$s")
+  }
+}
