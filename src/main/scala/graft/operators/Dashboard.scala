@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The dashboard's analytics surface (SURVEY.md §3.3,
+  * /root/reference/streamlit_app.py) as a parameterized query layer:
+  * every widget interaction in the reference re-runs pandas over the
+  * whole frame; here each interaction is plan-reuse with changed
+  * literals over one cached DataFrame.
+  *
+  *  - filter domains: per-column distinct+sort (streamlit_app.py:144-151)
+  *  - selection filter: conjunctive IN-lists (streamlit_app.py:166-170)
+  *  - KPI row: count / null-safe means (streamlit_app.py:180-190)
+  *  - grouped counts for the two bar charts (streamlit_app.py:205,215)
+  *  - empty-selection guard (streamlit_app.py:172-174)
+  *
+  * `cached` is the reference's @st.cache_data (S8): call once per
+  * session over the cleaned frame, reuse across interactions.
+  */
+object Dashboard {
+
+  /** S8 — memoize the cleaned frame across interactions. */
+  def cached(df: DataFrame): DataFrame = df.cache()
+
+  /** A6 — the selectable value domain of one column, sorted, nulls out. */
+  def filterDomain(df: DataFrame, column: String): Seq[String] =
+    df.select(col(column).cast("string")).na.drop()
+      .distinct().orderBy(column)
+      .collect().map(_.getString(0)).toSeq
+
+  /** F3 — conjunction of IN-list selections; empty selection for a
+    * column means "no constraint" (multiselect default-all semantics).
+    */
+  def selectionFilter(selections: Map[String, Seq[String]]): Column =
+    selections.filter(_._2.nonEmpty).foldLeft(lit(true)) {
+      case (acc, (c, vals)) => acc && col(c).isin(vals: _*)
+    }
+
+  def applySelections(df: DataFrame,
+                      selections: Map[String, Seq[String]]): DataFrame =
+    df.filter(selectionFilter(selections))
+
+  /** F6 — the empty-result guard. */
+  def isEmptySelection(df: DataFrame): Boolean = df.isEmpty
+
+  /** A4 — KPI row. Spark's avg is null-ignoring natively, which replaces
+    * the reference's hand-rolled notna() guards; rounding matches its
+    * display rounding (streamlit_app.py:181-189).
+    */
+  def kpis(df: DataFrame, countCol: String, avgCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as(s"total_$countCol") +:
+      avgCols.map(c => round(avg(col(c)), 1).as(s"avg_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A1/A2 — the chart feeds: count per group, ordered for display. */
+  def groupedCounts(df: DataFrame, groupCol: String,
+                    topK: Int = 0): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc(groupCol))
+    if (topK > 0) counts.limit(topK) else counts
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.streaming.Sessionize
+
+/** Aggregation extensions beyond the reference (SURVEY.md §2.5 "cheap
+  * extensions" + §7.5): cube / grouping sets, approximate distinct, and
+  * sessionization (built-in session_window + typed per-group scan).
+  */
+object AggExtSuite extends QuerySuite {
+
+  private val cubeAgg = GraftQuery(
+    "q_cube",
+    (s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+             round(sum("l_quantity"), 0).cast("long").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(asc("rflag"), asc("lstatus")),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+              COALESCE(l_linestatus, 'ALL') AS lstatus,
+              COUNT(*) AS cnt,
+              CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY rflag, lstatus"""))
+
+  private val groupingSets = GraftQuery(
+    "q_grouping_sets",
+    (s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                 COALESCE(o_orderpriority, 'ALL') AS priority,
+                 COUNT(*) AS cnt
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                       (o_orderstatus, o_orderpriority))
+               ORDER BY status, priority""")
+    },
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              COALESCE(o_orderpriority, 'ALL') AS priority,
+              COUNT(*) AS cnt
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                    (o_orderstatus, o_orderpriority))
+            ORDER BY status, priority"""))
+
+  /** HLL++-based approximate distinct — algorithm differs from DuckDB's
+    * approx_count_distinct, so no value oracle; the unit test pins the
+    * relative-error envelope against the exact count.
+    */
+  private val approxDistinct = GraftQuery(
+    "q_approx_distinct",
+    (s, d) =>
+      lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps")),
+    None)
+
+  private val sessionize = GraftQuery(
+    "q_sessionize",
+    (s, d) =>
+      Sessionize.sessions(events(s, d), gap = "30 minutes")
+        .orderBy(asc("user_id"), asc("session_start")),
+    Some("""WITH o AS (
+              SELECT user_id, ts, value,
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events),
+            m AS (
+              SELECT user_id, ts, value,
+                CASE WHEN prev IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM o),
+            s AS (
+              SELECT user_id, ts, value,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+            SELECT user_id,
+              strftime(CAST(MIN(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                AS session_start,
+              COUNT(*) AS n_events,
+              ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  private val userActivity = GraftQuery(
+    "q_user_activity",
+    (s, d) =>
+      Sessionize.userActivity(s, events(s, d)).toDF()
+        .orderBy(asc("user_id")),
+    Some("""WITH o AS (
+              SELECT user_id, ts,
+                epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts)) AS gap_ms
+              FROM events)
+            SELECT user_id, COUNT(*) AS n_events,
+              strftime(CAST(MIN(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                AS first_ts,
+              strftime(CAST(MAX(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                AS last_ts,
+              COALESCE(CAST(MAX(gap_ms) // 1000 AS BIGINT), 0) AS max_gap_seconds
+            FROM o GROUP BY user_id ORDER BY user_id"""))
+
+  override val queries: Seq[GraftQuery] = Seq(
+    cubeAgg, groupingSets, approxDistinct, sessionize, userActivity)
+}
