@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sink-side parity (SURVEY.md §2.1 S4/S5) plus the layouts that matter
+  * at 100 TB.
+  *
+  * The reference's `to_sql(if_exists='replace'/'append', chunksize=N)`
+  * maps onto Spark writer modes; its DDL-then-append dance
+  * (/root/reference/load_local_to_db.py:122-150) is just mode semantics
+  * here. Beyond parity: date-partitioned and bucketed layouts — the
+  * difference between "a pile of files" and a layout where partition
+  * pruning and co-located joins do the work of a cluster.
+  */
+object Sinks {
+
+  /** S4 — snapshot replace (`if_exists='replace'`,
+    * /root/reference/pipeline.py:163-170).
+    */
+  def writeSnapshot(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S5 — append batch (`if_exists='append'`). */
+  def appendBatch(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** CSV export mirroring the reference's flat-file interchange. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString).csv(path)
+
+  /** S4/S5 over JDBC — the reference's actual RDBMS sink, with its
+    * chunked-insert tuning (`chunksize=500`, fast_executemany →
+    * `batchsize`; /root/reference/pipeline.py:61,169). No RDBMS exists
+    * in this container, so this is code-complete but exercised only for
+    * plan construction in tests.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: SaveMode = SaveMode.Overwrite,
+                batchSize: Int = 500,
+                properties: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode(mode)
+      .option("batchsize", batchSize)
+      .jdbc(url, table, properties)
+
+  /** Date-partitioned lake layout: `path/date_col=YYYY-MM-DD/part-*`.
+    * At scale this is what makes time-range queries prune to a sliver
+    * of the data (dynamic partition pruning reads only matching dirs).
+    */
+  def writePartitionedByDate(df: DataFrame, path: String,
+                             dateCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(dateCol)
+      .parquet(path)
+
+  /** Bucketed table: pre-shuffled on the join key so repeated joins on
+    * `bucketCol` need NO exchange (requires saveAsTable — bucket
+    * metadata lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Read back a partitioned/bucketed location. */
+  def readLake(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

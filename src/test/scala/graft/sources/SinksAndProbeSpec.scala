@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SinksAndProbeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft_sinks", name).toString
+
+  test("S4 snapshot replace then S5 append round-trip") {
+    val p = tmp("snap")
+    Sinks.writeSnapshot(Seq((1, "a"), (2, "b")).toDF("k", "v"), p)
+    assert(Sinks.readLake(spark, p).count() == 2)
+    Sinks.writeSnapshot(Seq((3, "c")).toDF("k", "v"), p)      // replace
+    assert(Sinks.readLake(spark, p).count() == 1)
+    Sinks.appendBatch(Seq((4, "d")).toDF("k", "v"), p)        // append
+    assert(Sinks.readLake(spark, p).count() == 2)
+  }
+
+  test("date-partitioned layout prunes partitions on read") {
+    val p = tmp("bydate")
+    val df = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("order_date", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    Sinks.writePartitionedByDate(df, p, "order_date")
+    val pruned = Sinks.readLake(spark, p)
+      .filter(col("order_date") === "1995-02-01")
+    val scan = pruned.queryExecution.executedPlan.toString
+    // partition filter must appear as PartitionFilters, not a data filter
+    assert(scan.contains("PartitionFilters") && scan.contains("order_date"),
+      s"no partition pruning in:\n$scan")
+    assert(pruned.count() ==
+      df.filter(col("order_date") === "1995-02-01").count())
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    Seq("g_orders_b", "g_lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a previously-failed run can leave the managed location behind
+      val loc = Paths.get(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    val sf = "/root/testdata/sf0.001"
+    Sinks.writeBucketed(graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice"), "g_orders_b", "o_orderkey", 4)
+    Sinks.writeBucketed(graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "g_lineitem_b", "o_orderkey", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("g_orders_b")
+        .join(spark.table("g_lineitem_b"), "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("jdbc writer constructs without a live database") {
+    // no RDBMS in the container: assert the writer path fails on
+    // connection, not on API construction
+    val e = intercept[Exception] {
+      Sinks.writeJdbc(Seq((1, "a")).toDF("k", "v"),
+        "jdbc:postgresql://localhost:1/none", "t")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("header probe: detects offset header, skips preamble") {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_sinks")
+    Files.createDirectories(dir)
+    val f = dir.resolve("excel_like.csv")
+    Files.writeString(f,
+      """report generated,2024-01-01,,
+        |,,,
+        |VIN,City,Year,Make
+        |V1,Seattle,2020,TESLA
+        |V2,Tacoma,2019,KIA""".stripMargin)
+    val df = HeaderProbe.readCsvAutoHeader(spark, f.toString,
+      expected = Seq("vin", "city", "year", "make"))
+    assert(df.columns.toSeq == Seq("vin", "city", "year", "make"))
+    val rows = df.orderBy("vin").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "Seattle")
+  }
+
+  test("header probe: hard error when nothing scores") {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_sinks")
+    val f = dir.resolve("headerless.csv")
+    Files.writeString(f, "1,2,3\n4,5,6")
+    assertThrows[IllegalArgumentException] {
+      HeaderProbe.readCsvAutoHeader(spark, f.toString,
+        expected = Seq("vin", "city"))
+    }
+  }
+
+  test("salted join equals plain join (exactly-once pairs)") {
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "k")
+    val o = graft.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "k")
+    val plain = li.join(o, "k").count()
+    val salted = graft.operators.SaltedJoin.innerOnKey(li, o, "k", saltFactor = 7).count()
+    assert(salted == plain, s"salted=$salted plain=$plain")
+  }
+}
