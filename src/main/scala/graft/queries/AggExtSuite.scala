@@ -66,6 +66,8 @@ object AggExtSuite extends QuerySuite {
     (s, d) =>
       Sessionize.sessions(events(s, d), gap = "30 minutes")
         .orderBy(asc("user_id"), asc("session_start")),
+    headline = true,
+    oracle =
     Some("""WITH o AS (
               SELECT user_id, ts, value,
                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
