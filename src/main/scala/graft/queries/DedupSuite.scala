@@ -59,12 +59,16 @@ object DedupSuite extends QuerySuite {
     "q_ngram_jaccard",
     (s, d) => {
       val docs = documents(s, d)
-      val a = docs.select(col("source"), col("doc_id").as("a"),
+      // proximity pairs via explode-offsets -> equi-join on the candidate
+      // id (linear in n·window); joining on source alone would build
+      // |group|² intermediate pairs per source before the distance filter
+      val a = docs.select(col("source").as("src_a"), col("doc_id").as("a"),
                           col("text").as("ta"))
-      val b = docs.select(col("source"), col("doc_id").as("b"),
+        .withColumn("b", explode(sequence(col("a") + 1, col("a") + 20)))
+      val b = docs.select(col("source").as("src_b"), col("doc_id").as("b"),
                           col("text").as("tb"))
-      a.join(b, Seq("source"))
-        .filter(col("b") > col("a") && col("b") - col("a") <= 20)
+      a.join(b, "b")
+        .filter(col("src_a") === col("src_b"))
         .withColumn("jac", Dedup.jaccard(col("ta"), col("tb")))
         .filter(col("jac") > 0.3)
         .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))

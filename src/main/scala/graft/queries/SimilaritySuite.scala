@@ -55,9 +55,14 @@ object SimilaritySuite extends QuerySuite {
     (s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      // bounded window as explode-offsets -> EQUI-join: the naive
+      // `b - a <= 5` range predicate plans as a nested-loop join
+      // (O(n²) pairs — fatal at scale); generating candidate b ids and
+      // equi-joining is linear in n·window.
       val a = e.select(col("vec_id").as("a"), col("v").as("va"))
+        .withColumn("b", explode(sequence(col("a") + 1, col("a") + 5)))
       val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
-      a.join(b, col("b") > col("a") && col("b") - col("a") <= 5)
+      a.join(b, "b")
         .select(col("a"), col("b"),
                 round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
         .filter(col("cos") > 0.2)
