@@ -119,9 +119,21 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 64,
       numBands: Int = 8,
+      maxBucket: Int = 200): DataFrame =
+    lshCandidatePairsFromSigs(
+      signatures(docs, idCol, textCol, shingleK, numHashes),
+      numHashes, numBands, maxBucket)
+
+  /** Candidate generation from a precomputed (id, sig) frame — lets the
+    * caller compute/cache signatures ONCE when they are reused by a
+    * downstream verify stage.
+    */
+  def lshCandidatePairsFromSigs(
+      sigs: DataFrame,
+      numHashes: Int = 64,
+      numBands: Int = 8,
       maxBucket: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
     val banded = sigs
       .select(col("id"),
               explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
@@ -164,8 +176,13 @@ object Dedup {
       textCol: String = "text",
       shingleK: Int = 5,
       numHashes: Int = 64): DataFrame = {
+    // signatures feed three consumers (banding + both estimate joins):
+    // cache them so the corpus-wide signature aggregation runs once, not
+    // three times. At 100 TB this is the difference between one and
+    // three full passes over the tokenized corpus.
     val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
-    val pairs = lshCandidatePairs(docs, idCol, textCol, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = lshCandidatePairsFromSigs(sigs, numHashes)
     val estimated = pairs
       .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")
       .join(sigs.select(col("id").as("b"), col("sig").as("sb")), "b")

@@ -109,6 +109,30 @@ object AggExtSuite extends QuerySuite {
               COALESCE(CAST(MAX(gap_ms) // 1000 AS BIGINT), 0) AS max_gap_seconds
             FROM o GROUP BY user_id ORDER BY user_id"""))
 
+  /** Semi-structured column handling: JSON props parsed natively
+    * (from_json with an explicit schema — schema-on-read, codegen'd),
+    * aggregated by extracted field.
+    */
+  private val jsonProps = GraftQuery(
+    "q_json_props",
+    (s, d) =>
+      events(s, d)
+        .select(col("event_id"), col("event_type"),
+                from_json(col("props"),
+                  org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+                  .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+             round(avg("k"), 4).as("avg_k"),
+             max("k").as("max_k"))
+        .orderBy(asc("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+              ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 4)
+                AS avg_k,
+              MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   override val queries: Seq[GraftQuery] = Seq(
-    cubeAgg, groupingSets, approxDistinct, sessionize, userActivity)
+    cubeAgg, groupingSets, approxDistinct, sessionize, userActivity,
+    jsonProps)
 }
