@@ -132,7 +132,41 @@ object AggExtSuite extends QuerySuite {
               MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** As-of join: each purchase enriched with the user's most recent
+    * prior-or-simultaneous click — oracle is DuckDB's native ASOF JOIN.
+    */
+  private val asofJoin = GraftQuery(
+    "q_asof_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+                col("value").as("click_value"))
+      graft.operators.AsOfJoin
+        .backward(purchases, clicks, keys = Seq("user_id"), timeCol = "ts")
+        .select(
+          col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
+          col("value"), col("click_value"))
+        .orderBy(asc("user_id"), asc("event_id"))
+    },
+    Some("""WITH p AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase'),
+            c AS (
+              SELECT user_id, ts, value AS click_value FROM events
+              WHERE event_type = 'click')
+            SELECT p.user_id, p.event_id,
+              strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS pts,
+              p.value, c.click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.user_id, p.event_id"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     cubeAgg, groupingSets, approxDistinct, sessionize, userActivity,
-    jsonProps)
+    jsonProps, asofJoin)
 }
