@@ -20,16 +20,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     val (name, info, builder) = WktPoint.registration
     e.injectFunction((FunctionIdentifier(name), info, builder))
+    e.injectOptimizerRule(_ => FoldWktPoint)
   }
 }
 
 /** Post-hoc registration for sessions built without extensions (e.g. the
-  * driver-owned Verify/Bench sessions).
+  * driver-owned Verify/Bench sessions): function registry + the fold
+  * rule via experimental extraOptimizations.
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val (name, _, builder) = WktPoint.registration
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+    if (!spark.experimental.extraOptimizations.contains(FoldWktPoint))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FoldWktPoint
   }
 }
