@@ -83,6 +83,73 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * centroid (by cosine), fully relationally — vectors × broadcast
+    * centroids → windowed argmin — so assignment scales linearly and
+    * shuffles once on the id.
+    *
+    * Centroids are taken deterministically from the corpus (`vec_id <
+    * nCells`): a stand-in for a k-means fit, which would slot in here
+    * unchanged (the assignment/probe machinery is identical).
+    */
+  def ivfAssign(corpus: DataFrame, nCells: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("ivf_id"),
+                             asDouble(col(vecCol)).as("ivf_v"))
+    val cents = vecs.filter(col("ivf_id") < nCells)
+      .select(col("ivf_id").as("cell"), col("ivf_v").as("cv"))
+    val scored = vecs.crossJoin(broadcast(cents))
+      .select(col("ivf_id"), col("ivf_v"), col("cell"),
+              cosine(col("ivf_v"), col("cv")).as("csim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ivf_id").orderBy(desc("csim"), asc("cell"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("ivf_id"), col("ivf_v"), col("cell"))
+  }
+
+  /** IVF probe: score only corpus vectors in the query's `nProbe`
+    * nearest cells. Probe fraction ≈ nProbe / nCells of the corpus —
+    * the linear-scan cost shrinks accordingly, recall governed by
+    * nProbe (standard IVF trade).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, nCells, idCol, vecCol)
+    val cents = corpus.select(col(idCol).as("cell"),
+                              asDouble(col(vecCol)).as("cv"))
+      .filter(col("cell") < nCells)
+    // query → its nProbe nearest cells
+    val qcells = queries
+      .select(col("query_id"), asDouble(col("query_vec")).as("q"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q"), col("cell"),
+              cosine(col("q"), col("cv")).as("csim"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("csim"), asc("cell"))
+    val probes = qcells.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q"), col("cell"))
+    // score only within probed cells
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("ivf_id") =!= col("query_id"))
+      .select(col("query_id"), col("ivf_id").as("neighbor_id"),
+              cosine(col("ivf_v"), col("q")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 6).as("cos"))
+  }
+
   /** Approximate top-k: score only corpus vectors sharing the query's
     * hyperplane bucket. Recall < 1 by design; bucket count 2^nPlanes
     * controls the probe fraction.

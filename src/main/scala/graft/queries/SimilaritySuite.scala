@@ -113,6 +113,16 @@ object SimilaritySuite extends QuerySuite {
     },
     None)
 
+  // ---- IVF coarse-quantized ANN (approximate; recall vs exact path
+  //      pinned in unit tests) ----------------------------------------
+  private val ivfTopK = GraftQuery(
+    "q_embedding_ivf",
+    (s, d) =>
+      Similarity.ivfTopK(
+        embeddings(s, d), queryVectors(s, d), k = 3, nCells = 16, nProbe = 4)
+        .orderBy(asc("query_id"), asc("rank")),
+    None)
+
   override val queries: Seq[GraftQuery] =
-    Seq(topK, pairCosine, lshTopK, embDedup)
+    Seq(topK, pairCosine, lshTopK, embDedup, ivfTopK)
 }

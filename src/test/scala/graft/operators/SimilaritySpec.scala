@@ -43,6 +43,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head.getLong(2) == 4L && top.head.getDouble(3) == 1.0)
   }
 
+  test("ivfTopK: full probe (nProbe == nCells) equals brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.embeddings(spark, sf)
+    val qs = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, qs, k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val ivfFull = Similarity.ivfTopK(corpus, qs, k = 3, nCells = 8, nProbe = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ivfFull == exact, "full-probe IVF must equal exact search")
+  }
+
+  test("ivfTopK: partial probe has reasonable recall vs exact") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.embeddings(spark, sf)
+    val qs = corpus.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, qs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(corpus, qs, k = 5, nCells = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall collapsed")
+    assert(ivf.size == exact.size, "IVF must still return k per query")
+  }
+
   test("hyperplaneBucket is deterministic and within range") {
     val b1 = vecs.select(Similarity.hyperplaneBucket($"embedding", 8)).as[Int].collect()
     val b2 = vecs.select(Similarity.hyperplaneBucket($"embedding", 8)).as[Int].collect()
