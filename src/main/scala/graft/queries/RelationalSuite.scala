@@ -483,10 +483,43 @@ object RelationalSuite extends QuerySuite {
             GROUP BY c_mktsegment ORDER BY revenue DESC, c_mktsegment"""),
     headline = true)
 
+  // ---- §2.9 extension: window-function breadth — lag/lead/running
+  //      aggregates over a deterministic per-key order ----------------
+  private val windowFuncs = GraftQuery(
+    "q_window_funcs",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          round(sum("o_totalprice").over(cum), 2).as("running_total"),
+          row_number().over(w).as("order_seq"))
+        .filter(col("o_custkey") < 50)
+        .orderBy(asc("o_custkey"), asc("order_seq"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+              LAG(o_totalprice, 1) OVER w AS prev_price,
+              LEAD(o_totalprice, 1) OVER w AS next_price,
+              ROUND(SUM(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS running_total,
+              CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq
+            FROM orders
+            WHERE o_custkey < 50
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, order_seq"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     countByBrand, filterSort, derivedAge, groupAvgHaving, globalKpis,
     aboveAvgSubquery, top5CteJoin, joinInner, joinLeft, joinRight,
     pointLookup, isinFilter, unionSlices, distinctDomains, distinctCount,
     windowRank, rollupAgg, crudSnapshot, upsert, wktExtract,
-    textClean, safeCast, eventsHourly, pricingSummary, segmentRevenue)
+    textClean, safeCast, eventsHourly, pricingSummary, segmentRevenue,
+    windowFuncs)
 }

@@ -38,4 +38,27 @@ object EvCsvSource {
     */
   def readClean(spark: SparkSession, path: String): DataFrame =
     graft.etl.CleanPipeline.clean(readRaw(spark, path))
+
+  /** Variant that CAPTURES malformed rows instead of silently absorbing
+    * them — the auditable form of the reference's per-blob
+    * try/except-and-log (/root/reference/pipeline.py:141-142). Rows
+    * whose raw text could not be parsed land with the original line in
+    * `_corrupt_record`; downstream splits on its nullness to route a
+    * quarantine stream.
+    */
+  def readRawCapturing(spark: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      EvSchema.rawSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "_corrupt_record", org.apache.spark.sql.types.StringType,
+          nullable = true))
+    spark.read
+      .schema(schema)
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(path)
+  }
 }

@@ -51,6 +51,26 @@ class EvCsvSourceSpec extends AnyFunSuite {
     assert(v4.isNullAt(10) && v4.isNullAt(11))  // no WKT match
   }
 
+  test("corrupt-record capture routes unparseable rows to quarantine") {
+    // NOTE: lives outside graft_csv_fixture/ so the glob test's row
+    // count stays isolated
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_csv_corrupt")
+    Files.createDirectories(dir)
+    val p = dir.resolve("corrupt.csv").toString
+    Files.writeString(Paths.get(p), Seq(
+      goodRows.head,
+      "\"unterminated quote,oops,2020"    // malformed line
+    ).mkString("\n"))
+    val df = EvCsvSource.readRawCapturing(spark, p).cache()
+    val bad = df.filter("_corrupt_record IS NOT NULL")
+    val good = df.filter("_corrupt_record IS NULL")
+    assert(bad.count() == 1)
+    assert(bad.collect()(0).getAs[String]("_corrupt_record")
+      .contains("unterminated"))
+    assert(good.count() == 1)
+    df.unpersist()
+  }
+
   test("S2: multi-file glob is one scan, bag-union semantics") {
     writeFixture("part1.csv", goodRows)
     writeFixture("part2.csv", Seq(
