@@ -214,6 +214,30 @@ object Dedup {
     })
   }
 
+  /** Corpus-level SimHash signatures: (id, sig) via explode + 64 sum
+    * aggregates — the codegen shape (same lesson as [[signatures]]: HOF
+    * lambdas are interpreted; explode + aggregate is whole-stage codegen
+    * with map-side partials). Bit values are identical to
+    * [[simhashBits]]; docs with no tokens get the all-zero signature.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val ex = docs.select(
+      col(idCol).as("id"),
+      explode(TextFunctions.distinctTokens(col(textCol))).as("tok"))
+    val aggs = (0 until 64).map(b =>
+      sum(pmod(xxhash64(col("tok"), lit(b)), lit(2)) * 2 - 1).as(s"c$b"))
+    val summed = ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until 64).map(b =>
+          when(col(s"c$b") > 0, 1).otherwise(0).cast("int")): _*).as("sig"))
+    // keep token-less docs (explode drops them) with all-zero signatures
+    val zeros = array(Seq.fill(64)(lit(0)): _*)
+    docs.select(col(idCol).as("id"))
+      .join(summed, Seq("id"), "left")
+      .select(col("id"), coalesce(col("sig"), zeros).as("sig"))
+  }
+
   /** Hamming distance between two equal-length bit arrays. */
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0),
@@ -240,9 +264,7 @@ object Dedup {
       prefixBits: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val withSig = docs.select(
-      col(idCol).as("id"),
-      simhashBits(col(textCol)).as("sig"))
+    val withSig = simhashSignatures(docs, idCol, textCol)
     val withBucket = withSig.withColumn(
       "bucket", slice(col("sig"), 1, prefixBits))
     val l = withBucket.select(col("bucket"), col("id").as("a"), col("sig").as("sa"))

@@ -103,9 +103,9 @@ object DedupSuite extends QuerySuite {
   private val simhashSignatures = GraftQuery(
     "q_simhash_signatures",
     (s, d) =>
-      documents(s, d).select(
-          col("doc_id"),
-          Dedup.bitsToHex(Dedup.simhashBits(col("text"))).as("simhash_hex"))
+      Dedup.simhashSignatures(documents(s, d))
+        .select(col("id").as("doc_id"),
+                Dedup.bitsToHex(col("sig")).as("simhash_hex"))
         .orderBy(asc("doc_id")),
     None)
 

@@ -72,6 +72,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("agg-form simhash signatures equal the per-row HOF form") {
+    val hof = corpus.select($"doc_id".as("id"),
+        Dedup.simhashBits($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val agg = Dedup.simhashSignatures(corpus)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(agg.keySet == hof.keySet)
+    // non-empty docs: identical bits; empty doc 5: all-zero in agg form
+    (1L to 4L).foreach(id => assert(agg(id) == hof(id), s"doc $id"))
+    assert(agg(5L) == Seq.fill(64)(0))
+  }
+
   test("bitsToHex renders 64 bits as 16 hex chars") {
     val hex = corpus.filter($"doc_id" === 1L)
       .select(Dedup.bitsToHex(Dedup.simhashBits($"text"))).as[String].head()
