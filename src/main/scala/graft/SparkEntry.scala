@@ -14,7 +14,7 @@ object SparkEntry {
   /** All registered query suites, in build order. */
   def suites: Seq[QuerySuite] =
     Seq(RelationalSuite, EtlSuite, TextSuite, DedupSuite, SimilaritySuite,
-        AdvancedSuite, AggExtSuite, CurationSuite)
+        AdvancedSuite, AggExtSuite, CurationSuite, AnalyticsExtSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.queries)
 

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Analytics breadth beyond the reference: column profiling, pivot,
+  * exact percentiles, and time-spine gap-fill — the everyday tools of a
+  * data-pipeline engine, each with a DuckDB oracle.
+  */
+object AnalyticsExtSuite extends QuerySuite {
+
+  /** Per-column data profile (the null/distinct/min/max summary every
+    * ingest pipeline runs first). Built as one pass per column batch via
+    * a union of typed aggregates — no driver-side describe().
+    */
+  private val profile = GraftQuery(
+    "q_profile",
+    (s, d) => {
+      val li = lineitem(s, d)
+      def prof(c: String) = li.agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        count(lit(1)).minus(count(col(c))).cast("long").as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+      prof("l_quantity")
+        .unionByName(prof("l_returnflag"))
+        .unionByName(prof("l_partkey"))
+        .orderBy(asc("col_name"))
+    },
+    Some("""SELECT * FROM (
+              SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+                COUNT(*) - COUNT(l_quantity) AS n_nulls,
+                COUNT(DISTINCT l_quantity) AS n_distinct,
+                CAST(MIN(l_quantity) AS VARCHAR) AS min_s,
+                CAST(MAX(l_quantity) AS VARCHAR) AS max_s
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_returnflag', COUNT(*),
+                COUNT(*) - COUNT(l_returnflag),
+                COUNT(DISTINCT l_returnflag),
+                CAST(MIN(l_returnflag) AS VARCHAR),
+                CAST(MAX(l_returnflag) AS VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_partkey', COUNT(*),
+                COUNT(*) - COUNT(l_partkey),
+                COUNT(DISTINCT l_partkey),
+                CAST(MIN(l_partkey) AS VARCHAR),
+                CAST(MAX(l_partkey) AS VARCHAR)
+              FROM lineitem)
+            ORDER BY col_name"""))
+
+  /** Pivot: event counts per user across event types as columns.
+    * Explicit pivot values keep the output schema static (required for
+    * a deterministic gate; also the scalable form — value discovery is
+    * an extra pass).
+    */
+  private val pivot = GraftQuery(
+    "q_pivot",
+    (s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(asc("user_id")),
+    Some("""SELECT user_id,
+              COUNT(*) FILTER (event_type = 'click') AS click,
+              COUNT(*) FILTER (event_type = 'error') AS error,
+              COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+              COUNT(*) FILTER (event_type = 'signup') AS signup,
+              COUNT(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Exact interpolated percentiles (both engines implement the same
+    * linear interpolation at rank p·(n−1)).
+    */
+  private val percentiles = GraftQuery(
+    "q_percentiles",
+    (s, d) =>
+      lineitem(s, d).agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("qty_p90"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99")),
+    Some("""SELECT
+              ROUND(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+              ROUND(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+              ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+              ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+            FROM lineitem"""))
+
+  /** Time-spine gap-fill: a complete daily spine over the orders date
+    * range, zero-filled where no orders exist — the standard resample
+    * primitive for time-series features. The spine is generated
+    * relationally (sequence + explode), not collected.
+    */
+  private val gapFill = GraftQuery(
+    "q_gap_fill",
+    (s, d) => {
+      val o = orders(s, d)
+        .select(col("o_orderdate").cast("date").as("day"),
+                col("o_totalprice"))
+      val daily = o.groupBy("day")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("revenue"))
+      val spine = o.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy(asc("day"))
+        .limit(2000)
+    },
+    Some("""WITH RECURSIVE o AS (
+              SELECT CAST(o_orderdate AS DATE) AS day, o_totalprice
+              FROM orders),
+            daily AS (
+              SELECT day, COUNT(*) AS n_orders,
+                ROUND(SUM(o_totalprice), 2) AS revenue
+              FROM o GROUP BY day),
+            spine(day) AS (
+              SELECT MIN(day) FROM o
+              UNION ALL
+              SELECT day + 1 FROM spine
+              WHERE day < (SELECT MAX(day) FROM o))
+            SELECT strftime(s.day, '%Y-%m-%d') AS day,
+              COALESCE(d.n_orders, 0) AS n_orders,
+              COALESCE(d.revenue, 0.0) AS revenue
+            FROM spine s LEFT JOIN daily d USING (day)
+            ORDER BY day LIMIT 2000"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(profile, pivot, percentiles, gapFill)
+}
