@@ -258,15 +258,27 @@ object Dedup {
   /** SimHash near-dup pairs: bucket by the first `prefixBits` bits (an
     * LSH on the signature prefix), then verify full Hamming distance.
     */
+  /** @param maxBucket skew guard (same rationale as minhash banding):
+    *                   near-identical corpora concentrate signatures
+    *                   into few prefix buckets, and an uncapped bucket
+    *                   self-join is quadratic in bucket size. Oversized
+    *                   buckets are dropped rather than joined.
+    */
   def simhashNearPairs(
       docs: DataFrame,
       maxHamming: Int = 3,
       prefixBits: Int = 16,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBucket: Int = 2000): DataFrame = {
     val withSig = simhashSignatures(docs, idCol, textCol)
-    val withBucket = withSig.withColumn(
-      "bucket", slice(col("sig"), 1, prefixBits))
+    val withBucket = withSig
+      .withColumn("bucket", slice(col("sig"), 1, prefixBits))
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     val l = withBucket.select(col("bucket"), col("id").as("a"), col("sig").as("sa"))
     val r = withBucket.select(col("bucket"), col("id").as("b"), col("sig").as("sb"))
     l.join(r, Seq("bucket"))

@@ -81,6 +81,25 @@ object AdvancedSuite extends QuerySuite {
               8 AS feat_dim
             FROM documents ORDER BY doc_id"""))
 
+  // ---- stream-stream interval join vs batch oracle -------------------
+  private val streamStreamJoin = GraftQuery(
+    "q_stream_stream_join",
+    (s, d) =>
+      EventsStream.runToCompletion(
+        s, EventsStream.purchaseClickJoin(s, d), outputMode = "append")
+        .orderBy(asc("user_id"), asc("purchase_id"), asc("c_ts")),
+    Some("""SELECT p.user_id, p.event_id AS purchase_id,
+              strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS p_ts,
+              p.value AS purchase_value,
+              strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS c_ts,
+              c.value AS click_value
+            FROM events p
+            JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+            ORDER BY p.user_id, purchase_id, c_ts"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(wktPointExpr, streamHourly, multimodal)
+    Seq(wktPointExpr, streamHourly, multimodal, streamStreamJoin)
 }

@@ -65,6 +65,36 @@ object EventsStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks within the preceding hour. Both sides are watermarked so the
+    * join state is bounded — Spark buffers each side only until the
+    * watermark passes the interval, the canonical pattern for
+    * attribution joins over unbounded streams.
+    */
+  def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("value").as("click_value"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(
+      clicks,
+      expr("""p_user = c_user AND
+              c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"""),
+      "inner")
+      .select(
+        col("p_user").as("user_id"), col("purchase_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+        col("purchase_value"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+        col("click_value"))
+  }
+
   /** Run a streaming frame to completion over the data currently present
     * (`availableNow`) into a memory sink, returning the final table as a
     * batch DataFrame. Used by the gate: streaming results must equal the
