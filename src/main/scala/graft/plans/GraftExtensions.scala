@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.WktPoint
+import graft.functions.{RollingFingerprint, WktPoint}
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * custom codegen'd expressions so they are first-class in both the
@@ -18,8 +18,10 @@ import graft.functions.WktPoint
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    val (name, info, builder) = WktPoint.registration
-    e.injectFunction((FunctionIdentifier(name), info, builder))
+    Seq(WktPoint.registration, RollingFingerprint.registration).foreach {
+      case (name, info, builder) =>
+        e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
     e.injectOptimizerRule(_ => FoldWktPoint)
   }
 }
@@ -30,9 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    val (name, _, builder) = WktPoint.registration
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
+    Seq(WktPoint.registration, RollingFingerprint.registration).foreach {
+      case (name, _, builder) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
+    }
     if (!spark.experimental.extraOptimizations.contains(FoldWktPoint))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FoldWktPoint

@@ -130,6 +130,22 @@ object TextSuite extends QuerySuite {
                  AS content_fp
              FROM documents ORDER BY doc_id"""))
 
+  /** Rolling-hash (winnowing-style) fingerprint via the custom codegen
+    * expression — no SQL oracle (the hash is engine-defined); planted
+    * clones pin ground truth: doc and clone share the fingerprint.
+    */
+  private val rollingFp = GraftQuery(
+    "q_rolling_fingerprint",
+    (s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      documents(s, d).select(
+          col("doc_id"),
+          graft.functions.RollingFingerprint
+            .rolling_fingerprint(col("text")).as("rolling_fp"))
+        .orderBy(asc("doc_id"))
+    },
+    None)
+
   override val queries: Seq[GraftQuery] =
-    Seq(textStats, qualityScore, langIdQ, fingerprint)
+    Seq(textStats, qualityScore, langIdQ, fingerprint, rollingFp)
 }
