@@ -67,6 +67,42 @@ object Multimodal {
     }
   }
 
+  /** ==== STUBBED TRANSFORMS over the real plumbing ==== */
+
+  /** "Resize": deterministic fake of an image resize — metadata updated,
+    * payload re-sampled to a target byte budget proportional to the new
+    * area (a real codec swaps in at the marked line). Runs as a
+    * codegen-friendly projection; no shuffle.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val budget = math.max(1, (w * h) / 64)
+    media
+      .withColumn("width", lit(w))
+      .withColumn("height", lit(h))
+      // STUB: real implementation decodes + resamples pixels here
+      .withColumn("content",
+        expr(s"substring(content, 1, $budget)"))
+  }
+
+  /** Frame sampling for `video` rows: each video becomes `nFrames` rows
+    * with a frame index and a per-frame payload slice (STUB for real
+    * frame extraction). posexplode keeps it one distributed pass;
+    * non-video rows pass through with frame 0.
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
+    val videos = media.filter(col("media_type") === "video")
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${nFrames - 1}),
+              i -> substring(content, 1 + i * greatest(1, octet_length(content) div $nFrames),
+                             greatest(1, octet_length(content) div $nFrames)))"""))
+          .as(Seq("frame_no", "content")))
+    val rest = media.filter(col("media_type") =!= "video")
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+              lit(0).as("frame_no"), col("content"))
+    videos.unionByName(rest)
+  }
+
   /** Synthesize a media table from documents: UTF-8 payload bytes plus
     * deterministic metadata. (Stand-in for `spark.read.format("binaryFile")`
     * over an object store at production scale.)

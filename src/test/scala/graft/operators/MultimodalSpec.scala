@@ -39,6 +39,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize updates metadata and bounds payload to the area budget") {
+    val m = Multimodal.synthesizeMedia(docs)
+    val resized = Multimodal.resize(m, 128, 128).collect()
+    resized.foreach { r =>
+      assert(r.getAs[Int]("width") == 128 && r.getAs[Int]("height") == 128)
+      assert(r.getAs[Array[Byte]]("content").length <= 128 * 128 / 64)
+    }
+  }
+
+  test("sampleFrames explodes videos into frame rows, passes others through") {
+    val bigDocs = Seq((2L, "x" * 40)).toDF("doc_id", "text")  // doc 2 -> video
+      .unionByName(docs.filter($"doc_id" =!= 2L))
+    val m = Multimodal.synthesizeMedia(bigDocs)
+    val framed = Multimodal.sampleFrames(m, 4)
+    val videos = framed.filter($"media_type" === "video").collect()
+    assert(videos.length == 4)
+    assert(videos.map(_.getAs[Int]("frame_no")).sorted.toSeq == Seq(0, 1, 2, 3))
+    // frames partition the payload deterministically
+    assert(videos.forall(_.getAs[Array[Byte]]("content").length == 10))
+    val rest = framed.filter($"media_type" =!= "video")
+    assert(rest.count() == 2 &&
+      rest.collect().forall(_.getAs[Int]("frame_no") == 0))
+  }
+
   test("feature vector is a normalized byte histogram (sums to ~1)") {
     val f = Multimodal
       .extractFeatures(spark, Multimodal.synthesizeMedia(docs.filter($"doc_id" === 0L)))
