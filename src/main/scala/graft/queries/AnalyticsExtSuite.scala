@@ -134,6 +134,59 @@ object AnalyticsExtSuite extends QuerySuite {
             FROM spine s LEFT JOIN daily d USING (day)
             ORDER BY day LIMIT 2000"""))
 
+  /** Set-operation completion (§2.7 — the reference only had bag-union):
+    * customers in BUILDING ∩ high-balance, and BUILDING ∖ high-balance.
+    */
+  private val setOps = GraftQuery(
+    "q_set_ops",
+    (s, d) => {
+      val c = customer(s, d)
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val both = building.intersect(rich)
+        .withColumn("set_op", lit("intersect"))
+      val only = building.except(rich)
+        .withColumn("set_op", lit("except"))
+      both.unionByName(only).orderBy(asc("set_op"), asc("c_custkey"))
+    },
+    Some("""SELECT * FROM (
+              SELECT c_custkey, 'intersect' AS set_op FROM (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                INTERSECT
+                SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+              UNION ALL
+              SELECT c_custkey, 'except' AS set_op FROM (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                EXCEPT
+                SELECT c_custkey FROM customer WHERE c_acctbal > 5000))
+            ORDER BY set_op, c_custkey"""))
+
+  /** Scalar string-function breadth: pad, substring, translate, replace,
+    * case mapping, edit distance — all codegen'd built-ins.
+    */
+  private val stringFuncs = GraftQuery(
+    "q_string_funcs",
+    (s, d) =>
+      nation(s, d).select(
+          col("n_nationkey"),
+          lpad(col("n_nationkey").cast("string"), 3, "0").as("key_padded"),
+          substring(col("n_name"), 1, 8).as("name_prefix"),
+          translate(col("n_name"), "_", "-").as("name_dashed"),
+          regexp_replace(col("n_name"), "[0-9]+", "#").as("name_masked"),
+          lower(col("n_name")).as("name_lower"),
+          levenshtein(col("n_name"), lit("NATION_0")).as("dist_from_n0"))
+        .orderBy(asc("n_nationkey")),
+    Some("""SELECT n_nationkey,
+              lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS key_padded,
+              substring(n_name, 1, 8) AS name_prefix,
+              translate(n_name, '_', '-') AS name_dashed,
+              regexp_replace(n_name, '[0-9]+', '#', 'g') AS name_masked,
+              lower(n_name) AS name_lower,
+              CAST(levenshtein(n_name, 'NATION_0') AS INTEGER)
+                AS dist_from_n0
+            FROM nation ORDER BY n_nationkey"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(profile, pivot, percentiles, gapFill)
+    Seq(profile, pivot, percentiles, gapFill, setOps, stringFuncs)
 }
