@@ -199,19 +199,27 @@ object Dedup {
 
   // ---------- SimHash -------------------------------------------------
 
+  /** Per-bit ±1 contribution derived from ONE 64-bit token hash: bit b
+    * of xxhash64(token) — each token is hashed once, not once per bit
+    * (shift distances are Scala literals, so this stays codegen-able).
+    */
+  private def bitContribution(tokenHash: Column, b: Int): Column =
+    shiftright(tokenHash, b).bitwiseAND(lit(1L)) * 2 - 1
+
   /** 64-bit SimHash as an array of 64 bits (0/1). Bit b is the sign of
-    * Σ_tokens (2·((xxhash64(token, b) mod 2)) − 1): a deterministic
+    * Σ_tokens (2·bit_b(xxhash64(token)) − 1): a deterministic
     * random-hyperplane rounding in GF(2). Array form keeps every
-    * operation codegen-able (no variable-distance bit shifts).
+    * operation codegen-able (no variable-distance bit shifts — the 64
+    * positions unroll as Scala-level literals).
     */
   def simhashBits(text: Column): Column = {
     val toks = TextFunctions.distinctTokens(text)
-    transform(sequence(lit(0), lit(63)), b => {
-      val contrib = aggregate(
-        toks, lit(0L),
-        (acc, t) => acc + (pmod(xxhash64(t, b), lit(2)) * 2 - 1))
+    val hashes = transform(toks, t => xxhash64(t))
+    array((0 until 64).map { b =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + bitContribution(h, b))
       when(contrib > 0, lit(1)).otherwise(lit(0)).cast("int")
-    })
+    }: _*)
   }
 
   /** Corpus-level SimHash signatures: (id, sig) via explode + 64 sum
@@ -223,10 +231,12 @@ object Dedup {
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val ex = docs.select(
-      col(idCol).as("id"),
-      explode(TextFunctions.distinctTokens(col(textCol))).as("tok"))
+        col(idCol).as("id"),
+        explode(TextFunctions.distinctTokens(col(textCol))).as("tok"))
+      // hash ONCE per token row; the 64 aggregates below just shift+mask
+      .select(col("id"), xxhash64(col("tok")).as("h"))
     val aggs = (0 until 64).map(b =>
-      sum(pmod(xxhash64(col("tok"), lit(b)), lit(2)) * 2 - 1).as(s"c$b"))
+      sum(bitContribution(col("h"), b)).as(s"c$b"))
     val summed = ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         array((0 until 64).map(b =>
@@ -258,32 +268,63 @@ object Dedup {
   /** SimHash near-dup pairs: bucket by the first `prefixBits` bits (an
     * LSH on the signature prefix), then verify full Hamming distance.
     */
-  /** @param maxBucket skew guard (same rationale as minhash banding):
-    *                   near-identical corpora concentrate signatures
-    *                   into few prefix buckets, and an uncapped bucket
-    *                   self-join is quadratic in bucket size. Oversized
-    *                   buckets are dropped rather than joined.
+  /** Pack a 64-bit array into 4 × 16-bit words (as longs). All shifts
+    * are Scala literals, so packing is a plain codegen'd projection.
+    */
+  def packBits(bits: Column): Column =
+    array((0 until 4).map { w =>
+      (0 until 16).map { j =>
+        when(element_at(bits, w * 16 + j + 1) === 1, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Hamming distance on packed words: Σ bit_count(a XOR b) — codegen'd
+    * (vs an interpreted 64-element zip_with on the bit arrays).
+    */
+  def hammingPacked(wa: Column, wb: Column): Column =
+    (0 until 4).map { i =>
+      bit_count(element_at(wa, i + 1).bitwiseXOR(element_at(wb, i + 1)))
+    }.reduce(_ + _)
+
+  /** SimHash near-dup pairs via 4-band LSH over the packed words.
+    *
+    * Recall: by pigeonhole, any pair at Hamming ≤ 3 agrees EXACTLY on at
+    * least one of the 4 16-bit words, so banding over all words is
+    * complete for the default threshold (a single prefix bucket would
+    * silently miss pairs whose diffs land early).
+    *
+    * @param maxBucket skew guard (same rationale as minhash banding):
+    *                  near-identical corpora concentrate signatures into
+    *                  few buckets, and an uncapped bucket self-join is
+    *                  quadratic in bucket size.
     */
   def simhashNearPairs(
       docs: DataFrame,
       maxHamming: Int = 3,
-      prefixBits: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxBucket: Int = 2000): DataFrame = {
-    val withSig = simhashSignatures(docs, idCol, textCol)
-    val withBucket = withSig
-      .withColumn("bucket", slice(col("sig"), 1, prefixBits))
+    val packed = simhashSignatures(docs, idCol, textCol)
+      .select(col("id"), packBits(col("sig")).as("words"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = packed.select(
+      col("id"), posexplode(col("words")).as(Seq("band", "w")))
+    val guarded = banded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("bucket")))
+          .partitionBy("band", "w")))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-    val l = withBucket.select(col("bucket"), col("id").as("a"), col("sig").as("sa"))
-    val r = withBucket.select(col("bucket"), col("id").as("b"), col("sig").as("sb"))
-    l.join(r, Seq("bucket"))
+    val l = guarded.select(col("band"), col("w"), col("id").as("a"))
+    val r = guarded.select(col("band"), col("w"), col("id").as("b"))
+    val pairs = l.join(r, Seq("band", "w"))
       .filter(col("a") < col("b"))
-      .withColumn("hamming", hamming(col("sa"), col("sb")))
+      .select("a", "b").distinct()
+    pairs
+      .join(packed.select(col("id").as("a"), col("words").as("wa")), "a")
+      .join(packed.select(col("id").as("b"), col("words").as("wb")), "b")
+      .withColumn("hamming", hammingPacked(col("wa"), col("wb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }

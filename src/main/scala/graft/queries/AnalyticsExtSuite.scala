@@ -187,6 +187,29 @@ object AnalyticsExtSuite extends QuerySuite {
                 AS dist_from_n0
             FROM nation ORDER BY n_nationkey"""))
 
+  /** Array aggregation: per-nation customer-segment vocabulary.
+    * collect_list/set ordering is partition-dependent — sort_array makes
+    * the result deterministic (the only gate-safe form).
+    */
+  private val arrayAgg = GraftQuery(
+    "q_array_agg",
+    (s, d) =>
+      customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(
+          sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          count(lit(1)).as("n_customers"))
+        .select(
+          col("c_nationkey"),
+          concat_ws("|", col("segments")).as("segments"),
+          col("n_customers"))
+        .orderBy(asc("c_nationkey")),
+    Some("""SELECT c_nationkey,
+              array_to_string(list_sort(list_distinct(
+                array_agg(c_mktsegment))), '|') AS segments,
+              COUNT(*) AS n_customers
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(profile, pivot, percentiles, gapFill, setOps, stringFuncs)
+    Seq(profile, pivot, percentiles, gapFill, setOps, stringFuncs, arrayAgg)
 }
