@@ -1,10 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc query timer: `runMain graft.TimeQ <sfDir> [namePattern] [reps]`.
+  * Runs each matching SparkEntry query `reps` times in one warm JVM and
+  * prints per-iteration wall seconds — the controlled loop for A/B'ing
+  * operator rewrites without Bench's full suite.
+  */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    val pattern = if (args.length > 1) args(1) else ""
+    val reps = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -12,11 +21,15 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable => println(s"$name ERROR ${e.getMessage.take(80)}") }
-      println(f"$name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s")
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.contains(pattern))
+      .foreach { case (name, fn) =>
+        (1 to reps).foreach { i =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case e: Throwable => println(s"$name ERROR ${e.getMessage.take(80)}") }
+          println(f"$name%-28s it$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+      }
     spark.stop()
   }
 }

@@ -56,12 +56,42 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
-  /** MinHash signature: element s = min over shingles of xxhash64(shingle, s).
-    * Pure per-row expression — no explode, no shuffle.
+  /** Per-token 64-bit hashes; the materialization unit for hash-space
+    * shingling.
     */
-  def minhashSignature(sh: Column, numHashes: Int = 64): Column =
+  def tokenHashes(text: Column): Column =
+    transform(TextFunctions.tokens(text), t => xxhash64(t))
+
+  /** Hash-space k-shingles over a MATERIALIZED token-hash array column:
+    * shingle i = xxhash64(th[i..i+k-1]) — k consecutive longs mixed into
+    * one 64-bit hash. Never builds shingle strings (minhash only ever
+    * consumes the hash; at sf0.1 concat_ws string-building alone cost
+    * ~4 s). Short docs fall back to one whole-array hash.
+    *
+    * CRITICAL: `th` must be a bound column (projected in a previous
+    * select), NOT a nested expression — interpreted HOF lambdas
+    * re-evaluate nested arrays on EVERY element_at access, turning this
+    * O(n·k) expression into O(n²·k) (measured 5× slower than string
+    * shingles when inlined).
+    */
+  def shingleHashesFromTokenHashes(th: Column, k: Int = 3): Column =
+    when(size(th) < k, array(xxhash64(th)))
+      .otherwise(transform(
+        sequence(lit(1), size(th) - (k - 1)),
+        i => xxhash64((0 until k).map(j => element_at(th, i + j)): _*)))
+
+  /** MinHash signature from a shingle-hash array ([[shingleHashes]]):
+    * element s = min over shingles of h1 + s·h2, the classic
+    * double-hashing family (h2 re-derived from h1, long-to-long). Pure
+    * per-row expression — no explode, no shuffle.
+    */
+  def minhashSignature(shHashes: Column, numHashes: Int = 64): Column = {
+    val hp = transform(shHashes, h =>
+      struct(h.as("h1"), xxhash64(h).as("h2")))
     transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(sh, x => xxhash64(x, s))))
+      s => array_min(transform(hp,
+        p => p.getField("h1") + s.cast("long") * p.getField("h2"))))
+  }
 
   /** LSH bands: band i hashes signature rows [i*r, (i+1)*r). Same band
     * hash in any band ⇒ candidate pair.
@@ -83,11 +113,21 @@ object Dedup {
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int, numHashes: Int): DataFrame = {
+    // Two levers vs the naive form, both measured at sf0.1:
+    //  1. shingles live in HASH space ([[shingleHashes]]) — explode longs,
+    //     not concat_ws strings (string building was the single biggest
+    //     stage cost);
+    //  2. double hashing (h1 + s·h2): the per-seed family members are two
+    //     long ops, not a fresh string hash per seed.
     val ex = docs.select(
-      col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleK)).as("sh"))
+        col(idCol).as("id"),
+        tokenHashes(col(textCol)).as("th"))
+      .select(
+        col("id"),
+        explode(shingleHashesFromTokenHashes(col("th"), shingleK)).as("h1"))
+      .select(col("id"), col("h1"), xxhash64(col("h1")).as("h2"))
     val aggs = (0 until numHashes).map(s =>
-      min(xxhash64(col("sh"), lit(s))).as(s"h$s"))
+      min(col("h1") + lit(s.toLong) * col("h2")).as(s"h$s"))
     ex.groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
@@ -138,12 +178,15 @@ object Dedup {
       .select(col("id"),
               explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val guarded = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // Skew guard as a broadcast ANTI-join against the (tiny) set of
+    // oversized buckets — not a count() window, which would total-sort
+    // every banded row by bucket. The agg is map-side partial; the
+    // blacklist is by construction < |corpus|/maxBucket rows.
+    val oversized = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("band", "bh")
+    val guarded = banded.join(broadcast(oversized), Seq("band", "bh"),
+      "left_anti")
     val l = guarded.select(col("band"), col("bh"), col("id").as("a"))
     val r = guarded.select(col("band"), col("bh"), col("id").as("b"))
     l.join(r, Seq("band", "bh"))
@@ -153,9 +196,14 @@ object Dedup {
   }
 
   /** Exact token-set Jaccard similarity between two text columns. */
-  def jaccard(textA: Column, textB: Column): Column = {
-    val ta = TextFunctions.distinctTokens(textA)
-    val tb = TextFunctions.distinctTokens(textB)
+  def jaccard(textA: Column, textB: Column): Column =
+    jaccardTokens(TextFunctions.distinctTokens(textA),
+                  TextFunctions.distinctTokens(textB))
+
+  /** Jaccard over pre-distinct token arrays — use when the token arrays
+    * are materialized per DOC (once) rather than re-tokenized per PAIR.
+    */
+  def jaccardTokens(ta: Column, tb: Column): Column = {
     val i = size(array_intersect(ta, tb)).cast("double")
     val u = size(array_distinct(concat(ta, tb))).cast("double")
     when(u === 0, lit(0.0)).otherwise(i / u)
@@ -189,10 +237,16 @@ object Dedup {
       .withColumn("est", signatureSimilarity(col("sa"), col("sb")))
       .filter(col("est") >= minJaccard - 0.15)
       .select(col("a"), col("b"))
-    val da = docs.select(col(idCol).as("a"), col(textCol).as("ta"))
-    val db = docs.select(col(idCol).as("b"), col(textCol).as("tb"))
+    // tokenize each doc ONCE before the pair join — per-pair jaccard then
+    // reads two materialized arrays instead of re-tokenizing both texts
+    // for every candidate pair
+    val toks = docs.select(
+      col(idCol).as("id"),
+      TextFunctions.distinctTokens(col(textCol)).as("toks"))
+    val da = toks.select(col("id").as("a"), col("toks").as("ta"))
+    val db = toks.select(col("id").as("b"), col("toks").as("tb"))
     estimated.join(da, "a").join(db, "b")
-      .withColumn("jaccard", jaccard(col("ta"), col("tb")))
+      .withColumn("jaccard", jaccardTokens(col("ta"), col("tb")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -310,12 +364,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = packed.select(
       col("id"), posexplode(col("words")).as(Seq("band", "w")))
-    val guarded = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "w")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // Broadcast anti-join skew guard (see lshCandidatePairsFromSigs).
+    val oversized = banded.groupBy("band", "w")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("band", "w")
+    val guarded = banded.join(broadcast(oversized), Seq("band", "w"),
+      "left_anti")
     val l = guarded.select(col("band"), col("w"), col("id").as("a"))
     val r = guarded.select(col("band"), col("w"), col("id").as("b"))
     val pairs = l.join(r, Seq("band", "w"))
