@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered query suites, in build order. */
   def suites: Seq[QuerySuite] =
     Seq(RelationalSuite, EtlSuite, TextSuite, DedupSuite, SimilaritySuite,
-        AdvancedSuite, AggExtSuite, CurationSuite, AnalyticsExtSuite)
+        AdvancedSuite, AggExtSuite, CurationSuite, AnalyticsExtSuite,
+        JoinExtSuite, BehaviorSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.queries)
 

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, repartition-stable sampling operators.
+  *
+  * At 100 TB, sampling must be (a) pushdown-friendly — a pure filter the
+  * scan can evaluate, no shuffle, no RNG state per task — and (b) stable
+  * under retries / repartitioning, which `df.sample()` (per-task RNG
+  * seeded by partition id) is NOT: a lost executor replays a partition
+  * with the same seed but possibly different row order. Keying the
+  * decision off row CONTENT (a key column) makes the sample a pure
+  * function of the data.
+  *
+  * Capability extension beyond the reference (no sampling surface there;
+  * natural for training-data curation subsampling).
+  */
+object Sampling {
+
+  /** Keep rows whose key ≡ r (mod n) — the 1/n systematic sample.
+    * SQL-expressible, so it stays oracle-checkable.
+    */
+  def moduloSample(df: DataFrame, keyCol: String, n: Int, r: Int = 0): DataFrame =
+    df.filter(pmod(col(keyCol), lit(n)) === r)
+
+  /** Keep ~`fraction` of rows by 64-bit key hash — decorrelated from any
+    * arithmetic structure in the key (modulo sampling is biased when keys
+    * carry structure, e.g. only even ids). Deterministic per key.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction")
+    val buckets = 1000000L
+    df.filter(pmod(xxhash64(col(keyCol)), lit(buckets)) <
+      lit((fraction * buckets).toLong))
+  }
+
+  /** Stratified sample: per-stratum fractions via content hash — the
+    * deterministic analogue of `df.stat.sampleBy`. Strata absent from
+    * `fractions` are dropped.
+    */
+  def stratifiedHashSample(df: DataFrame, strataCol: String, keyCol: String,
+                           fractions: Map[String, Double]): DataFrame = {
+    val buckets = 1000000L
+    val threshold: Column = fractions.foldLeft(lit(-1L)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * buckets).toLong)).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(col(keyCol)), lit(buckets)) < threshold)
+  }
+}
