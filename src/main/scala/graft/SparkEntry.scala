@@ -15,7 +15,7 @@ object SparkEntry {
   def suites: Seq[QuerySuite] =
     Seq(RelationalSuite, EtlSuite, TextSuite, DedupSuite, SimilaritySuite,
         AdvancedSuite, AggExtSuite, CurationSuite, AnalyticsExtSuite,
-        JoinExtSuite, BehaviorSuite)
+        JoinExtSuite, BehaviorSuite, TextMiningSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.queries)
 

@@ -251,6 +251,59 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ---------- duplicate clustering ------------------------------------
+
+  /** Connected components over an undirected near-duplicate edge set:
+    * every node gets the MIN node id reachable from it (its cluster id,
+    * i.e. the canonical keeper for dedup-by-cluster).
+    *
+    * Iterative min-label propagation with path compression: each round
+    * takes the min over (own label, neighbors' labels, label's label) —
+    * the label-chase halves chain depth per round (pointer jumping), so
+    * convergence is O(log diameter) rounds, each a shuffle join, not
+    * O(diameter). Labels only decrease, so a stable Σlabel is the exact
+    * fixpoint test (one cheap action per round — the driver never
+    * collects the labels themselves).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 30): DataFrame = {
+    // Iterative plans MUST truncate lineage each round (localCheckpoint,
+    // eager): chaining round N's plan into round N+1 doubles the logical
+    // plan per round — exponential planning cost that OOMs the driver
+    // near ~12 rounds. On a real cluster use spark.checkpoint.dir-backed
+    // checkpoint() for fault tolerance; local mode keeps blocks in the
+    // block manager.
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var prevSum = BigDecimal(-1)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")
+        .groupBy(col("a").as("id")).agg(min("bl").as("nmin"))
+      val chased = labels
+        .join(labels.select(col("id").as("label"),
+                            col("label").as("ll")), Seq("label"), "left")
+        .select(col("id"), least(col("label"), col("ll")).as("label"))
+      val updated = chased
+        .join(neighborMin.withColumnRenamed("nmin", "nl"), Seq("id"), "left")
+        .select(col("id"),
+                least(col("label"), coalesce(col("nl"), col("label")))
+                  .as("label"))
+        .localCheckpoint(true)
+      val s = BigDecimal(updated.agg(sum("label")).head.getLong(0))
+      labels = updated
+      done = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
   // ---------- SimHash -------------------------------------------------
 
   /** Per-bit ±1 contribution derived from ONE 64-bit token hash: bit b

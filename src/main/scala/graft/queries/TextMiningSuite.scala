@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, GroupedTopK}
+
+/** Corpus-mining extensions: TF-IDF term ranking, PII redaction, and
+  * duplicate clustering via connected components — the document-side
+  * operators a training-data pipeline layers on top of dedup/quality
+  * (SURVEY.md §7.5 north star). All oracle-checked, including the
+  * clustering (DuckDB recursive CTE reachability).
+  */
+object TextMiningSuite extends QuerySuite {
+
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+
+  // ---- TF-IDF top-3 terms per document -------------------------------
+  // tf and df are exact integer aggregates; the only float is the final
+  // tf·ln((N+1)/(df+1)), rounded to 6 BEFORE ranking in both engines so
+  // a last-bit libm difference can't flip a rank. Corpus-level stats
+  // (df, N) come from the FULL table; only the reported docs are cut to
+  // doc_id < 100 to keep the gate result bounded.
+  private val tfidf = GraftQuery(
+    "q_tfidf",
+    (s, d) => {
+      val toks = documents(s, d).select(
+        col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") *
+            log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+        .filter(col("doc_id") < 100)
+      GroupedTopK(scored, Seq("doc_id"),
+          Seq(desc("tfidf"), asc("tok")), k = 3)
+        .select("doc_id", "rank", "tok", "tfidf")
+        .orderBy(asc("doc_id"), asc("rank"))
+    },
+    Some(s"""WITH toks AS (
+               SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+             tf AS (
+               SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             dfreq AS (
+               SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+             n AS (SELECT COUNT(*) AS n FROM documents),
+             scored AS (
+               SELECT tf.doc_id, tf.tok,
+                 ROUND(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+               FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+               WHERE tf.doc_id < 100),
+             ranked AS (
+               SELECT doc_id, tok, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, tok) AS rank
+               FROM scored)
+             SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, tfidf
+             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  // ---- PII redaction --------------------------------------------------
+  // The corpus is synthetic, so PII is injected deterministically per
+  // row (email + phone), then scrubbed; the query reports counts and
+  // the redacted text. Patterns are RE2-safe (no backrefs) so the Java
+  // and DuckDB regex engines agree.
+  private val emailPtn = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePtn = "\\+1-555-[0-9]{4}"
+  private val piiRedact = GraftQuery(
+    "q_pii_redact",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+                 lit("@example.com or +1-555-"),
+                 lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+            .as("raw"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("raw"), lit(emailPtn)).as("n_emails"),
+          regexp_count(col("raw"), lit(phonePtn)).as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("raw"), emailPtn, "[EMAIL]"),
+            phonePtn, "[PHONE]").as("redacted"))
+        .orderBy(asc("doc_id")),
+    Some(s"""WITH raw AS (
+               SELECT doc_id,
+                 text || ' contact user' || doc_id ||
+                 '@example.com or +1-555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+               FROM documents)
+             SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '$emailPtn')) AS INTEGER)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(raw, '$phonePtn')) AS INTEGER)
+                 AS n_phones,
+               regexp_replace(regexp_replace(raw, '$emailPtn', '[EMAIL]', 'g'),
+                 '$phonePtn', '[PHONE]', 'g') AS redacted
+             FROM raw ORDER BY doc_id"""))
+
+  // ---- duplicate clustering: connected components over near-dup edges -
+  // Edges = proximity pairs with token-set jaccard > 0.5 (the exact,
+  // oracle-able near-dup relation); clusters = min reachable doc_id via
+  // Dedup.connectedComponents (log-round label propagation). The DuckDB
+  // oracle recomputes reachability with a recursive CTE — a full
+  // cross-engine check of an iterative distributed algorithm.
+  private val dedupClusters = GraftQuery(
+    "q_dedup_clusters",
+    (s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(
+        col("source").as("src_a"), col("doc_id").as("a"),
+        TextFunctions.distinctTokens(col("text")).as("ta"))
+      val cand = toks
+        .withColumn("b", explode(sequence(col("a") + 1, col("a") + 20)))
+      val right = docs.select(
+        col("source").as("src_b"), col("doc_id").as("b"),
+        TextFunctions.distinctTokens(col("text")).as("tb"))
+      val edges = cand.join(right, "b")
+        .filter(col("src_a") === col("src_b"))
+        .filter(Dedup.jaccardTokens(col("ta"), col("tb")) > 0.5)
+        .select(col("a"), col("b"))
+      val nodes = docs.select(col("doc_id").as("id"))
+      Dedup.connectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE t AS (
+               SELECT doc_id, source, list_distinct($toksSql) AS toks
+               FROM documents),
+             pairs AS (
+               SELECT a.doc_id AS a, b.doc_id AS b
+               FROM t a JOIN t b
+                 ON a.source = b.source
+                AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20
+               WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                     CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
+                     > 0.5),
+             edges AS (
+               SELECT a, b FROM pairs
+               UNION ALL SELECT b AS a, a AS b FROM pairs),
+             reach AS (
+               SELECT doc_id AS node, doc_id AS label FROM documents
+               UNION
+               SELECT e.a AS node, r.label
+               FROM edges e JOIN reach r ON e.b = r.node)
+             SELECT node AS doc_id, MIN(label) AS cluster
+             FROM reach GROUP BY node ORDER BY doc_id"""))
+
+  override val queries: Seq[GraftQuery] = Seq(tfidf, piiRedact, dedupClusters)
+}

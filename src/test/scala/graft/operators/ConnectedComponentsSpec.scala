@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("chain, triangle, and singleton resolve to min-id clusters") {
+    // components: {1,2,3,4,5} chain, {10,11,12} triangle, {20} singleton
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("long chain converges within the log-bounded iteration budget") {
+    val n = 200L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges, maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L), "path compression failed to converge")
+  }
+}
