@@ -100,6 +100,20 @@ object AdvancedSuite extends QuerySuite {
              AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
             ORDER BY p.user_id, purchase_id, c_ts"""))
 
+  // ---- stream-static dimension join vs batch oracle ------------------
+  private val streamStaticJoin = GraftQuery(
+    "q_stream_static_join",
+    (s, d) =>
+      EventsStream.runToCompletion(
+        s, EventsStream.segmentDailyCounts(s, d))
+        .orderBy(asc("day"), asc("segment")),
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              c_mktsegment AS segment, COUNT(*) AS cnt,
+              ROUND(SUM(value), 2) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY day, segment ORDER BY day, segment"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(wktPointExpr, streamHourly, multimodal, streamStreamJoin)
+    Seq(wktPointExpr, streamHourly, multimodal, streamStreamJoin,
+        streamStaticJoin)
 }

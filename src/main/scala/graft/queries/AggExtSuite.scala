@@ -166,7 +166,31 @@ object AggExtSuite extends QuerySuite {
               ON p.user_id = c.user_id AND p.ts >= c.ts
             ORDER BY p.user_id, p.event_id"""))
 
+  /** Custom typed Aggregator UDAF ([[graft.functions.WeightedAvg]])
+    * through the gate: used via the Column API and simultaneously
+    * registered for SQL. Rounded to 4 — partial sums merge in shuffle
+    * order, the oracle sums sequentially.
+    */
+  private val weightedAvg = GraftQuery(
+    "q_weighted_avg",
+    (s, d) => {
+      val wavg = udaf(graft.functions.WeightedAvg)
+      s.udf.register("weighted_avg", wavg)
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(wavg(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("wavg_price"),
+          round(sum("l_quantity"), 0).cast("long").as("wsum"))
+        .orderBy(asc("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+              ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+                AS wavg_price,
+              CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS wsum
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     cubeAgg, groupingSets, approxDistinct, sessionize, userActivity,
-    jsonProps, asofJoin)
+    jsonProps, asofJoin, weightedAvg)
 }

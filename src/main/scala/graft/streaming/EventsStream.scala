@@ -95,6 +95,24 @@ object EventsStream {
         col("click_value"))
   }
 
+  /** Stream-static join: the event stream enriched against the (batch)
+    * customer dimension, then daily windowed aggregates per market
+    * segment. The static side re-plans per micro-batch and broadcasts
+    * under the join threshold — no state is kept for it, so the pattern
+    * scales to arbitrarily long streams with a fixed-size dim.
+    */
+  def segmentDailyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(spark, dir).withWatermark("ts", "1 day")
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    ev.join(dim, ev("user_id") === dim("c_custkey"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("c_mktsegment").as("segment"), col("cnt"), col("sum_value"))
+  }
+
   /** Run a streaming frame to completion over the data currently present
     * (`availableNow`) into a memory sink, returning the final table as a
     * batch DataFrame. Used by the gate: streaming results must equal the
