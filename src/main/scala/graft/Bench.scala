@@ -22,13 +22,17 @@ object Bench {
     }
     val results = headlines.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val rows = try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (q.name, (System.nanoTime() - t0) / 1e9, rows)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // row counts catch silently-empty results that a pure timing line
+    // would happily report as "fast"
+    val rs = results.map { case (k, _, n) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
