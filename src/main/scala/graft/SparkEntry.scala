@@ -15,7 +15,7 @@ object SparkEntry {
   def suites: Seq[QuerySuite] =
     Seq(RelationalSuite, EtlSuite, TextSuite, DedupSuite, SimilaritySuite,
         AdvancedSuite, AggExtSuite, CurationSuite, AnalyticsExtSuite,
-        JoinExtSuite, BehaviorSuite, TextMiningSuite)
+        JoinExtSuite, BehaviorSuite, TextMiningSuite, ReshapeStatsSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.queries)
 

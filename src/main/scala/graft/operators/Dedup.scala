@@ -289,17 +289,22 @@ object Dedup {
         .join(labels.select(col("id").as("label"),
                             col("label").as("ll")), Seq("label"), "left")
         .select(col("id"), least(col("label"), col("ll")).as("label"))
+      // EAGER checkpoint, measured choice: a lazy checkpoint would let
+      // two rounds run per job, but the un-materialized previous round
+      // is referenced 3× per round (label self-join + neighbor join) and
+      // DataFrame plans are trees, not DAGs — the subtree recomputes per
+      // reference (~2× slower end-to-end when tried at sf0.1).
       val updated = chased
         .join(neighborMin.withColumnRenamed("nmin", "nl"), Seq("id"), "left")
         .select(col("id"),
                 least(col("label"), coalesce(col("nl"), col("label")))
                   .as("label"))
         .localCheckpoint(true)
-      val s = BigDecimal(updated.agg(sum("label")).head.getLong(0))
       labels = updated
+      i += 1
+      val s = BigDecimal(updated.agg(sum("label")).head.getLong(0))
       done = s == prevSum
       prevSum = s
-      i += 1
     }
     labels
   }
