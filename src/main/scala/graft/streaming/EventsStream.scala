@@ -123,16 +123,28 @@ object EventsStream {
       streamed: DataFrame,
       outputMode: String = "complete"): DataFrame = {
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stateful operators inherit spark.sql.shuffle.partitions as their
+    // state-store partition count, and every micro-batch pays a state
+    // commit PER PARTITION. Gate/bench state is tiny (thousands of
+    // keys), so 32 partitions are pure commit overhead — pin a smaller
+    // count for the stream's lifetime. At real scale this is the same
+    // dial, sized to key cardinality instead.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      q.awaitTermination()
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+      } finally {
+        if (q.isActive) q.stop()
+      }
     } finally {
-      if (q.isActive) q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     spark.table(name)
   }
