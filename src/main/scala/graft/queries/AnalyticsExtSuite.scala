@@ -210,6 +210,46 @@ object AnalyticsExtSuite extends QuerySuite {
               COUNT(*) AS n_customers
             FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  /** Per-group exact interpolated percentiles (distributed exact
+    * percentile = sort-based agg per group; approx_percentile is the
+    * 100 TB path, q_approx_distinct shows the approximate pattern).
+    */
+  private val groupPercentiles = GraftQuery(
+    "q_group_percentiles",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(asc("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+              ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+              COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Calendar rollup: month extraction + revenue aggregation — the
+    * date-dimension breadth the reference's YEAR(CURDATE()) hints at
+    * (musemotion-queries.sql:34), made replay-safe.
+    */
+  private val monthlyRevenue = GraftQuery(
+    "q_monthly_revenue",
+    (s, d) =>
+      orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy(asc("month")),
+    Some("""SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+              COUNT(*) AS n_orders,
+              ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY month ORDER BY month"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(profile, pivot, percentiles, gapFill, setOps, stringFuncs, arrayAgg)
+    Seq(profile, pivot, percentiles, gapFill, setOps, stringFuncs, arrayAgg,
+        groupPercentiles, monthlyRevenue)
 }

@@ -67,4 +67,39 @@ class PlanSpec extends AnyFunSuite {
       s"shipdate filter not pushed:\n$s")
     assert(s.contains("HashAggregate"), s"expected hash agg:\n$s")
   }
+
+  test("q_semi_join: plans as a broadcast LeftSemi with orders filter pushed") {
+    val s = plan("q_semi_join")
+    assert(s.contains("LeftSemi"), s"expected semi join:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"semi side not broadcast:\n$s")
+    assert(s.contains("o_orderpriority"), s"orders filter missing:\n$s")
+  }
+
+  test("q_anti_join: plans as a broadcast LeftAnti") {
+    val s = plan("q_anti_join")
+    assert(s.contains("LeftAnti"), s"expected anti join:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"anti side not broadcast:\n$s")
+  }
+
+  test("q_range_join: band dim broadcast, never a shuffled cross product") {
+    val s = plan("q_range_join")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast nested-loop join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"unexpected cartesian:\n$s")
+  }
+
+  test("q_grouped_topk: rank filter becomes a pre-shuffle WindowGroupLimit") {
+    val s = plan("q_grouped_topk")
+    assert(s.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$s")
+  }
+
+  test("q_sample_mod: deterministic sample is a pure scan-side filter") {
+    val s = plan("q_sample_mod")
+    // pmod isn't a parquet-pushable predicate, but it must stay a plain
+    // Filter over the scan — no shuffle, no join — so sampling cost is
+    // one pass at any scale
+    assert(s.contains("Filter"), s"expected filter:\n$s")
+    assert(!s.contains("Exchange hashpartitioning(l_orderkey"),
+      s"sampling should not shuffle by key:\n$s")
+  }
 }
