@@ -249,7 +249,34 @@ object AnalyticsExtSuite extends QuerySuite {
               ROUND(SUM(o_totalprice), 2) AS revenue
             FROM orders GROUP BY month ORDER BY month"""))
 
+  /** Distribution-rank window breadth: ntile / percent_rank / cume_dist.
+    * The window order carries c_custkey as a tiebreaker — ntile ASSIGNS
+    * tied rows to different buckets by physical order, so without a
+    * total order the result is nondeterministic (and engine-divergent).
+    */
+  private val windowNtile = GraftQuery(
+    "q_window_ntile",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment")
+        .orderBy(asc("c_acctbal"), asc("c_custkey"))
+      customer(s, d).select(
+          col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(asc("c_mktsegment"), asc("c_custkey"))
+    },
+    Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+              CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+              ROUND(percent_rank() OVER w, 6) AS pr,
+              ROUND(cume_dist() OVER w, 6) AS cd
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey)
+            ORDER BY c_mktsegment, c_custkey"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(profile, pivot, percentiles, gapFill, setOps, stringFuncs, arrayAgg,
-        groupPercentiles, monthlyRevenue)
+        groupPercentiles, monthlyRevenue, windowNtile)
 }

@@ -64,6 +64,24 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** JSON-lines export/ingest — the interchange format for document
+    * pipelines (one JSON object per line, splittable, schema-on-read).
+    */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** ORC lake format (columnar alternative to parquet; same pushdown /
+    * pruning behavior through the DSv2 scan).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Read back a partitioned/bucketed location. */
   def readLake(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

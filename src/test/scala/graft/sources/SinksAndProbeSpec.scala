@@ -107,6 +107,34 @@ class SinksAndProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("json-lines and orc round-trip with schema preserved") {
+    val df = Seq((1L, "a b", 1.5), (2L, "c", -0.25))
+      .toDF("id", "text", "score")
+    Sinks.writeJson(df, tmp("docs_json"))
+    val json = Sinks.readJson(spark, tmp("docs_json"))
+    assert(json.select("id", "text", "score").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a b", 1.5), (2L, "c", -0.25)))
+    Sinks.writeOrc(df, tmp("docs_orc"))
+    val orc = Sinks.readOrc(spark, tmp("docs_orc"))
+    // files round-trip name+type; nullability widens on read (file
+    // formats don't persist required-ness)
+    assert(orc.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(orc.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a b", 1.5), (2L, "c", -0.25)))
+  }
+
+  test("orc scan gets pushed filters like parquet") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", col("id") * 2)
+    Sinks.writeOrc(df, tmp("orc_push"))
+    val q = Sinks.readOrc(spark, tmp("orc_push")).filter(col("id") > 500)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"filter not pushed to ORC scan:\n$plan")
+  }
+
   test("salted join equals plain join (exactly-once pairs)") {
     val sf = "/root/testdata/sf0.001"
     val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
