@@ -61,8 +61,15 @@ object TextFunctions {
     * terms, penalized by punctuation density. Deterministic arithmetic
     * only — the exact formula is the contract (oracle re-states it).
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreTokens(tokens(text), text)
+
+  /** [[qualityScore]] over a MATERIALIZED token column — pipelines that
+    * also fingerprint or language-ID the same doc should tokenize once
+    * into a column and feed every consumer (tokens are the dominant
+    * per-doc cost; see SCALING.md §4).
+    */
+  def qualityScoreTokens(toks: Column, text: Column): Column = {
     val lengthTerm = least(lit(1.0), size(toks).cast("double") / lit(100.0))
     val stopTerm = least(lit(1.0), stopwordRatio(toks) * lit(5.0))
     val punctPenalty = punctRatio(text)
@@ -96,5 +103,9 @@ object TextFunctions {
     * collapse).
     */
   def exactFingerprint(text: Column): Column =
-    md5(concat_ws(" ", tokens(text)).cast("binary"))
+    exactFingerprintTokens(tokens(text))
+
+  /** [[exactFingerprint]] over a materialized token column. */
+  def exactFingerprintTokens(toks: Column): Column =
+    md5(concat_ws(" ", toks).cast("binary"))
 }

@@ -37,9 +37,20 @@ object Dedup {
     * uniform hash key), not a window over raw text.
     */
   def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
-    val keepers = exactGroups(docs, idCol, textCol)
-      .select(col("keeper").as(idCol))
+                          textCol: String = "text"): DataFrame =
+    dropDuplicatesByKey(docs,
+      TextFunctions.exactFingerprint(col(textCol)), idCol)
+
+  /** Generic min-id-per-key dedup: keep the min-`idCol` row per value of
+    * `key` (any deterministic expression — a fingerprint, a cluster id
+    * from [[connectedComponents]], a pre-materialized token hash).
+    */
+  def dropDuplicatesByKey(docs: DataFrame, key: Column,
+                          idCol: String): DataFrame = {
+    val keepers = docs
+      .groupBy(key.as("dedup_key"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 

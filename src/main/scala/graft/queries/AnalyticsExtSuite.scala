@@ -276,7 +276,38 @@ object AnalyticsExtSuite extends QuerySuite {
                          ORDER BY c_acctbal, c_custkey)
             ORDER BY c_mktsegment, c_custkey"""))
 
+  /** Sliding-frame window breadth: ROWS-frame moving average and
+    * frame-bounded first/last value (time-series smoothing over the
+    * per-customer order history).
+    */
+  private val movingAvg = GraftQuery(
+    "q_moving_avg",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      val last4 = w.rowsBetween(-3, 0)
+      orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"),
+          round(avg("o_totalprice").over(last4), 4).as("ma4"),
+          round(first("o_totalprice").over(last4), 2).as("frame_first"),
+          round(max("o_totalprice").over(last4), 2).as("frame_max"))
+        .filter(col("o_custkey") < 50)
+        .orderBy(asc("o_custkey"), asc("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+              ROUND(AVG(o_totalprice) OVER w, 4) AS ma4,
+              ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS frame_first,
+              ROUND(MAX(o_totalprice) OVER w, 2) AS frame_max
+            FROM orders
+            WHERE o_custkey < 50
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_orderkey"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(profile, pivot, percentiles, gapFill, setOps, stringFuncs, arrayAgg,
-        groupPercentiles, monthlyRevenue, windowNtile)
+        groupPercentiles, monthlyRevenue, windowNtile, movingAvg)
 }

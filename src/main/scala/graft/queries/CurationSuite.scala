@@ -37,10 +37,15 @@ object CurationSuite extends QuerySuite {
   private val curation = GraftQuery(
     "q_curation_pipeline",
     (s, d) => {
+      // tokenize ONCE into a column; quality scoring and the dedup
+      // fingerprint both consume it (tokens dominate per-doc cost)
       val docs = documents(s, d)
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("quality",
+          TextFunctions.qualityScoreTokens(col("toks"), col("text")))
         .filter(col("quality") >= 0.3)
-      val deduped = Dedup.dropExactDuplicates(docs)
+      val deduped = Dedup.dropDuplicatesByKey(docs,
+        TextFunctions.exactFingerprintTokens(col("toks")), "doc_id")
       val joined = deduped.join(
         embeddings(s, d).select(
           col("vec_id").as("doc_id"),
