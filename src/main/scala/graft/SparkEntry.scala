@@ -15,7 +15,8 @@ object SparkEntry {
   def suites: Seq[QuerySuite] =
     Seq(RelationalSuite, EtlSuite, TextSuite, DedupSuite, SimilaritySuite,
         AdvancedSuite, AggExtSuite, CurationSuite, AnalyticsExtSuite,
-        JoinExtSuite, BehaviorSuite, TextMiningSuite, ReshapeStatsSuite)
+        JoinExtSuite, BehaviorSuite, TextMiningSuite, ReshapeStatsSuite,
+        WarehouseSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.queries)
 
