@@ -150,5 +150,34 @@ object TextMiningSuite extends QuerySuite {
              SELECT node AS doc_id, MIN(label) AS cluster
              FROM reach GROUP BY node ORDER BY doc_id"""))
 
-  override val queries: Seq[GraftQuery] = Seq(tfidf, piiRedact, dedupClusters)
+  // ---- blocked fuzzy matching (entity resolution) --------------------
+  // The classic blocking pattern: resolve on DISTINCT entity names (the
+  // vocabulary, not the rows — bounded regardless of table size), block
+  // by a cheap key (first word) so the quadratic levenshtein verify runs
+  // only within blocks, never across the corpus.
+  private val fuzzyMatch = GraftQuery(
+    "q_fuzzy_match",
+    (s, d) => {
+      val names = part(s, d).select(col("p_name")).distinct()
+        .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      val l = names.select(col("blk"), col("p_name").as("name_a"))
+      val r = names.select(col("blk"), col("p_name").as("name_b"))
+      l.join(r, "blk")
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+        .orderBy(asc("name_a"), asc("name_b"))
+    },
+    Some("""WITH n AS (SELECT DISTINCT p_name FROM part),
+            b AS (
+              SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM n)
+            SELECT a.p_name AS name_a, c.p_name AS name_b,
+              CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS dist
+            FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+            WHERE levenshtein(a.p_name, c.p_name) <= 3
+            ORDER BY name_a, name_b"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch)
 }
