@@ -178,6 +178,52 @@ object TextMiningSuite extends QuerySuite {
             WHERE levenshtein(a.p_name, c.p_name) <= 3
             ORDER BY name_a, name_b"""))
 
+  // ---- cluster-dedup: the corpus after keeping one doc per near-dup
+  //      cluster (pairs → components → min-id keeper) -----------------
+  private val clusterKeep = GraftQuery(
+    "q_dedup_cluster_keep",
+    (s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(
+        col("source").as("src_a"), col("doc_id").as("a"),
+        TextFunctions.distinctTokens(col("text")).as("ta"))
+      val cand = toks
+        .withColumn("b", explode(sequence(col("a") + 1, col("a") + 20)))
+      val right = docs.select(
+        col("source").as("src_b"), col("doc_id").as("b"),
+        TextFunctions.distinctTokens(col("text")).as("tb"))
+      val edges = cand.join(right, "b")
+        .filter(col("src_a") === col("src_b"))
+        .filter(Dedup.jaccardTokens(col("ta"), col("tb")) > 0.5)
+        .select(col("a"), col("b"))
+      val clusters = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      // keeper of each cluster IS its label (min reachable id)
+      clusters.select(col("label").as("doc_id")).distinct()
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE t AS (
+               SELECT doc_id, source, list_distinct($toksSql) AS toks
+               FROM documents),
+             pairs AS (
+               SELECT a.doc_id AS a, b.doc_id AS b
+               FROM t a JOIN t b
+                 ON a.source = b.source
+                AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20
+               WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                     CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
+                     > 0.5),
+             edges AS (
+               SELECT a, b FROM pairs
+               UNION ALL SELECT b AS a, a AS b FROM pairs),
+             reach AS (
+               SELECT doc_id AS node, doc_id AS label FROM documents
+               UNION
+               SELECT e.a AS node, r.label
+               FROM edges e JOIN reach r ON e.b = r.node)
+             SELECT DISTINCT MIN(label) AS doc_id
+             FROM reach GROUP BY node ORDER BY doc_id"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch)
+    Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep)
 }
