@@ -37,7 +37,9 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
     RollingFingerprint.fingerprint(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val helper = RollingFingerprint.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // static forwarder on the companion class, not `.MODULE$` (which is
+    // only a member of the object class and fails Janino compilation)
+    val helper = RollingFingerprint.getClass.getName.stripSuffix("$")
     defineCodeGen(ctx, ev, c => s"$helper.fingerprint($c)")
   }
 

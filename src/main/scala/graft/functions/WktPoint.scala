@@ -35,7 +35,10 @@ case class WktPoint(child: Expression) extends UnaryExpression {
     WktPoint.parse(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val helper = WktPoint.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // static forwarder on the companion class (`WktPoint.MODULE$` is not
+    // a bytecode member — Janino rejects it and Spark silently falls
+    // back to interpreted execution for the whole stage)
+    val helper = WktPoint.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = $helper.parse($c);

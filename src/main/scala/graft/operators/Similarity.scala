@@ -26,15 +26,22 @@ object Similarity {
   def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** Sequential-fold dot product (left-to-right, matching DuckDB's
-    * list_sum order so oracle doubles are bit-identical).
+    * list_sum order so oracle doubles are bit-identical). Backed by the
+    * codegen'd [[graft.functions.VectorDot]] — one compiled loop per
+    * pair instead of an interpreted `aggregate(zip_with(...))` that
+    * allocates a zipped array per row.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.vec_dot(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** Single-pass cosine ([[graft.functions.VectorCosine]]): all three
+    * accumulators in one loop, each its own left-to-right sum —
+    * bit-identical to `dot(a,b)/sqrt(norm2(a)*norm2(b))`.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(norm2(a) * norm2(b))
+    graft.functions.VectorOps.vec_cosine(a, b)
 
   /** Exact top-k neighbors for each query vector.
     *
@@ -65,13 +72,16 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component: plane p, dim j →
     * a value in [-1, 1) derived from xxhash64 — reproducible everywhere,
-    * no RNG state.
+    * no RNG state. Retained as the executable spec for the codegen'd
+    * [[graft.functions.HyperplaneBucket]] (parity pinned in tests).
     */
-  private def planeComponent(p: Int, j: Column): Column =
+  private[graft] def planeComponent(p: Int, j: Column): Column =
     (pmod(xxhash64(lit(p), j), lit(2000)).cast("double") / 1000.0) - 1.0
 
-  /** Sign bucket over `nPlanes` hyperplanes as an int in [0, 2^nPlanes). */
-  def hyperplaneBucket(vec: Column, nPlanes: Int = 8): Column = {
+  /** HOF rendition of the sign bucket — interpreted, allocation-heavy;
+    * kept only as the bit-exact reference for [[hyperplaneBucket]].
+    */
+  private[graft] def hyperplaneBucketHof(vec: Column, nPlanes: Int): Column = {
     val v = asDouble(vec)
     val bits = (0 until nPlanes).map { p =>
       val d = aggregate(
@@ -82,6 +92,12 @@ object Similarity {
     }
     bits.reduce(_ + _)
   }
+
+  /** Sign bucket over `nPlanes` hyperplanes as an int in [0, 2^nPlanes)
+    * — codegen'd single pass ([[graft.functions.HyperplaneBucket]]).
+    */
+  def hyperplaneBucket(vec: Column, nPlanes: Int = 8): Column =
+    graft.functions.VectorOps.hyperplane_bucket(asDouble(vec), nPlanes)
 
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (by cosine), fully relationally — vectors × broadcast
