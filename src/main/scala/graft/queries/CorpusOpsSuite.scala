@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions
+
+/** Corpus curation operators a large-scale training-data pipeline needs
+  * beyond per-doc scoring: repetition signals, benchmark
+  * decontamination, mixture reweighting, n-gram frequency tables, and a
+  * composite Gopher-style rule filter. All DuckDB-oracled.
+  *
+  * Scale notes (100 TB): every query here is a scan → per-row array
+  * program → (at most) one hash aggregation on a well-distributed key
+  * (doc_id, n-gram, source); no windows over unbounded partitions. The
+  * decontamination join deliberately aggregates the *benchmark* side to
+  * a distinct n-gram set first — that side is small (eval suites are
+  * MBs, not TBs) and broadcastable, so the corpus never shuffles.
+  */
+object CorpusOpsSuite extends QuerySuite {
+
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+
+  /** Word n-grams as a BOUND array column (the interpreted-HOF pitfall:
+    * `element_at` on an inline nested expression re-evaluates it per
+    * element — project `toks` first).
+    */
+  private def ngrams(toks: org.apache.spark.sql.Column, n: Int) =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+
+  private def ngramsSql(n: Int) = {
+    val parts = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $parts)"
+  }
+
+  // ---- per-document repetition signal (Gopher-style) -----------------
+  // Fraction of duplicated bigrams: templated/boilerplate docs repeat
+  // phrase structure and score high; prose scores near 0.
+  private val repetition = GraftQuery(
+    "q_repetition",
+    (s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), ngrams(col("toks"), 2).as("bg"))
+      t.select(
+          col("doc_id"),
+          size(col("bg")).as("n_bigrams"),
+          size(array_distinct(col("bg"))).as("n_distinct"))
+        .select(
+          col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_bigrams").cast("double"), 6).as("dup_ratio"))
+        .withColumn("repetitive",
+          when(col("dup_ratio") > 0.2, lit(1)).otherwise(lit(0)))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE len($toksSql) >= 2),
+             bg AS (
+               SELECT doc_id, ${ngramsSql(2)} AS bg FROM t),
+             m AS (
+               SELECT doc_id, len(bg) AS n_bigrams,
+                      len(list_distinct(bg)) AS n_distinct
+               FROM bg)
+             SELECT doc_id, n_bigrams, n_distinct,
+               ROUND(1.0 - CAST(n_distinct AS DOUBLE) /
+                 CAST(n_bigrams AS DOUBLE), 6) AS dup_ratio,
+               CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) /
+                 CAST(n_bigrams AS DOUBLE) > 0.2 THEN 1 ELSE 0
+               END AS repetitive
+             FROM m ORDER BY doc_id"""))
+
+  // ---- benchmark decontamination (word n-gram overlap) --------------------
+  // The benchmark side collapses to a DISTINCT n-gram set before the
+  // join: eval suites are tiny relative to the corpus, so this side
+  // broadcasts and the 100 TB corpus side never shuffles — each corpus
+  // partition probes the broadcast set locally, then one doc_id-keyed
+  // aggregation counts hits.
+  private val decontaminate = GraftQuery(
+    "q_decontaminate",
+    (s, d) => {
+      val grams = documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(ngrams(col("toks"), 4))).as("g"))
+      val bench = grams.filter(col("doc_id") % 25 === 0)
+        .select(col("g")).distinct()
+      grams.filter(col("doc_id") % 25 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("overlap_ngrams"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE len($toksSql) >= 4),
+             grams AS (
+               SELECT doc_id, unnest(list_distinct(${ngramsSql(4)})) AS g
+               FROM t),
+             bench AS (
+               SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0)
+             SELECT doc_id, COUNT(*) AS overlap_ngrams
+             FROM grams JOIN bench USING (g)
+             WHERE doc_id % 25 <> 0
+             GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---- mixture reweighting to a target distribution ------------------
+  // Per-source sampling weight that flattens the corpus to a uniform
+  // mix: weight = target_frac / actual_frac. The aggregate output is
+  // k rows (one per source), so the window over it is driver-trivial;
+  // at scale only the groupBy shuffles, on a low-cardinality key that
+  // partial (map-side) aggregation collapses first.
+  private val domainMix = GraftQuery(
+    "q_domain_mix",
+    (s, d) => {
+      val counts = documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      counts
+        .withColumn("frac",
+          round(col("n") / sum(col("n")).over(w), 6))
+        .withColumn("weight",
+          round((sum(col("n")).over(w) / count(lit(1)).over(w)) / col("n"), 6))
+        .orderBy(asc("source"))
+    },
+    Some("""WITH counts AS (
+              SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+            SELECT source, n,
+              ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS frac,
+              ROUND((SUM(n) OVER () / CAST(COUNT(*) OVER () AS DOUBLE)) / n, 6) AS weight
+            FROM counts ORDER BY source"""))
+
+  // ---- corpus trigram frequency table --------------------------------
+  private val trigramFreq = GraftQuery(
+    "q_trigram_freq",
+    (s, d) => {
+      val t = documents(s, d)
+        .select(TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+      t.select(explode(ngrams(col("toks"), 3)).as("tg"))
+        .groupBy("tg").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tg"))
+        .limit(30)
+    },
+    Some(s"""WITH t AS (
+               SELECT $toksSql AS toks FROM documents
+               WHERE len($toksSql) >= 3),
+             tg AS (
+               SELECT unnest(${ngramsSql(3)}) AS tg FROM t)
+             SELECT tg, COUNT(*) AS n FROM tg
+             GROUP BY tg ORDER BY n DESC, tg LIMIT 30"""))
+
+  // ---- composite Gopher-style rule filter ----------------------------
+  // Word-count bounds + mean-word-length bounds, with the FIRST failing
+  // rule as the drop reason (rule order is part of the contract).
+  private val gopherFilter = GraftQuery(
+    "q_gopher_filter",
+    (s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      t.select(
+          col("doc_id"),
+          size(col("toks")).as("wc"),
+          (length(array_join(col("toks"), "")).cast("double") /
+            size(col("toks")).cast("double")).as("mwl"))
+        .select(
+          col("doc_id"), col("wc"), round(col("mwl"), 6).as("mean_word_len"),
+          when(col("wc") < 15, lit("too_short"))
+            .when(col("wc") > 10000, lit("too_long"))
+            .when(col("mwl") < 2.0, lit("short_words"))
+            .when(col("mwl") > 10.0, lit("long_words"))
+            .otherwise(lit("keep")).as("verdict"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents),
+             m AS (
+               SELECT doc_id, len(toks) AS wc,
+                 CAST(len(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) /
+                   CAST(len(toks) AS DOUBLE) AS mwl
+               FROM t)
+             SELECT doc_id, wc, ROUND(mwl, 6) AS mean_word_len,
+               CASE WHEN wc < 15 THEN 'too_short'
+                    WHEN wc > 10000 THEN 'too_long'
+                    WHEN mwl < 2.0 THEN 'short_words'
+                    WHEN mwl > 10.0 THEN 'long_words'
+                    ELSE 'keep' END AS verdict
+             FROM m ORDER BY doc_id"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter)
+}
