@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions
+
+/** Statistical and scalar-function breadth: bivariate statistics,
+  * argmin/argmax aggregates, value-position window functions, array
+  * function composition, regexp extraction, and calendar arithmetic.
+  * All DuckDB-oracled.
+  *
+  * Scale notes: everything here is scan → partial/final hash agg or a
+  * bounded-partition window (per-customer order counts, not unbounded
+  * time series); codegen'd built-ins throughout, no UDFs.
+  */
+object StatsExtSuite extends QuerySuite {
+
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+
+  // ---- bivariate statistics per group --------------------------------
+  // corr/covar/stddev/var are single-pass partial aggregates (moment
+  // sketches merge associatively) — one shuffle on a 6-value key.
+  // Doubles rounded: parallel vs sequential summation order.
+  private val statsCorr = GraftQuery(
+    "q_stats_corr",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"),
+          round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+          round(var_samp(col("l_quantity")), 6).as("qty_var"))
+        .orderBy(asc("l_returnflag"), asc("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+              ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+              ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
+              ROUND(var_samp(l_quantity), 6) AS qty_var
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---- argmax / argmin aggregates ------------------------------------
+  // (verified tie-free on this data; a production call would tie-break
+  // with max_by(x, struct(y, x)))
+  private val minmaxBy = GraftQuery(
+    "q_minmax_by",
+    (s, d) =>
+      customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(
+          max_by(col("c_name"), col("c_acctbal")).as("richest"),
+          min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+          round(max(col("c_acctbal")), 2).as("max_bal"))
+        .orderBy(asc("c_nationkey")),
+    Some("""SELECT c_nationkey,
+              max_by(c_name, c_acctbal) AS richest,
+              min_by(c_name, c_acctbal) AS poorest,
+              ROUND(MAX(c_acctbal), 2) AS max_bal
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  // ---- value-position window functions (full frame) ------------------
+  private val firstLast = GraftQuery(
+    "q_first_last",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select(
+          col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .distinct()
+        .orderBy(asc("o_custkey"))
+    },
+    Some("""SELECT DISTINCT o_custkey,
+              first_value(o_orderkey) OVER w AS first_order,
+              last_value(o_orderkey) OVER w AS last_order,
+              nth_value(o_orderkey, 2) OVER w AS second_order
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey"""))
+
+  // ---- array function composition ------------------------------------
+  // sort(distinct(...)) then slice: distinct-order is engine-specific in
+  // both engines, so the sort is what makes the compare well-defined.
+  private val arrayFuncs = GraftQuery(
+    "q_array_funcs",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          array_join(slice(array_sort(array_distinct(col("toks"))), 1, 5), " ")
+            .as("first5_sorted"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          when(array_contains(col("toks"), "the"), lit(1)).otherwise(lit(0))
+            .as("has_the"))
+        .orderBy(asc("doc_id")),
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents)
+             SELECT doc_id,
+               array_to_string(list_sort(list_distinct(toks))[1:5], ' ')
+                 AS first5_sorted,
+               len(list_distinct(toks)) AS n_distinct,
+               CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS has_the
+             FROM t ORDER BY doc_id"""))
+
+  // ---- regexp extract-all over semi-structured text ------------------
+  private val extractNumbers = GraftQuery(
+    "q_extract_numbers",
+    (s, d) =>
+      events(s, d)
+        .select(
+          col("event_id"),
+          regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)).as("nums"))
+        .select(
+          col("event_id"),
+          array_join(col("nums"), ",").as("nums_csv"),
+          size(col("nums")).as("n_nums"))
+        .orderBy(asc("event_id")),
+    Some("""SELECT event_id,
+              array_to_string(regexp_extract_all(props, '[0-9]+'), ',') AS nums_csv,
+              len(regexp_extract_all(props, '[0-9]+')) AS n_nums
+            FROM events ORDER BY event_id"""))
+
+  // ---- calendar arithmetic breadth -----------------------------------
+  // dates emitted as formatted strings (physical date types hash
+  // differently across engines' pandas dtypes)
+  private val dateFuncs = GraftQuery(
+    "q_date_funcs",
+    (s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+            .as("plus3m"),
+          quarter(col("o_orderdate")).as("qtr"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate"))
+            .as("days_to_98"))
+        .orderBy(asc("o_orderkey")),
+    Some("""SELECT o_orderkey,
+              strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+              strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+              strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+              CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+              CAST(datediff('day', o_orderdate, DATE '1998-01-01') AS INTEGER)
+                AS days_to_98
+            FROM orders ORDER BY o_orderkey"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(statsCorr, minmaxBy, firstLast, arrayFuncs, extractNumbers, dateFuncs)
+}
