@@ -103,6 +103,36 @@ object JoinExtSuite extends QuerySuite {
               ON p_retailprice >= lo AND p_retailprice < hi
             GROUP BY band ORDER BY band"""))
 
+  // ---- Bloom-pruned fact⋈dim join ------------------------------------
+  // The fact side probes a broadcast Bloom filter of the (selective)
+  // dim keys BEFORE the join shuffle — at 100 TB this cuts the shuffled
+  // fact volume to ~the match rate instead of the whole table. Bloom
+  // filters have no false negatives and the exact join removes false
+  // positives, so the oracle is simply the plain join.
+  private val bloomJoin = GraftQuery(
+    "q_bloom_join",
+    (s, d) => {
+      val urgent = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.operators.BloomJoin.prunedJoin(
+          lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"),
+                                col("l_discount")),
+          urgent, "l_orderkey", "o_orderkey")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM").as("month"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(asc("month"))
+    },
+    Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+              ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+              COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY 1 ORDER BY month"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(semiJoin, antiJoin, groupedTopK, rangeJoin)
+    Seq(semiJoin, antiJoin, groupedTopK, rangeJoin, bloomJoin)
 }
