@@ -190,7 +190,46 @@ object AggExtSuite extends QuerySuite {
               CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS wsum
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // ---- exact median (interpolated) per group -------------------------
+  // Spark `median` = percentile(0.5), continuous interpolation — the
+  // same definition as DuckDB's median/quantile_cont.
+  private val medianAgg = GraftQuery(
+    "q_median_agg",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(median(col("l_quantity")), 6).as("med_qty"),
+          round(median(col("l_extendedprice")), 6).as("med_price"),
+          count(lit(1)).as("n"))
+        .orderBy(asc("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              ROUND(median(l_quantity), 6) AS med_qty,
+              ROUND(median(l_extendedprice), 6) AS med_price,
+              COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---- ordered string aggregation ------------------------------------
+  // Deterministic cross-engine listagg: sort the distinct set before
+  // joining (collect_set order is partition-dependent; the sort is the
+  // contract).
+  private val stringCollect = GraftQuery(
+    "q_string_collect",
+    (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
+        .orderBy(asc("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+              string_agg(DISTINCT o_orderpriority, ','
+                ORDER BY o_orderpriority) AS priorities,
+              COUNT(DISTINCT o_orderpriority) AS n_priorities
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     cubeAgg, groupingSets, approxDistinct, sessionize, userActivity,
-    jsonProps, asofJoin, weightedAvg)
+    jsonProps, asofJoin, weightedAvg, medianAgg, stringCollect)
 }

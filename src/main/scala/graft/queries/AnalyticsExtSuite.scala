@@ -162,6 +162,45 @@ object AnalyticsExtSuite extends QuerySuite {
                 SELECT c_custkey FROM customer WHERE c_acctbal > 5000))
             ORDER BY set_op, c_custkey"""))
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): nation
+    * keys as multisets across two segments; multiplicities are the
+    * point, so the bag result is aggregated to (key, count) for a
+    * deterministic compare.
+    */
+  private val setOpsAll = GraftQuery(
+    "q_set_ops_all",
+    (s, d) => {
+      val c = customer(s, d)
+      val a = c.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_nationkey")
+      val b = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select("c_nationkey")
+      val inter = a.intersectAll(b)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .withColumn("set_op", lit("intersect_all"))
+      val exc = a.exceptAll(b)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .withColumn("set_op", lit("except_all"))
+      inter.unionByName(exc)
+        .select("set_op", "c_nationkey", "n")
+        .orderBy(asc("set_op"), asc("c_nationkey"))
+    },
+    Some("""SELECT * FROM (
+              SELECT 'intersect_all' AS set_op, c_nationkey, COUNT(*) AS n
+              FROM (
+                SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                INTERSECT ALL
+                SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+              GROUP BY c_nationkey
+              UNION ALL
+              SELECT 'except_all' AS set_op, c_nationkey, COUNT(*) AS n
+              FROM (
+                SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                EXCEPT ALL
+                SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+              GROUP BY c_nationkey)
+            ORDER BY set_op, c_nationkey"""))
+
   /** Scalar string-function breadth: pad, substring, translate, replace,
     * case mapping, edit distance — all codegen'd built-ins.
     */
@@ -308,6 +347,6 @@ object AnalyticsExtSuite extends QuerySuite {
             ORDER BY o_custkey, o_orderkey"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(profile, pivot, percentiles, gapFill, setOps, stringFuncs, arrayAgg,
-        groupPercentiles, monthlyRevenue, windowNtile, movingAvg)
+    Seq(profile, pivot, percentiles, gapFill, setOps, setOpsAll, stringFuncs,
+        arrayAgg, groupPercentiles, monthlyRevenue, windowNtile, movingAvg)
 }

@@ -123,6 +123,28 @@ object SimilaritySuite extends QuerySuite {
         .orderBy(asc("query_id"), asc("rank")),
     None)
 
+  // ---- vector norms / normalization (oracle-checked) -----------------
+  // L2 norm via the codegen'd vec_dot; per-element normalization shown
+  // on the first component (the full normalized array is the same
+  // expression under transform).
+  private val vectorNorm = GraftQuery(
+    "q_vector_norm",
+    (s, d) => {
+      val v = Similarity.asDouble(col("embedding"))
+      embeddings(s, d)
+        .select(
+          col("vec_id"),
+          round(sqrt(Similarity.norm2(v)), 6).as("l2"),
+          round(element_at(v, 1) / sqrt(Similarity.norm2(v)), 6).as("u0"))
+        .orderBy(asc("vec_id"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT vec_id,
+              ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2,
+              ROUND(v[1] / sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS u0
+            FROM e ORDER BY vec_id"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(topK, pairCosine, lshTopK, embDedup, ivfTopK)
+    Seq(topK, pairCosine, lshTopK, embDedup, ivfTopK, vectorNorm)
 }
