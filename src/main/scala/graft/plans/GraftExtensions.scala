@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectOptimizerRule(_ => FoldWktPoint)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -42,5 +43,8 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(FoldWktPoint))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FoldWktPoint
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
   }
 }

@@ -166,6 +166,42 @@ object AggExtSuite extends QuerySuite {
               ON p.user_id = c.user_id AND p.ts >= c.ts
             ORDER BY p.user_id, p.event_id"""))
 
+  /** Same as-of semantics through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfJoinExec]]: logical node + strategy + streaming
+    * per-partition merge) — identical DuckDB ASOF JOIN oracle proves
+    * the two implementations agree.
+    */
+  private val asofJoinExec = GraftQuery(
+    "q_asof_join_exec",
+    (s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+                col("value").as("click_value"))
+      graft.plans.AsOfJoinExecOp
+        .backward(purchases, clicks, keys = Seq("user_id"), timeCol = "ts")
+        .select(
+          col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
+          col("value"), col("click_value"))
+        .orderBy(asc("user_id"), asc("event_id"))
+    },
+    Some("""WITH p AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase'),
+            c AS (
+              SELECT user_id, ts, value AS click_value FROM events
+              WHERE event_type = 'click')
+            SELECT p.user_id, p.event_id,
+              strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS pts,
+              p.value, c.click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.user_id, p.event_id"""))
+
   /** Custom typed Aggregator UDAF ([[graft.functions.WeightedAvg]])
     * through the gate: used via the Column API and simultaneously
     * registered for SQL. Rounded to 4 — partial sums merge in shuffle
@@ -231,5 +267,5 @@ object AggExtSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] = Seq(
     cubeAgg, groupingSets, approxDistinct, sessionize, userActivity,
-    jsonProps, asofJoin, weightedAvg, medianAgg, stringCollect)
+    jsonProps, asofJoin, asofJoinExec, weightedAvg, medianAgg, stringCollect)
 }

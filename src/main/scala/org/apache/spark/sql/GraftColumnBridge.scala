@@ -14,4 +14,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a raw LogicalPlan as a DataFrame (classic `Dataset.ofRows`,
+    * also `private[sql]`) — needed to hand a custom logical operator
+    * like [[graft.plans.AsOfJoinPlan]] back to the user as a normal
+    * DataFrame.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
