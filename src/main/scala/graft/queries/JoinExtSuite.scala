@@ -133,6 +133,27 @@ object JoinExtSuite extends QuerySuite {
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY 1 ORDER BY month"""))
 
+  // ---- skew-salted join through the gate ------------------------------
+  // Salting is result-invariant (each original pair appears exactly
+  // once), so the oracle is the plain join aggregate. The gate pins
+  // that invariance on real data; the unit spec pins pair-parity.
+  private val saltedJoin = GraftQuery(
+    "q_salted_join",
+    (s, d) =>
+      graft.operators.SaltedJoin.innerOnKey(
+          lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+          orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+                              col("o_orderstatus")),
+          key = "l_orderkey", saltFactor = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(asc("o_orderstatus")),
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+              ROUND(SUM(l_quantity), 2) AS qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(semiJoin, antiJoin, groupedTopK, rangeJoin, bloomJoin)
+    Seq(semiJoin, antiJoin, groupedTopK, rangeJoin, bloomJoin, saltedJoin)
 }
