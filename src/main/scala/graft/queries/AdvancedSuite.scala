@@ -61,6 +61,30 @@ object AdvancedSuite extends QuerySuite {
               ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
+  // ---- custom streaming state (flatMapGroupsWithState) vs batch ------
+  // Update-mode emissions accumulate in the sink; the final per-user
+  // total is the row with the max (monotone) event count. State carries
+  // raw sums so the result is micro-batch-boundary-invariant, which is
+  // exactly what lets a batch SQL oracle check a stateful stream.
+  private val statefulTotals = GraftQuery(
+    "q_stateful_totals",
+    (s, d) => {
+      import s.implicits._
+      val ev = EventsStream.readEvents(s, d)
+        .select(col("user_id"), col("value"))
+        .as[graft.streaming.StatefulCounter.UserEventIn]
+      val emitted = EventsStream.runToCompletion(
+        s, graft.streaming.StatefulCounter.runningTotals(s, ev).toDF(),
+        outputMode = "update")
+      emitted.groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+             max_by(col("total_value"), col("n_events")).as("total_value"))
+        .orderBy(asc("user_id"))
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_events,
+              ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   // ---- multimodal plumbing -------------------------------------------
   private val multimodal = GraftQuery(
     "q_multimodal_features",
@@ -115,5 +139,5 @@ object AdvancedSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(wktPointExpr, streamHourly, multimodal, streamStreamJoin,
-        streamStaticJoin)
+        streamStaticJoin, statefulTotals)
 }

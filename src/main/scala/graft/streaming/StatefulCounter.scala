@@ -30,9 +30,13 @@ object StatefulCounter {
           var n = prev.n_events
           var sum = prev.total_value
           batch.foreach { e => n += 1; sum += e.value }
-          val next = UserTotals(uid, n, math.rint(sum * 100) / 100)
-          state.update(next)
-          Iterator.single(next)
+          // state carries the RAW sum; only emissions round. Rounding the
+          // state would re-accumulate from rounded values, making totals
+          // depend on micro-batch boundaries (file splits) — the gate
+          // compares against a batch oracle, so results must be
+          // batch-split-invariant.
+          state.update(UserTotals(uid, n, sum))
+          Iterator.single(UserTotals(uid, n, math.rint(sum * 100) / 100))
       }
   }
 }
