@@ -162,6 +162,55 @@ object AnalyticsExtSuite extends QuerySuite {
                 SELECT c_custkey FROM customer WHERE c_acctbal > 5000))
             ORDER BY set_op, c_custkey"""))
 
+  /** Time-based RANGE window frame (interval trailing sum) — a distinct
+    * surface from ROWS frames (`q_moving_avg`): the frame is defined by
+    * the ORDER-BY value, so gaps in the date spine shrink the window.
+    * Exercised through SQL text (the frame syntax is SQL-only).
+    * Daily rev is rounded before the trailing sum, so the outer sum adds
+    * ≤8 already-stable values — deterministic across engines.
+    */
+  private val trailing7d = GraftQuery(
+    "q_trailing_7d",
+    (s, d) => {
+      graft.Tables.registerViews(s, d)
+      s.sql("""WITH daily AS (
+                 SELECT o_orderdate AS d, ROUND(SUM(o_totalprice), 2) AS rev
+                 FROM orders GROUP BY o_orderdate)
+               SELECT date_format(d, 'yyyy-MM-dd') AS day, rev,
+                 ROUND(SUM(rev) OVER (ORDER BY d
+                   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2)
+                   AS rev7
+               FROM daily ORDER BY day""")
+    },
+    Some("""WITH daily AS (
+              SELECT o_orderdate AS d, ROUND(SUM(o_totalprice), 2) AS rev
+              FROM orders GROUP BY o_orderdate)
+            SELECT strftime(d, '%Y-%m-%d') AS day, rev,
+              ROUND(SUM(rev) OVER (ORDER BY d
+                RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2)
+                AS rev7
+            FROM daily ORDER BY day"""))
+
+  /** Discrete percentiles (actual data values, no interpolation) via
+    * ANSI `WITHIN GROUP` syntax — the exact-percentile complement to
+    * `q_percentiles`/`q_group_percentiles` (continuous).
+    */
+  private val percentileDisc = GraftQuery(
+    "q_percentile_disc",
+    (s, d) => {
+      graft.Tables.registerViews(s, d)
+      s.sql("""SELECT l_returnflag,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                   AS p50,
+                 percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)
+                   AS p90
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+              quantile_disc(l_quantity, 0.5) AS p50,
+              quantile_disc(l_quantity, 0.9) AS p90
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): nation
     * keys as multisets across two segments; multiplicities are the
     * point, so the bag result is aggregated to (key, count) for a
@@ -348,5 +397,6 @@ object AnalyticsExtSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(profile, pivot, percentiles, gapFill, setOps, setOpsAll, stringFuncs,
-        arrayAgg, groupPercentiles, monthlyRevenue, windowNtile, movingAvg)
+        arrayAgg, groupPercentiles, monthlyRevenue, windowNtile, movingAvg,
+        trailing7d, percentileDisc)
 }

@@ -93,6 +93,48 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$s")
   }
 
+  test("q_bloom_join: might_contain filter prunes the fact BELOW the join") {
+    val s = plan("q_bloom_join")
+    assert(s.contains("might_contain"), s"no bloom probe in plan:\n$s")
+    // the probe must sit on the scan side: the Filter line containing
+    // might_contain appears after (deeper than) the join node in the
+    // bottom-anchored plan string
+    val joinIdx = s.indexOf("HashJoin")
+    val probeIdx = s.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe not below the join:\n$s")
+  }
+
+  test("q_asof_join_exec: custom AsOfJoinExec node; one exchange per side") {
+    val s = plan("q_asof_join_exec")
+    assert(s.contains("AsOfJoin"), s"custom exec not planned:\n$s")
+    // key-clustered exchanges for both children, and no more than that
+    // (EnsureRequirements must not stack extra shuffles on top)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$s")
+  }
+
+  test("q_repetition / q_decontaminate: documents scan pruned to id+text") {
+    Seq("q_repetition", "q_decontaminate").foreach { q =>
+      val s = plan(q)
+      assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q reads more than doc_id+text:\n$s")
+    }
+  }
+
+  test("q_decontaminate: benchmark gram set broadcast, corpus not shuffled pre-join") {
+    val s = plan("q_decontaminate")
+    assert(s.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$s")
+  }
+
+  test("q_embedding_topk: cosine evaluated inside WholeStageCodegen") {
+    val s = plan("q_embedding_topk")
+    // codegen spans print as "*(n)" in treeString — the Project that
+    // evaluates vec_cosine must carry that prefix (fused, not interpreted)
+    assert("""\*\(\d+\) Project \[[^\n]*vec_cosine""".r.findFirstIn(s).isDefined,
+      s"vec_cosine not inside a codegen span:\n$s")
+  }
+
   test("q_sample_mod: deterministic sample is a pure scan-side filter") {
     val s = plan("q_sample_mod")
     // pmod isn't a parquet-pushable predicate, but it must stay a plain
