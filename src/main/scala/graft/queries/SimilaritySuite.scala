@@ -145,6 +145,49 @@ object SimilaritySuite extends QuerySuite {
               ROUND(v[1] / sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS u0
             FROM e ORDER BY vec_id"""))
 
+  // ---- int8 symmetric quantization (storage-scale embeddings) --------
+  // scale = max|x|/127; q = round(x/scale). Emits the scale, one probe
+  // component, and the max reconstruction error — the standard size/
+  // recall trade when shipping 100 TB of vectors. Arrays stay bound
+  // columns between steps (interpreted-HOF pitfall).
+  private val quantize = GraftQuery(
+    "q_embedding_quantize",
+    (s, d) => {
+      val step1 = embeddings(s, d)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("scale",
+          array_max(transform(col("v"), x => abs(x))) / 127.0)
+      val step2 = step1.withColumn("q",
+        transform(col("v"), x => round(x / col("scale"), 0).cast("int")))
+      // max_err must be computed BEFORE the select that re-aliases
+      // round(scale, 6) AS scale: lateral column alias resolution makes
+      // a later col("scale") in the SAME select bind to the rounded
+      // sibling, not the child column — which silently shifted every
+      // reconstruction error by up to q·5e-7 (caught by the oracle).
+      val step3 = step2.withColumn("err",
+        array_max(zip_with(col("v"), col("q"),
+          (x, qq) => abs(x - qq * col("scale")))))
+      step3.select(
+          col("vec_id"), round(col("scale"), 6).as("scale"),
+          element_at(col("q"), 1).as("q0"),
+          round(col("err"), 6).as("max_err"))
+        .orderBy(asc("vec_id"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            s1 AS (
+              SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+              FROM e),
+            s2 AS (
+              SELECT vec_id, v, scale,
+                list_transform(v, x -> CAST(round(x / scale, 0) AS INTEGER)) AS q
+              FROM s1)
+            SELECT vec_id, ROUND(scale, 6) AS scale, q[1] AS q0,
+              ROUND(list_max(list_transform(list_zip(v, q),
+                p -> abs(p[1] - p[2] * scale))), 6) AS max_err
+            FROM s2 ORDER BY vec_id"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(topK, pairCosine, lshTopK, embDedup, ivfTopK, vectorNorm)
+    Seq(topK, pairCosine, lshTopK, embDedup, ivfTopK, vectorNorm, quantize)
 }
