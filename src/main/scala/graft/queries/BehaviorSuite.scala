@@ -90,5 +90,35 @@ object BehaviorSuite extends QuerySuite {
             FROM lineitem WHERE l_orderkey % 10 = 0
             GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  override val queries: Seq[GraftQuery] = Seq(funnel, retention, sampleMod)
+  // ---- event-type transition matrix ----------------------------------
+  // Per-user next-event bigrams via lead(): the Markov-chain view of
+  // behavior streams. Deterministic order within a user needs a unique
+  // tiebreak — (ts, event_id) — or equal timestamps make lead()
+  // engine-dependent. One window shuffle on user_id, one small agg.
+  private val transitions = GraftQuery(
+    "q_transition_matrix",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      graft.Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+                 col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc("from_type"), asc("to_type"))
+    },
+    Some("""WITH seq AS (
+              SELECT event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS next_type
+              FROM events)
+            SELECT event_type AS from_type, next_type AS to_type,
+              COUNT(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY from_type, to_type"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(funnel, retention, sampleMod, transitions)
 }

@@ -189,6 +189,49 @@ object CorpusOpsSuite extends QuerySuite {
                     ELSE 'keep' END AS verdict
              FROM m ORDER BY doc_id"""))
 
+  // ---- cross-source duplicate detection ------------------------------
+  // Which src0 documents also appear (same content) under another
+  // source — the cross-corpus exact-dedup primitive (md5 keys it
+  // cross-engine; at 100 TB both sides reduce to distinct
+  // (fingerprint, source) pairs before the join, so the join input is
+  // bounded by distinct content, not corpus size).
+  private val crossSourceDup = GraftQuery(
+    "q_cross_source_dup",
+    (s, d) => {
+      // the base corpus has no cross-source exact clones, so plant a
+      // mirrored slice under a synthetic source (same construction the
+      // other dedup gates use for ground truth)
+      val base = documents(s, d).select(col("doc_id"), col("text"), col("source"))
+      val planted = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+                lit("srcX").as("source"))
+      val fp = base.unionByName(planted)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      val others = fp.filter(col("source") =!= "src0")
+        .select(col("fp"), col("source").as("dup_source")).distinct()
+      fp.filter(col("source") === "src0")
+        .join(others, "fp")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("dup_source")).as("n_other_sources"))
+        .orderBy(asc("doc_id"))
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, 'srcX' FROM documents
+              WHERE doc_id % 7 = 0),
+            fp AS (
+              SELECT doc_id, source, md5(text) AS fp FROM corpus),
+            others AS (
+              SELECT DISTINCT fp, source AS dup_source FROM fp
+              WHERE source <> 'src0')
+            SELECT f.doc_id,
+              COUNT(DISTINCT o.dup_source) AS n_other_sources
+            FROM fp f JOIN others o USING (fp)
+            WHERE f.source = 'src0'
+            GROUP BY f.doc_id ORDER BY f.doc_id"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter)
+    Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter,
+        crossSourceDup)
 }
