@@ -105,6 +105,45 @@ object AdvancedSuite extends QuerySuite {
               8 AS feat_dim
             FROM documents ORDER BY doc_id"""))
 
+  // ---- multimodal frame sampling -------------------------------------
+  // Videos explode to nFrames payload slices in one distributed pass
+  // (posexplode); the oracle checks the SHAPE contract arithmetically —
+  // per-frame byte counts are a pure function of payload length, so the
+  // stubbed codec's plumbing (slice positions, lengths, pass-through of
+  // non-video rows) is what's actually being verified.
+  private val frameSample = GraftQuery(
+    "q_frame_sample",
+    (s, d) =>
+      Multimodal.sampleFrames(Multimodal.synthesizeMedia(documents(s, d)), 4)
+        .select(col("doc_id"), col("media_type"), col("frame_no"),
+                octet_length(col("content")).as("frame_bytes"))
+        .orderBy(asc("doc_id"), asc("frame_no")),
+    Some("""WITH m AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                END AS media_type,
+                octet_length(encode(text)) AS len
+              FROM documents),
+            v AS (
+              SELECT doc_id, media_type, len,
+                greatest(1, len // 4) AS fs
+              FROM m WHERE media_type = 'video'),
+            frames AS (
+              SELECT doc_id, media_type, unnest(generate_series(0, 3)) AS f,
+                fs, len FROM v),
+            video_rows AS (
+              SELECT doc_id, media_type, CAST(f AS INTEGER) AS frame_no,
+                CAST(LEAST(fs, len - f * fs) AS INTEGER) AS frame_bytes
+              FROM frames),
+            other_rows AS (
+              SELECT doc_id, media_type, 0 AS frame_no,
+                CAST(len AS INTEGER) AS frame_bytes
+              FROM m WHERE media_type <> 'video')
+            SELECT * FROM video_rows
+            UNION ALL SELECT * FROM other_rows
+            ORDER BY doc_id, frame_no"""))
+
   // ---- stream-stream interval join vs batch oracle -------------------
   private val streamStreamJoin = GraftQuery(
     "q_stream_stream_join",
@@ -138,6 +177,6 @@ object AdvancedSuite extends QuerySuite {
             GROUP BY day, segment ORDER BY day, segment"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(wktPointExpr, streamHourly, multimodal, streamStreamJoin,
-        streamStaticJoin, statefulTotals)
+    Seq(wktPointExpr, streamHourly, multimodal, frameSample,
+        streamStreamJoin, streamStaticJoin, statefulTotals)
 }

@@ -158,6 +158,51 @@ object StatsExtSuite extends QuerySuite {
                 AS days_to_98
             FROM orders ORDER BY o_orderkey"""))
 
+  // ---- math scalar breadth -------------------------------------------
+  private val mathFuncs = GraftQuery(
+    "q_math_funcs",
+    (s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          round(log(col("p_retailprice")), 6).as("ln_price"),
+          round(pow(col("p_size"), 2).cast("double"), 1).as("size_sq"),
+          ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          signum(col("p_size") - 25).cast("int").as("size_sign"),
+          (col("p_partkey") % 7).as("key_mod"))
+        .orderBy(asc("p_partkey")),
+    Some("""SELECT p_partkey,
+              ROUND(ln(p_retailprice), 6) AS ln_price,
+              ROUND(CAST(p_size AS DOUBLE) * p_size, 1) AS size_sq,
+              CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+              CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+              CAST(sign(p_size - 25) AS INTEGER) AS size_sign,
+              p_partkey % 7 AS key_mod
+            FROM part ORDER BY p_partkey"""))
+
+  // ---- null-handling scalar breadth ----------------------------------
+  // nullif/coalesce/greatest/least over a column made sparse on purpose
+  private val nullFuncs = GraftQuery(
+    "q_null_funcs",
+    (s, d) =>
+      customer(s, d)
+        .select(
+          col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"))
+        .select(
+          col("c_custkey"),
+          coalesce(col("seg_or_null"), lit("SUPPRESSED")).as("seg_disp"),
+          when(col("seg_or_null").isNull, 1).otherwise(0).as("was_building"))
+        .orderBy(asc("c_custkey")),
+    Some("""SELECT c_custkey,
+              COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SUPPRESSED')
+                AS seg_disp,
+              CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL
+                THEN 1 ELSE 0 END AS was_building
+            FROM customer ORDER BY c_custkey"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(statsCorr, minmaxBy, firstLast, arrayFuncs, extractNumbers, dateFuncs)
+    Seq(statsCorr, minmaxBy, firstLast, arrayFuncs, extractNumbers, dateFuncs,
+        mathFuncs, nullFuncs)
 }
