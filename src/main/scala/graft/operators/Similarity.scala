@@ -118,11 +118,21 @@ object Similarity {
     val scored = vecs.crossJoin(broadcast(cents))
       .select(col("ivf_id"), col("ivf_v"), col("cell"),
               cosine(col("ivf_v"), col("cv")).as("csim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("ivf_id").orderBy(desc("csim"), asc("cell"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("ivf_id"), col("ivf_v"), col("cell"))
+    // argmax as a max_by AGGREGATE, not a window: all nCells candidate
+    // rows for a vector are partition-local (they came from one input
+    // row through a broadcast join), so partial aggregation collapses
+    // them map-side — the shuffle carries ONE row per vector and there
+    // is no per-partition sort. The window form shuffled nCells rows
+    // per vector and sorted them. Tie-break (max csim, then min cell)
+    // is encoded in the ordering struct, so assignment stays
+    // deterministic.
+    scored
+      .groupBy("ivf_id")
+      .agg(max_by(
+        struct(col("cell"), col("ivf_v")),
+        struct(col("csim"), (-col("cell")).as("neg_cell"))).as("best"))
+      .select(col("ivf_id"), col("best.ivf_v").as("ivf_v"),
+              col("best.cell").as("cell"))
   }
 
   /** IVF probe: score only corpus vectors in the query's `nProbe`
