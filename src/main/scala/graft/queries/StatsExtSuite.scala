@@ -202,7 +202,32 @@ object StatsExtSuite extends QuerySuite {
                 THEN 1 ELSE 0 END AS was_building
             FROM customer ORDER BY c_custkey"""))
 
+  // ---- z-order (Morton) key ------------------------------------------
+  // The data-skipping sort key ([[graft.operators.ZOrder]]) checked
+  // bit-for-bit: same shift/mask formula on both engines. Layout payoff
+  // (per-file bounding boxes on both dims) is pinned in ZOrderSpec.
+  private val zorderKey = GraftQuery(
+    "q_zorder_key",
+    (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 37 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 1024).as("pk"),
+          (col("l_suppkey") % 1024).as("sk"))
+        .withColumn("z",
+          graft.operators.ZOrder.zValue(col("pk"), col("sk"), bits = 10))
+        // (l_orderkey, l_linenumber) is NOT unique in this synthetic
+        // data — order by every projected column for a total order
+        .orderBy(asc("l_orderkey"), asc("l_linenumber"), asc("pk"), asc("sk")),
+    Some(s"""SELECT l_orderkey, l_linenumber,
+               l_partkey % 1024 AS pk, l_suppkey % 1024 AS sk,
+               ${graft.operators.ZOrder.zValueSql(
+                   "(l_partkey % 1024)", "(l_suppkey % 1024)", bits = 10)} AS z
+             FROM lineitem WHERE l_orderkey % 37 = 0
+             ORDER BY l_orderkey, l_linenumber, pk, sk"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(statsCorr, minmaxBy, firstLast, arrayFuncs, extractNumbers, dateFuncs,
-        mathFuncs, nullFuncs)
+        mathFuncs, nullFuncs, zorderKey)
 }
