@@ -87,5 +87,57 @@ object WarehouseSuite extends QuerySuite {
               ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  override val queries: Seq[GraftQuery] = Seq(snapshotDiff, incrementalAgg)
+  // ---- keep-latest-per-key dedup (CDC compaction) --------------------
+  // One max_by aggregate per key: the standard changelog→snapshot
+  // compaction. Tie-break on event_id inside the ordering struct keeps
+  // it deterministic under equal timestamps.
+  private val keepLatest = GraftQuery(
+    "q_keep_latest",
+    (s, d) =>
+      graft.Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(
+          max_by(col("event_id"), struct(col("ts"), col("event_id")))
+            .as("latest_event_id"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"),
+          count(lit(1)).as("n_superseded"))
+        .orderBy(asc("user_id"), asc("event_type")),
+    Some("""WITH g AS (
+              SELECT user_id, event_type,
+                strftime(CAST(MAX(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                  AS latest_ts,
+                COUNT(*) AS n_superseded
+              FROM events GROUP BY user_id, event_type),
+            r AS (
+              SELECT user_id, event_type, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT g.user_id, g.event_type,
+              r.event_id AS latest_event_id, g.latest_ts, g.n_superseded
+            FROM g JOIN r USING (user_id, event_type)
+            WHERE r.rn = 1
+            ORDER BY user_id, event_type"""))
+
+  // ---- percent-of-total (ratio_to_report) ----------------------------
+  private val revenueShare = GraftQuery(
+    "q_revenue_share",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      graft.Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+        .withColumn("share_pct",
+          round(col("rev") * 100.0 / sum(col("rev")).over(w), 4))
+        .orderBy(asc("o_orderpriority"))
+    },
+    Some("""WITH r AS (
+              SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS rev
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority, rev,
+              ROUND(rev * 100.0 / SUM(rev) OVER (), 4) AS share_pct
+            FROM r ORDER BY o_orderpriority"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(snapshotDiff, incrementalAgg, keepLatest, revenueShare)
 }
