@@ -231,7 +231,84 @@ object CorpusOpsSuite extends QuerySuite {
             WHERE f.source = 'src0'
             GROUP BY f.doc_id ORDER BY f.doc_id"""))
 
+  // ---- deterministic train/val/test split ----------------------------
+  // Content-keyed md5 threshold split (≈80/10/10): stable under
+  // re-partitioning, re-runs, and engine choice — the property random()
+  // splits lack. The hex-string comparison is the cross-engine contract
+  // (md5 output is lowercase hex in both engines).
+  private val trainSplit = GraftQuery(
+    "q_train_split",
+    (s, d) => {
+      val h = md5(concat(col("doc_id").cast("string"), lit(":split")))
+      documents(s, d)
+        .withColumn("split",
+          when(h < lit("cc"), "train")        // [0, 0.8) of hex space
+            .when(h < lit("e6"), "val")       // [0.8, 0.9)
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc("lang"), asc("split"))
+    },
+    Some("""WITH s AS (
+              SELECT lang,
+                CASE
+                  WHEN md5(CAST(doc_id AS VARCHAR) || ':split') < 'cc'
+                    THEN 'train'
+                  WHEN md5(CAST(doc_id AS VARCHAR) || ':split') < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+              FROM documents)
+            SELECT lang, split, COUNT(*) AS n FROM s
+            GROUP BY lang, split ORDER BY lang, split"""))
+
+  // ---- data-quality constraint checks --------------------------------
+  // Expectations as one relational pass each: null rate, range
+  // violations, referential orphans (anti-join), duplicate keys. One
+  // row per check, so the gate pins both the counts and the verdicts.
+  private val dqChecks = GraftQuery(
+    "q_dq_checks",
+    (s, d) => {
+      val li = lineitem(s, d)
+      val ord = orders(s, d)
+      val nullQty = li.filter(col("l_quantity").isNull)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("null_quantity").as("check"), col("violations"))
+      val negPrice = li.filter(col("l_extendedprice") <= 0)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("nonpositive_price").as("check"), col("violations"))
+      val orphans = li.join(ord, li("l_orderkey") === ord("o_orderkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orphan_lineitem").as("check"), col("violations"))
+      val dupOrders = ord.groupBy("o_orderkey")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("duplicate_orderkey").as("check"), col("violations"))
+      nullQty.unionByName(negPrice).unionByName(orphans).unionByName(dupOrders)
+        .withColumn("passed", when(col("violations") === 0, 1).otherwise(0))
+        .orderBy(asc("check"))
+    },
+    Some("""SELECT * FROM (
+              SELECT 'null_quantity' AS check, COUNT(*) AS violations,
+                CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS passed
+              FROM lineitem WHERE l_quantity IS NULL
+              UNION ALL
+              SELECT 'nonpositive_price', COUNT(*),
+                CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END
+              FROM lineitem WHERE l_extendedprice <= 0
+              UNION ALL
+              SELECT 'orphan_lineitem', COUNT(*),
+                CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END
+              FROM lineitem l WHERE NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+              UNION ALL
+              SELECT 'duplicate_orderkey', COUNT(*),
+                CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END
+              FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                    HAVING COUNT(*) > 1))
+            ORDER BY "check""""))
+
   override val queries: Seq[GraftQuery] =
     Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter,
-        crossSourceDup)
+        crossSourceDup, trainSplit, dqChecks)
 }
