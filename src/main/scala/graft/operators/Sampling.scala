@@ -35,6 +35,24 @@ object Sampling {
       lit((fraction * buckets).toLong))
   }
 
+  /** Efraimidis–Spirakis weighted-sampling key: rank rows by
+    * u^(1/w) descending and take the top k for a weighted sample
+    * WITHOUT replacement — heavier rows win proportionally more often.
+    *
+    * u is derived from md5 of the key (first 8 hex digits → uniform in
+    * (0,1)), not rand(): the sample is a pure function of content, so
+    * it is retry/repartition-stable AND cross-engine checkable (the
+    * md5→hex→int arithmetic replays exactly in the DuckDB oracle).
+    * At scale, top-k-by-key is a TakeOrdered (per-partition k, then
+    * merge) — no global sort.
+    */
+  def weightedKey(keyCol: Column, weightCol: Column,
+                  salt: String = "ws"): Column = {
+    val hex8 = substring(md5(concat(keyCol.cast("string"), lit(":" + salt))), 1, 8)
+    val u = (conv(hex8, 16, 10).cast("double") + 0.5) / 4294967296.0
+    pow(u, lit(1.0) / weightCol.cast("double"))
+  }
+
   /** Stratified sample: per-stratum fractions via content hash — the
     * deterministic analogue of `df.stat.sampleBy`. Strata absent from
     * `fractions` are dropped.

@@ -308,7 +308,40 @@ object CorpusOpsSuite extends QuerySuite {
                     HAVING COUNT(*) > 1))
             ORDER BY "check""""))
 
+  // ---- weighted sampling (Efraimidis–Spirakis, deterministic) --------
+  // Top-20 documents by u^(1/n_chars): longer docs proportionally more
+  // likely, content-keyed so the draw replays exactly in the oracle.
+  private val weightedSample = GraftQuery(
+    "q_weighted_sample",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("sk"), asc("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          graft.operators.Sampling
+            .weightedKey(col("doc_id"), col("n_chars")).as("sk"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("lang"),
+                round(col("sk"), 6).as("sample_key"))
+        .orderBy(asc("rank"))
+    },
+    Some("""WITH keyed AS (
+              SELECT doc_id, lang,
+                pow((CAST(('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8))
+                      AS BIGINT) + 0.5) / 4294967296.0,
+                    1.0 / CAST(n_chars AS DOUBLE)) AS sk
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, lang, sk,
+                ROW_NUMBER() OVER (ORDER BY sk DESC, doc_id) AS rank
+              FROM keyed)
+            SELECT CAST(rank AS INTEGER) AS rank, doc_id, lang,
+              ROUND(sk, 6) AS sample_key
+            FROM ranked WHERE rank <= 20 ORDER BY rank"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter,
-        crossSourceDup, trainSplit, dqChecks)
+        crossSourceDup, trainSplit, dqChecks, weightedSample)
 }
