@@ -20,19 +20,31 @@ object Bench {
     // (identical binaries have measured 2-3x apart; see BASELINE.md), and
     // min-of-reps is the standard way to estimate the real cost under
     // interference the query didn't cause.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val headlines = SparkEntry.headlines
+    // BenchAction.consumeAll (not .count) so column pruning can't delete the
+    // measured work — a projection-only headline timed via count() measures
+    // a pruned scan, not the projection.
     headlines.foreach { q =>
-      try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try BenchAction.consumeAll(q.fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val results = headlines.map { q =>
-      val timed = (1 to reps).map { _ =>
+    // Timed reps run as ROUND-ROBIN PASSES over the whole suite, not
+    // back-to-back per query: the host shows multi-second CPU-steal bursts
+    // (identical binaries measure 2-3x apart), and consecutive reps of one
+    // query share the same burst. Separated-in-time reps make min-per-query
+    // an estimate of the real cost rather than of the noise window.
+    val times = collection.mutable.Map.empty[String, Double]
+    val rows = collection.mutable.Map.empty[String, Long]
+    (1 to reps).foreach { _ =>
+      headlines.foreach { q =>
         val t0 = System.nanoTime()
-        val rows = try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, rows)
+        val n = try { BenchAction.consumeAll(q.fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        times(q.name) = math.min(times.getOrElse(q.name, Double.MaxValue), sec)
+        rows.getOrElseUpdate(q.name, n)
       }
-      (q.name, timed.map(_._1).min, timed.head._2)
     }
+    val results = headlines.map(q => (q.name, times(q.name), rows(q.name)))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // row counts catch silently-empty results that a pure timing line

@@ -21,12 +21,18 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_ACTION=count reverts to the old pruning-prone action —
+    // only for A/B'ing the action itself.
+    val useCount = sys.env.get("SPARK_GRAFT_ACTION").contains("count")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.contains(pattern))
       .foreach { case (name, fn) =>
         (1 to reps).foreach { i =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case e: Throwable => println(s"$name ERROR ${e.getMessage.take(80)}") }
+          try {
+            val df = fn(spark, sfDir)
+            if (useCount) df.count() else BenchAction.consumeAll(df)
+          } catch { case e: Throwable => println(s"$name ERROR ${e.getMessage.take(80)}") }
           println(f"$name%-28s it$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
         }
       }
