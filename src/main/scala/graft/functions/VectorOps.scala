@@ -147,7 +147,78 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
   override def prettyName: String = "hyperplane_bucket"
 }
 
+/** `sig_agree(a, b)` — fraction of positions where two `array<bigint>`
+  * minhash signatures agree, as one compiled loop per pair. Replaces the
+  * interpreted `aggregate(zip_with(...))` tower in
+  * [[graft.operators.Dedup.signatureSimilarity]]: the estimate filter
+  * runs once per LSH candidate pair, so at scale the per-pair lambda
+  * interpretation and zipped-array allocation were the filter's whole
+  * cost.
+  *
+  * Semantics match the HOF original exactly (parity-tested): positions
+  * beyond the shorter array and null elements count as disagreement
+  * (`zip_with` pads with null; `when(x === y)` is null-false), and the
+  * denominator is `size(a)`.
+  */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_agree requires two array<bigint> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = VectorOps.getClass.getName.stripSuffix("$")
+    val tmp = ctx.freshName("agreeRes")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double $tmp = $mod.sigAgree($a, $b);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sig_agree"
+}
+
 object VectorOps {
+
+  /** Agreeing-position fraction: matches over i < min(|a|,|b|) with both
+    * elements non-null, divided by |a|. Empty `a` ⇒ null (0/0 in the HOF
+    * is a null division).
+    */
+  def sigAgree(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0) return null
+    val n = math.min(na, nb)
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        agree += 1
+      i += 1
+    }
+    java.lang.Double.valueOf(agree.toDouble / na.toDouble)
+  }
 
   /** Null iff lengths differ or an element is null (HOF-sum parity). */
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
@@ -238,6 +309,10 @@ object VectorOps {
     GraftColumnBridge.column(
       HyperplaneBucket(GraftColumnBridge.expression(v), nPlanes))
 
+  def sig_agree(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      SigAgreement(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** (name, info, builder) triples for SQL registration. */
   def registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
@@ -245,5 +320,8 @@ object VectorOps {
       (e: Seq[Expression]) => VectorDot(e(0), e(1))),
     ("vec_cosine",
       new ExpressionInfo(classOf[VectorCosine].getName, "vec_cosine"),
-      (e: Seq[Expression]) => VectorCosine(e(0), e(1))))
+      (e: Seq[Expression]) => VectorCosine(e(0), e(1))),
+    ("sig_agree",
+      new ExpressionInfo(classOf[SigAgreement].getName, "sig_agree"),
+      (e: Seq[Expression]) => SigAgreement(e(0), e(1))))
 }

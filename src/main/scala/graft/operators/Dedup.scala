@@ -24,6 +24,11 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Last [[nearDuplicatePairs]] signature cache, evicted on the next call
+    * so repeated invocations can't accumulate dead persisted plans.
+    */
+  private var lastSigCache: Option[DataFrame] = None
+
   // ---------- exact ---------------------------------------------------
 
   /** One row per distinct content: keeper id (min), duplicate count. */
@@ -147,8 +152,15 @@ object Dedup {
 
   /** Fraction of agreeing signature positions — the MinHash estimator of
     * Jaccard similarity. Cheap pre-verify filter for candidate pairs.
+    * Codegen expression ([[graft.functions.SigAgreement]]): it runs once
+    * per LSH candidate pair, where the interpreted-HOF original paid a
+    * zipped-array allocation plus lambda interpretation per pair.
     */
   def signatureSimilarity(sa: Column, sb: Column): Column =
+    graft.functions.VectorOps.sig_agree(sa, sb)
+
+  /** The HOF original, kept as the parity oracle for [[SigAgreement]]. */
+  private[graft] def signatureSimilarityHof(sa: Column, sb: Column): Column =
     aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(sa).cast("double")
 
@@ -241,6 +253,14 @@ object Dedup {
     // three full passes over the tokenized corpus.
     val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CacheManager pins persisted plans until an explicit unpersist, so a
+    // long-lived session calling this operator repeatedly would accumulate
+    // one dead signature cache per call. Evict the previous call's cache
+    // (safe for laziness: an unpersisted plan recomputes, it doesn't fail).
+    Dedup.synchronized {
+      lastSigCache.foreach(_.unpersist(blocking = false))
+      lastSigCache = Some(sigs)
+    }
     val pairs = lshCandidatePairsFromSigs(sigs, numHashes)
     val estimated = pairs
       .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")

@@ -99,9 +99,41 @@ class VectorOpsSpec extends AnyFunSuite {
         VectorOps.vec_cosine($"a", $"b").as("c"),
         VectorOps.hyperplane_bucket($"a", 8).as("h"),
         expr("rolling_fingerprint(cast(a[0] as string))").as("f"),
+        VectorOps.sig_agree(
+          expr("transform(a, x -> cast(x * 1000 as bigint))"),
+          expr("transform(b, x -> cast(x * 1000 as bigint))")).as("s"),
         expr("wkt_point('POINT (1.5 2.5)')").as("w")).collect()
       assert(r.length == 50)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("sig_agree matches the HOF signature-similarity on long arrays") {
+    import graft.operators.Dedup
+    def sig(seed: Int, n: Int): Array[Long] =
+      Array.tabulate(n)(i => ((seed * 2654435761L + i * 40503L + seed * i * 17L) % 5) - 2)
+    // 5-value range forces plenty of agreeing positions
+    val sigs = (0 until 60).map(i => (sig(i, 64), sig(i + 7, 64))).toDF("a", "b")
+    val rows = sigs.select(
+      Dedup.signatureSimilarity($"a", $"b").as("fast"),
+      Dedup.signatureSimilarityHof($"a", $"b").as("slow")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows.exists(r => r.getDouble(0) > 0 && r.getDouble(0) < 1))
+
+    // mismatched lengths and null elements: HOF parity (pad = disagree,
+    // denominator = size(a))
+    GraftFunctions.register(spark)
+    val edge = spark.sql(
+      """SELECT sig_agree(array(1L,2L,3L,4L), array(1L,2L)) AS longer_a,
+                sig_agree(array(1L,2L), array(1L,2L,3L,4L)) AS longer_b,
+                sig_agree(array(1L, CAST(NULL AS BIGINT)), array(1L,2L)) AS null_el""")
+    val hofEdge = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 2L)),
+      (Array(1L, 2L), Array(1L, 2L, 3L, 4L))).toDF("a", "b")
+      .select(Dedup.signatureSimilarityHof($"a", $"b")).collect()
+    val e = edge.collect()(0)
+    assert(e.getDouble(0) == hofEdge(0).getDouble(0)) // 2/4
+    assert(e.getDouble(1) == hofEdge(1).getDouble(0)) // 2/2
+    assert(e.getDouble(2) == 0.5)
   }
 
   test("interpreted eval matches codegen (helper is shared)") {
