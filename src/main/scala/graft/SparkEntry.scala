@@ -16,7 +16,7 @@ object SparkEntry {
     Seq(RelationalSuite, EtlSuite, TextSuite, DedupSuite, SimilaritySuite,
         AdvancedSuite, AggExtSuite, CurationSuite, AnalyticsExtSuite,
         JoinExtSuite, BehaviorSuite, TextMiningSuite, ReshapeStatsSuite,
-        WarehouseSuite, CorpusOpsSuite, StatsExtSuite)
+        WarehouseSuite, CorpusOpsSuite, StatsExtSuite, SourcesSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.queries)
 

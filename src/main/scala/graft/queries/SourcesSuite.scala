@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.etl.CleanPipeline
+import graft.model.EvSchema
+import graft.sources.XlsxSource
+
+/** S3 through the correctness gate: the committed fixture workbook
+  * (junk metadata rows above the header, shared/inline/rich-text
+  * strings, numeric cells, sparse cell refs, a ragged row, a decoy
+  * second sheet — built by an INDEPENDENT python-stdlib writer,
+  * tools/make_xlsx_fixture.py) is read by [[XlsxSource.readAutoHeader]]
+  * and compared against DuckDB reading the fixture's CSV twin. This is
+  * the reference dashboard's exact flow
+  * (/root/reference/streamlit_app.py:43-77): probe for the header row,
+  * then load the sheet under the detected names.
+  */
+object SourcesSuite extends QuerySuite {
+
+  private val dir = "/root/repo/src/test/resources/fixtures"
+  private val xlsx = s"$dir/musemotion_like.xlsx"
+  private val csvTwin = s"$dir/musemotion_like.csv"
+
+  private val csvRawSql =
+    s"""SELECT "VIN" AS vin, "City" AS city, "Year" AS year, "Make" AS make,
+              "Model" AS model, "Vehicle Type" AS vehicle_type,
+              "Eligibility" AS eligibility,
+              "Electric Range" AS electric_range, "Vehicle ID" AS vehicle_id,
+              "Location" AS location, "Utility" AS utility
+       FROM read_csv('$csvTwin', header=true, all_varchar=true)"""
+
+  /** Raw auto-header read: every cell encoding lands as the same string
+    * DuckDB reads from the CSV twin (missing cells null on both sides).
+    */
+  private val xlsxRead = GraftQuery(
+    "q_xlsx_read",
+    (s, _) =>
+      XlsxSource.readAutoHeader(s, xlsx, EvSchema.sourceColumns)
+        .orderBy(asc("vin")),
+    Some(s"""$csvRawSql ORDER BY vin"""))
+
+  /** The dashboard flow end-to-end: xlsx → header probe → clean
+    * pipeline. Same oracle shape as q_clean_pipeline, with the raw CTE
+    * swapped for the CSV twin.
+    */
+  private val xlsxClean = GraftQuery(
+    "q_xlsx_clean",
+    (s, _) =>
+      CleanPipeline.clean(
+        XlsxSource.readAutoHeader(s, xlsx, EvSchema.sourceColumns))
+        .orderBy(asc("vin")),
+    Some(s"""WITH raw AS ($csvRawSql),
+             norm AS (
+               SELECT
+                 CASE WHEN TRIM(vin) IN ('nan','None','') THEN NULL
+                      ELSE TRIM(vin) END AS vin,
+                 CASE WHEN TRIM(city) IN ('nan','None','') THEN NULL
+                      ELSE TRIM(city) END AS city,
+                 CASE WHEN TRIM(make) IN ('nan','None','') THEN NULL
+                      ELSE TRIM(make) END AS make,
+                 CASE WHEN TRIM(model) IN ('nan','None','') THEN NULL
+                      ELSE TRIM(model) END AS model,
+                 CASE WHEN TRIM(vehicle_type) IN ('nan','None','') THEN NULL
+                      ELSE TRIM(vehicle_type) END AS vehicle_type,
+                 CASE WHEN TRIM(eligibility) IN ('nan','None','') THEN NULL
+                      ELSE TRIM(eligibility) END AS eligibility,
+                 CASE WHEN TRIM(utility) IN ('nan','None','') THEN NULL
+                      ELSE TRIM(utility) END AS utility,
+                 year, electric_range, vehicle_id, location
+               FROM raw)
+             SELECT vin, city,
+               CAST(TRY_CAST(year AS DOUBLE) AS INTEGER) AS year,
+               make, model, vehicle_type, eligibility,
+               CAST(TRY_CAST(electric_range AS DOUBLE) AS INTEGER)
+                 AS electric_range,
+               CAST(TRY_CAST(vehicle_id AS DOUBLE) AS BIGINT) AS vehicle_id,
+               utility,
+               CAST(NULLIF(regexp_extract(location,
+                 'POINT\\s*\\(\\s*([-0-9.]+)\\s+([-0-9.]+)\\s*\\)', 2), '')
+                 AS DOUBLE) AS latitude,
+               CAST(NULLIF(regexp_extract(location,
+                 'POINT\\s*\\(\\s*([-0-9.]+)\\s+([-0-9.]+)\\s*\\)', 1), '')
+                 AS DOUBLE) AS longitude
+             FROM norm
+             WHERE vin IS NOT NULL AND city IS NOT NULL
+             ORDER BY vin"""))
+
+  override val queries: Seq[GraftQuery] = Seq(xlsxRead, xlsxClean)
+}

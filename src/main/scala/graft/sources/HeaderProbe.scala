@@ -34,14 +34,20 @@ object HeaderProbe {
 
   /** Read a CSV whose header row position is unknown: probe, then scan
     * once skipping everything above the detected header.
+    *
+    * The probe opens the file through the scheme-appropriate Hadoop
+    * FileSystem ([[FsUtil.headLines]]) and reads only the first
+    * `maxProbe + 1` lines — works on `hdfs://`/`s3a://` paths where the
+    * engine actually runs, not just the driver's local disk. The full
+    * scan that follows is one extra distributed job (zipWithIndex to
+    * skip pre-header lines by file order) — the price of an unknown
+    * header offset, paid once at ingest.
     */
   def readCsvAutoHeader(spark: SparkSession, path: String,
                         expected: Seq[String],
                         maxProbe: Int = 10): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val probeLines = java.nio.file.Files
-      .lines(java.nio.file.Paths.get(path)).iterator().asScala
-      .take(maxProbe + 1).toSeq
+    val probeLines = FsUtil
+      .headLines(path, maxProbe + 1, spark.sparkContext.hadoopConfiguration)
       .map(_.split(",", -1).toSeq)
     val det = detect(probeLines, expected, maxProbe).getOrElse(
       throw new IllegalArgumentException(

@@ -1,0 +1,284 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.util.zip.ZipInputStream
+
+import scala.collection.mutable
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.SchemaResolver
+
+/** S3 — native .xlsx ingest (SURVEY.md §2.1): the reference's dashboard
+  * reads `musemotion_data.xlsx` directly with a header-probe loop
+  * (/root/reference/streamlit_app.py:43-77); round 3 shipped the probe
+  * algorithm but no Excel reader, leaving the reference's own artifact
+  * unconsumable. This is a dependency-free reader for the xlsx subset
+  * that data tables actually use — OOXML is a zip of XML parts, parsed
+  * here with the JDK's StAX and `java.util.zip`:
+  *
+  *   - `xl/workbook.xml` + `xl/_rels/workbook.xml.rels`: sheet name →
+  *     part resolution;
+  *   - `xl/sharedStrings.xml`: the shared-string table (rich-text runs
+  *     concatenated, as Excel renders them);
+  *   - `xl/worksheets/sheetN.xml`: rows of cells — shared strings
+  *     (`t="s"`), inline strings (`t="inlineStr"`), formula-cached
+  *     strings (`t="str"`), booleans (`t="b"`), errors (`t="e"` → null)
+  *     and numbers (raw `<v>` text, no float re-formatting).
+  *
+  * Every value lands as a STRING (missing cells null): typing is the
+  * clean pipeline's job, same contract as the headerless-CSV path.
+  *
+  * Scale shape: sheet XML is not splittable and xlsx is a small-file
+  * format by construction (XLSX row limit is 2^20), so the unit of
+  * parallelism is the FILE — `read` distributes one workbook per task
+  * via [[FsUtil.expand]] and parses on executors through the
+  * scheme-appropriate Hadoop FileSystem. A workbook's relevant parts
+  * are buffered in memory during the parse (zip entry order is
+  * unspecified, and sharedStrings must precede the sheet scan).
+  */
+object XlsxSource {
+
+  /** One parsed sheet row: 0-based position in the sheet, cells by
+    * 0-based column (missing cells null), padded to the sheet's width.
+    */
+  final case class SheetRow(rowIdx: Int, cells: Vector[String])
+
+  // ---------- zip + xml parsing (pure, executor-safe) -----------------
+
+  private def secureFactory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    f
+  }
+
+  /** Buffer the workbook parts the parse needs. */
+  private def readParts(in: InputStream): Map[String, Array[Byte]] = {
+    val wanted = (n: String) =>
+      n == "xl/workbook.xml" || n == "xl/_rels/workbook.xml.rels" ||
+      n == "xl/sharedStrings.xml" || (n.startsWith("xl/worksheets/") && n.endsWith(".xml"))
+    val zin = new ZipInputStream(in)
+    val out = Map.newBuilder[String, Array[Byte]]
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && wanted(e.getName)) out += e.getName -> zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
+  }
+
+  /** `A1` → 0, `B` part of `B7` → 1, `AA3` → 26 … */
+  private[sources] def colIndex(cellRef: String): Int = {
+    var acc = 0
+    var i = 0
+    while (i < cellRef.length && cellRef.charAt(i).isLetter) {
+      acc = acc * 26 + (cellRef.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  /** sheet name → worksheet part path, in workbook order. */
+  private def sheetTargets(parts: Map[String, Array[Byte]]): Seq[(String, String)] = {
+    val rels = mutable.Map.empty[String, String]
+    parts.get("xl/_rels/workbook.xml.rels").foreach { bytes =>
+      val r = secureFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
+          rels += r.getAttributeValue(null, "Id") ->
+            r.getAttributeValue(null, "Target")
+      }
+      r.close()
+    }
+    val sheets = mutable.ArrayBuffer.empty[(String, String)]
+    parts.get("xl/workbook.xml").foreach { bytes =>
+      val r = secureFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          val name = r.getAttributeValue(null, "name")
+          // r:id lives in the officeDocument relationships namespace; StAX
+          // needs either the ns URI or a scan over the attributes
+          val rid = (0 until r.getAttributeCount)
+            .find(i => r.getAttributeLocalName(i) == "id")
+            .map(r.getAttributeValue)
+          val target = rid.flatMap(rels.get).getOrElse("")
+          if (target.nonEmpty) {
+            val norm =
+              if (target.startsWith("/")) target.stripPrefix("/")
+              else if (target.startsWith("xl/")) target
+              else "xl/" + target
+            sheets += name -> norm
+          }
+        }
+      }
+      r.close()
+    }
+    sheets.toSeq
+  }
+
+  /** Shared-string table; rich-text runs concatenate their `<t>`s. */
+  private def sharedStrings(parts: Map[String, Array[Byte]]): IndexedSeq[String] =
+    parts.get("xl/sharedStrings.xml").map { bytes =>
+      val r = secureFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+      val all = mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var inSi = false
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
+          inSi = true; sb.clear()
+        case XMLStreamConstants.START_ELEMENT if inSi && r.getLocalName == "t" =>
+          sb.append(r.getElementText)
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+          inSi = false; all += sb.toString
+        case _ => ()
+      }
+      r.close()
+      all.toIndexedSeq
+    }.getOrElse(IndexedSeq.empty)
+
+  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String],
+                         maxRows: Int): Vector[SheetRow] = {
+    val r = secureFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    val rows = mutable.ArrayBuffer.empty[(Int, Vector[(Int, String)])]
+    var cells = mutable.ArrayBuffer.empty[(Int, String)]
+    var sheetRow = 0      // 0-based position of the current <row>
+    var nextCol = 0       // advance cursor for cells without an r= ref
+    var cellCol = 0
+    var cellType = "n"
+    // rich-text inline strings carry multiple <t> runs per cell — they
+    // concatenate (Excel's rendering), so buffer until </c>
+    var inlineSb: StringBuilder = null
+    var width = 0
+    var done = false
+    while (r.hasNext && !done) r.next() match {
+      case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "row" =>
+          cells = mutable.ArrayBuffer.empty
+          nextCol = 0
+        case "c" =>
+          val ref = r.getAttributeValue(null, "r")
+          cellCol = if (ref != null) colIndex(ref) else nextCol
+          cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+          inlineSb = if (cellType == "inlineStr") new StringBuilder else null
+          nextCol = cellCol + 1
+        case "v" =>
+          val raw = r.getElementText
+          val v = cellType match {
+            case "s" =>
+              val i = raw.trim.toInt
+              if (i >= 0 && i < shared.length) shared(i) else null
+            case "b" => if (raw.trim == "1") "true" else "false"
+            case "e" => null
+            case _   => raw
+          }
+          if (v != null) cells += cellCol -> v
+        case "t" if inlineSb != null =>
+          inlineSb.append(r.getElementText)
+        case _ => ()
+      }
+      case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+        case "c" =>
+          if (inlineSb != null) { cells += cellCol -> inlineSb.toString; inlineSb = null }
+        case "row" =>
+          rows += sheetRow -> cells.toVector
+          if (cells.nonEmpty) width = math.max(width, cells.map(_._1).max + 1)
+          sheetRow += 1
+          if (rows.length >= maxRows) done = true
+        case _ => ()
+      }
+      case _ => ()
+    }
+    r.close()
+    rows.map { case (idx, cs) =>
+      val arr = Array.fill[String](width)(null)
+      cs.foreach { case (c, v) => if (c < width) arr(c) = v }
+      SheetRow(idx, arr.toVector)
+    }.toVector
+  }
+
+  /** Parse one workbook stream: the named sheet (default: first), at most
+    * `maxRows` rows. Pure function of the bytes — callable on executors.
+    */
+  def parseWorkbook(in: InputStream, sheet: Option[String] = None,
+                    maxRows: Int = Int.MaxValue): Vector[SheetRow] = {
+    val parts = readParts(in)
+    val sheets = sheetTargets(parts)
+    if (sheets.isEmpty)
+      throw new IllegalArgumentException("not an xlsx workbook (no sheets found)")
+    val (name, target) = sheet match {
+      case Some(s) => sheets.find(_._1 == s).getOrElse(
+        throw new IllegalArgumentException(
+          s"sheet '$s' not found; workbook has: ${sheets.map(_._1).mkString(", ")}"))
+      case None => sheets.head
+    }
+    val bytes = parts.getOrElse(target,
+      throw new IllegalArgumentException(s"sheet part $target missing (sheet '$name')"))
+    parseSheet(bytes, sharedStrings(parts), maxRows)
+  }
+
+  // ---------- Spark surface -------------------------------------------
+
+  private val rawSchema = StructType(Seq(
+    StructField("_file", StringType, nullable = false),
+    StructField("_row", IntegerType, nullable = false),
+    StructField("cells", ArrayType(StringType, containsNull = true), nullable = false)))
+
+  /** Raw distributed read: one task per workbook file, rows as
+    * (`_file`, `_row`, `cells array<string>`). `_row` is the 0-based
+    * sheet position — header detection and skipping key off it.
+    */
+  def read(spark: SparkSession, pathGlob: String,
+           sheet: Option[String] = None): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = FsUtil.expand(pathGlob, conf)
+    require(files.nonEmpty, s"no files match $pathGlob")
+    val serConf = new SerializableWritable(conf)
+    val rdd = spark.sparkContext
+      .parallelize(files, files.length)
+      .flatMap { p =>
+        val in = FsUtil.open(p, serConf.value)
+        try parseWorkbook(in, sheet).map(sr => Row(p, sr.rowIdx, sr.cells))
+        finally in.close()
+      }
+    spark.createDataFrame(rdd, rawSchema)
+  }
+
+  /** The dashboard's Excel flow end-to-end: probe the first
+    * `maxProbe + 1` rows of the first file for the header
+    * ([[HeaderProbe.detect]] scoring), then distribute the full read
+    * and impose the detected, normalized names positionally. Multi-file
+    * globs assume a uniform layout (same header row in each file).
+    */
+  def readAutoHeader(spark: SparkSession, pathGlob: String,
+                     expected: Seq[String],
+                     sheet: Option[String] = None,
+                     maxProbe: Int = 10): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = FsUtil.expand(pathGlob, conf)
+    require(files.nonEmpty, s"no files match $pathGlob")
+    val probeIn = FsUtil.open(files.head, conf)
+    val probeRows =
+      try parseWorkbook(probeIn, sheet, maxRows = maxProbe + 1).map(_.cells)
+      finally probeIn.close()
+    val det = HeaderProbe.detect(probeRows.map(_.map(c => if (c == null) "" else c)),
+        expected, maxProbe)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no header row found in first ${maxProbe + 1} rows of ${files.head} " +
+        s"(expected like: ${expected.mkString(", ")})"))
+    val names = det.headers.map(SchemaResolver.normalize)
+      .zipWithIndex.map { case (n, i) => if (n.isEmpty) s"_c$i" else n }
+    val raw = read(spark, pathGlob, sheet)
+    raw.filter(col("_row") > det.headerRow)
+      .select(names.zipWithIndex.map {
+        case (n, i) => col("cells").getItem(i).as(n)
+      }.toIndexedSeq: _*)
+  }
+}

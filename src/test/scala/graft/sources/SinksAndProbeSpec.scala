@@ -97,6 +97,19 @@ class SinksAndProbeSpec extends AnyFunSuite {
     assert(rows(0).getString(1) == "Seattle")
   }
 
+  test("header probe resolves paths through Hadoop FileSystem, not java.nio") {
+    // an explicit scheme URI breaks java.nio.Paths.get but is exactly what
+    // hdfs://- or s3a://-hosted inputs look like; Hadoop's local FS serves it
+    val f = Paths.get(System.getProperty("java.io.tmpdir"), "graft_sinks",
+      "excel_like.csv")
+    val df = HeaderProbe.readCsvAutoHeader(spark, s"file:$f",
+      expected = Seq("vin", "city", "year", "make"))
+    assert(df.count() == 2)
+    // bounded probe: headLines reads n lines even when the file has fewer
+    assert(FsUtil.headLines(s"file:$f", 100,
+      spark.sparkContext.hadoopConfiguration).length == 5)
+  }
+
   test("header probe: hard error when nothing scores") {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_sinks")
     val f = dir.resolve("headerless.csv")
