@@ -23,11 +23,28 @@ object Dashboard {
   /** S8 — memoize the cleaned frame across interactions. */
   def cached(df: DataFrame): DataFrame = df.cache()
 
-  /** A6 — the selectable value domain of one column, sorted, nulls out. */
-  def filterDomain(df: DataFrame, column: String): Seq[String] =
-    df.select(col(column).cast("string")).na.drop()
-      .distinct().orderBy(column)
+  /** A6 — the selectable value domain of one column, sorted, nulls out.
+    *
+    * The collect is bounded BY CONSTRUCTION: a filter widget is only
+    * meaningful for low-cardinality columns (the reference's real
+    * domains are 167 cities / 36 makes), but at 100 TB an unbounded
+    * distinct-collect on the wrong column would OOM the driver, so the
+    * plan fetches `maxDomain + 1` rows and raises — naming the column
+    * and the cap — when the domain exceeds the cap. The limit sits
+    * above the distinct, so Spark stops early instead of sorting a
+    * high-cardinality domain it will refuse anyway.
+    */
+  def filterDomain(df: DataFrame, column: String,
+                   maxDomain: Int = 10000): Seq[String] = {
+    val domain = df.select(col(column).cast("string")).na.drop()
+      .distinct().limit(maxDomain + 1)
       .collect().map(_.getString(0)).toSeq
+    if (domain.length > maxDomain)
+      throw new IllegalArgumentException(
+        s"filterDomain('$column') exceeds $maxDomain distinct values — " +
+        "not a filter-widget column; raise maxDomain explicitly if intended")
+    domain.sorted
+  }
 
   /** F3 — conjunction of IN-list selections; empty selection for a
     * column means "no constraint" (multiselect default-all semantics).

@@ -31,9 +31,10 @@ object Sinks {
 
   /** S4/S5 over JDBC — the reference's actual RDBMS sink, with its
     * chunked-insert tuning (`chunksize=500`, fast_executemany →
-    * `batchsize`; /root/reference/pipeline.py:61,169). No RDBMS exists
-    * in this container, so this is code-complete but exercised only for
-    * plan construction in tests.
+    * `batchsize`; /root/reference/pipeline.py:61,169). Executed in tests
+    * against embedded Derby (the only RDBMS in the container — ships
+    * with Spark): overwrite, append, and the staged vin-upsert all
+    * round-trip through a real database.
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
                 mode: SaveMode = SaveMode.Overwrite,
@@ -42,6 +43,21 @@ object Sinks {
     df.write.mode(mode)
       .option("batchsize", batchSize)
       .jdbc(url, table, properties)
+
+  /** JDBC read-back. Partitioned reads (one task per key range) are the
+    * scale path for big tables: pass `partitionCol` + bounds to fan the
+    * scan out over `numPartitions` concurrent connections.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               properties: java.util.Properties = new java.util.Properties,
+               partitionCol: Option[String] = None,
+               lower: Long = 0, upper: Long = 0,
+               numPartitions: Int = 1): DataFrame =
+    partitionCol match {
+      case Some(c) =>
+        spark.read.jdbc(url, table, c, lower, upper, numPartitions, properties)
+      case None => spark.read.jdbc(url, table, properties)
+    }
 
   /** Date-partitioned lake layout: `path/date_col=YYYY-MM-DD/part-*`.
     * At scale this is what makes time-range queries prune to a sliver

@@ -19,6 +19,17 @@ class DashboardSpec extends AnyFunSuite {
     assert(Dashboard.filterDomain(ev, "year") == Seq("2019", "2020", "2021"))
   }
 
+  test("filterDomain refuses high-cardinality columns instead of OOMing the driver") {
+    val wide = spark.range(0, 5000).toDF("id")
+      .selectExpr("cast(id as string) AS k")
+    val e = intercept[IllegalArgumentException] {
+      Dashboard.filterDomain(wide, "k", maxDomain = 100)
+    }
+    assert(e.getMessage.contains("k") && e.getMessage.contains("100"))
+    // at exactly the cap it still works
+    assert(Dashboard.filterDomain(wide, "k", maxDomain = 5000).length == 5000)
+  }
+
   test("selections: conjunctive isin, empty list means no constraint") {
     val sel = Map("city" -> Seq("Seattle"), "make" -> Seq[String]())
     val got = Dashboard.applySelections(ev, sel)

@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.etl.Upsert
+
+/** The reference's production sink is an RDBMS
+  * (/root/reference/pipeline.py:163-170; staged upsert at
+  * /root/reference/load_musemotion_to_db.py:91-143). Round 3 only
+  * constructed the writer plan; this spec EXECUTES the JDBC path
+  * against embedded Derby (in-memory database, ships with Spark):
+  * snapshot overwrite, append-after-DDL, partitioned read-back, and
+  * the staged vin-upsert — write base, stage updates as their own
+  * table, merge, write back, read back.
+  */
+class JdbcDerbySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // derby.log lands in derby.system.home; keep it out of the repo
+  System.setProperty("derby.system.home",
+    System.getProperty("java.io.tmpdir") + "/graft_derby")
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val props = new Properties()
+
+  test("S4 executed: overwrite creates and replaces a real table") {
+    val v1 = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    Sinks.writeJdbc(v1, url, "snap", SaveMode.Overwrite, properties = props)
+    assert(Sinks.readJdbc(spark, url, "snap", props).count() === 3)
+    val v2 = Seq((9, "z")).toDF("k", "v")
+    Sinks.writeJdbc(v2, url, "snap", SaveMode.Overwrite, properties = props)
+    val back = Sinks.readJdbc(spark, url, "snap", props).collect()
+    assert(back.length === 1 && back(0).getInt(0) === 9)
+  }
+
+  test("S5 executed: append lands rows without touching existing ones") {
+    val base = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Sinks.writeJdbc(base, url, "appends", SaveMode.Overwrite, properties = props)
+    Sinks.writeJdbc(Seq((3, "c")).toDF("k", "v"), url, "appends",
+      SaveMode.Append, properties = props)
+    val back = Sinks.readJdbc(spark, url, "appends", props)
+      .orderBy("k").as[(Int, String)].collect().toSeq
+    assert(back === Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("partitioned JDBC read fans out over key ranges") {
+    val df = spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
+    Sinks.writeJdbc(df, url, "ranged", SaveMode.Overwrite, properties = props)
+    val back = Sinks.readJdbc(spark, url, "ranged", props,
+      partitionCol = Some("id"), lower = 0, upper = 100, numPartitions = 4)
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.count() === 100)
+    assert(back.agg(sum("v")).head.getLong(0) === (0L until 100L).map(_ * 2).sum)
+  }
+
+  test("C4 executed: staged vin-upsert through a real database") {
+    val base = Seq(
+      ("VIN1", "Seattle", 2019), ("VIN2", "Tacoma", 2020),
+      ("VIN3", "Olympia", 2021)).toDF("vin", "city", "year")
+    val updates = Seq(
+      ("VIN2", "Bellevue", 2024),   // overwrites
+      ("VIN4", "Spokane", 2025))    // inserts
+      .toDF("vin", "city", "year")
+    // the reference's flow: load base table, stage updates as their own
+    // table, merge on the key, replace the target
+    Sinks.writeJdbc(base, url, "ev", SaveMode.Overwrite, properties = props)
+    Sinks.writeJdbc(updates, url, "ev_stage", SaveMode.Overwrite, properties = props)
+    // eager localCheckpoint before the overwrite: the merge plan READS
+    // `ev`, and a lazy plan would otherwise execute after the overwrite
+    // already dropped it (self-overwrite reads nothing)
+    val merged = Upsert.upsert(
+      Sinks.readJdbc(spark, url, "ev", props),
+      Sinks.readJdbc(spark, url, "ev_stage", props),
+      Seq("vin")).localCheckpoint(true)
+    Sinks.writeJdbc(merged, url, "ev", SaveMode.Overwrite, properties = props)
+    val back = Sinks.readJdbc(spark, url, "ev", props)
+      .orderBy("vin").as[(String, String, Int)].collect().toSeq
+    assert(back === Seq(
+      ("VIN1", "Seattle", 2019), ("VIN2", "Bellevue", 2024),
+      ("VIN3", "Olympia", 2021), ("VIN4", "Spokane", 2025)))
+  }
+}
