@@ -29,6 +29,9 @@ object Dedup {
     */
   private var lastSigCache: Option[DataFrame] = None
 
+  /** Last [[connectedComponents]] result cache, same eviction contract. */
+  private var lastLabelsCache: Option[DataFrame] = None
+
   // ---------- exact ---------------------------------------------------
 
   /** One row per distinct content: keeper id (min), duplicate count. */
@@ -297,18 +300,37 @@ object Dedup {
     * collects the labels themselves).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          usePersist: Boolean = true): DataFrame = {
     // Iterative plans MUST truncate lineage each round (localCheckpoint,
     // eager): chaining round N's plan into round N+1 doubles the logical
     // plan per round — exponential planning cost that OOMs the driver
     // near ~12 rounds. On a real cluster use spark.checkpoint.dir-backed
     // checkpoint() for fault tolerance; local mode keeps blocks in the
     // block manager.
-    val sym = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    //
+    // usePersist=true (default; NOTES_r3 candidate #2, interleaved-A/B
+    // measured faster at sf0.1 — BASELINE.md round 4): cut the logical
+    // lineage via LogicalRDD (createDataFrame over the round's RDD) +
+    // persist, with the previous round explicitly unpersisted once the
+    // new round is materialized — checkpointed rounds otherwise stay in
+    // the block manager until GC. Same O(1) logical plan per round;
+    // blocks stay recoverable (lineage kept; eviction recomputes instead
+    // of failing the job, localCheckpoint's documented hazard).
+    val spark = nodes.sparkSession
+    // persist mode: LogicalRDD leaf (lazy) + cache; the per-round Σlabel
+    // action is what populates the cache, so no extra job is paid.
+    // checkpoint mode: eager localCheckpoint (materialization IS the job).
+    def materialize(df: DataFrame): DataFrame =
+      if (usePersist)
+        spark.createDataFrame(df.rdd, df.schema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df.localCheckpoint(true)
+    def release(df: DataFrame): Unit =
+      if (usePersist) df.unpersist(blocking = false)
+    val sym = materialize(edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b"))))
+    var labels = materialize(nodes.select(col("id"), col("id").as("label")))
     var prevSum = BigDecimal(-1)
     var i = 0
     var done = false
@@ -320,22 +342,33 @@ object Dedup {
         .join(labels.select(col("id").as("label"),
                             col("label").as("ll")), Seq("label"), "left")
         .select(col("id"), least(col("label"), col("ll")).as("label"))
-      // EAGER checkpoint, measured choice: a lazy checkpoint would let
+      // EAGER materialization, measured choice: a lazy round would let
       // two rounds run per job, but the un-materialized previous round
       // is referenced 3× per round (label self-join + neighbor join) and
       // DataFrame plans are trees, not DAGs — the subtree recomputes per
       // reference (~2× slower end-to-end when tried at sf0.1).
-      val updated = chased
+      val updated = materialize(chased
         .join(neighborMin.withColumnRenamed("nmin", "nl"), Seq("id"), "left")
         .select(col("id"),
                 least(col("label"), coalesce(col("nl"), col("label")))
-                  .as("label"))
-        .localCheckpoint(true)
-      labels = updated
+                  .as("label")))
       i += 1
+      // one action per round: fixpoint test + (persist mode) cache fill.
+      // Only after it may the previous round's blocks be dropped — the
+      // new round computes FROM them.
       val s = BigDecimal(updated.agg(sum("label")).head.getLong(0))
+      release(labels)
+      labels = updated
       done = s == prevSum
       prevSum = s
+    }
+    release(sym)
+    // the returned frame stays persisted (callers consume it next);
+    // evict the previous call's result so repeated invocations can't
+    // accumulate dead caches — same contract as the signature cache.
+    Dedup.synchronized {
+      lastLabelsCache.foreach(_.unpersist(blocking = false))
+      lastLabelsCache = if (usePersist) Some(labels) else None
     }
     labels
   }
