@@ -131,26 +131,31 @@ object Dedup {
     * keyed by doc id, ~10× faster and the shape that scales.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 shingleK: Int, numHashes: Int): DataFrame = {
+                 shingleK: Int, numHashes: Int,
+                 carryCols: Seq[String] = Nil): DataFrame = {
     // Two levers vs the naive form, both measured at sf0.1:
     //  1. shingles live in HASH space ([[shingleHashes]]) — explode longs,
     //     not concat_ws strings (string building was the single biggest
     //     stage cost);
     //  2. double hashing (h1 + s·h2): the per-seed family members are two
     //     long ops, not a fresh string hash per seed.
+    // carryCols ride along (functionally dependent on the id — e.g. the
+    // shard key for windowed dedup) so no re-join is needed downstream.
+    val carry = carryCols.map(col)
     val ex = docs.select(
-        col(idCol).as("id"),
-        tokenHashes(col(textCol)).as("th"))
+        (col(idCol).as("id") +: carry) :+
+          tokenHashes(col(textCol)).as("th"): _*)
       .select(
-        col("id"),
-        explode(shingleHashesFromTokenHashes(col("th"), shingleK)).as("h1"))
-      .select(col("id"), col("h1"), xxhash64(col("h1")).as("h2"))
+        (col("id") +: carry) :+
+          explode(shingleHashesFromTokenHashes(col("th"), shingleK)).as("h1"): _*)
+      .select((col("id") +: carry) :+ col("h1") :+
+          xxhash64(col("h1")).as("h2"): _*)
     val aggs = (0 until numHashes).map(s =>
       min(col("h1") + lit(s.toLong) * col("h2")).as(s"h$s"))
-    ex.groupBy("id")
+    ex.groupBy(("id" +: carryCols).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-              array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .select((col("id") +: carry) :+
+              array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"): _*)
   }
 
   /** Fraction of agreeing signature positions — the MinHash estimator of
@@ -198,24 +203,29 @@ object Dedup {
       sigs: DataFrame,
       numHashes: Int = 64,
       numBands: Int = 8,
-      maxBucket: Int = 200): DataFrame = {
+      maxBucket: Int = 200,
+      shardCols: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    // shardCols join into the bucket key: pairs only form within a shard
+    // (windowed dedup — a corpus too large for one LSH pass dedups per
+    // source/date window, each shard an independent, smaller bucket join)
+    val key = shardCols ++ Seq("band", "bh")
     val banded = sigs
-      .select(col("id"),
-              explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .select((col("id") +: shardCols.map(col)) :+
+              explode(bands(col("sig"), numBands, rowsPerBand)).as("b"): _*)
+      .select((col("id") +: shardCols.map(col)) :+
+              col("b.band").as("band") :+ col("b.bh").as("bh"): _*)
     // Skew guard as a broadcast ANTI-join against the (tiny) set of
     // oversized buckets — not a count() window, which would total-sort
     // every banded row by bucket. The agg is map-side partial; the
     // blacklist is by construction < |corpus|/maxBucket rows.
-    val oversized = banded.groupBy("band", "bh")
+    val oversized = banded.groupBy(key.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
-      .select("band", "bh")
-    val guarded = banded.join(broadcast(oversized), Seq("band", "bh"),
-      "left_anti")
-    val l = guarded.select(col("band"), col("bh"), col("id").as("a"))
-    val r = guarded.select(col("band"), col("bh"), col("id").as("b"))
-    l.join(r, Seq("band", "bh"))
+      .select(key.map(col): _*)
+    val guarded = banded.join(broadcast(oversized), key, "left_anti")
+    val l = guarded.select(key.map(col) :+ col("id").as("a"): _*)
+    val r = guarded.select(key.map(col) :+ col("id").as("b"): _*)
+    l.join(r, key)
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
@@ -242,6 +252,12 @@ object Dedup {
     * rows that already look similar — at 100 TB the estimate filter is
     * what keeps verify cost proportional to true-duplicate density, not
     * candidate density.
+    *
+    * `shardCols` turns this into WINDOWED dedup: pairs only form within
+    * a shard (source, date window, …). For corpora that exceed one LSH
+    * pass this bounds every bucket join to shard size, at the documented
+    * cost of missing cross-shard duplicates — run a second pass over
+    * shard representatives when cross-shard matters.
     */
   def nearDuplicatePairs(
       docs: DataFrame,
@@ -249,12 +265,14 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleK: Int = 5,
-      numHashes: Int = 64): DataFrame = {
+      numHashes: Int = 64,
+      shardCols: Seq[String] = Nil): DataFrame = {
     // signatures feed three consumers (banding + both estimate joins):
     // cache them so the corpus-wide signature aggregation runs once, not
     // three times. At 100 TB this is the difference between one and
     // three full passes over the tokenized corpus.
-    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
+    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes,
+        carryCols = shardCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // CacheManager pins persisted plans until an explicit unpersist, so a
     // long-lived session calling this operator repeatedly would accumulate
@@ -264,7 +282,8 @@ object Dedup {
       lastSigCache.foreach(_.unpersist(blocking = false))
       lastSigCache = Some(sigs)
     }
-    val pairs = lshCandidatePairsFromSigs(sigs, numHashes)
+    val pairs = lshCandidatePairsFromSigs(sigs, numHashes,
+      shardCols = shardCols)
     val estimated = pairs
       .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")
       .join(sigs.select(col("id").as("b"), col("sig").as("sb")), "b")

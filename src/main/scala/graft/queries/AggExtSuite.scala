@@ -49,17 +49,56 @@ object AggExtSuite extends QuerySuite {
                                     (o_orderstatus, o_orderpriority))
             ORDER BY status, priority"""))
 
-  /** HLL++-based approximate distinct — algorithm differs from DuckDB's
-    * approx_count_distinct, so no value oracle; the unit test pins the
-    * relative-error envelope against the exact count.
+  /** HLL++-based approximate distinct — the approx VALUE differs from
+    * DuckDB's sketch, so the oracle checks the error ENVELOPE instead:
+    * exact counts (hash-compared) plus within-3σ booleans the oracle
+    * expects TRUE. HLL is deterministic for fixed data, so the booleans
+    * are stable — a sketch regression flips them and fails the hash.
     */
   private val approxDistinct = GraftQuery(
     "q_approx_distinct",
-    (s, d) =>
+    (s, d) => {
+      def within(c: String): org.apache.spark.sql.Column =
+        (abs(approx_count_distinct(col(c), 0.02).cast("double") -
+             countDistinct(col(c)).cast("double")) /
+          countDistinct(col(c)).cast("double")) <= 0.06
       lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps")),
-    None)
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        within("l_partkey").as("parts_within"),
+        within("l_suppkey").as("supps_within"))
+    },
+    Some("""SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+              COUNT(DISTINCT l_suppkey) AS exact_supps,
+              TRUE AS parts_within, TRUE AS supps_within
+            FROM lineitem"""))
+
+  /** approx_percentile with an error envelope the oracle can check: the
+    * accuracy parameter bounds RANK error (≤ 1/accuracy), so "approx
+    * p_q lies between exact p_{q−δ} and p_{q+δ}" (δ = 50× the bound) is
+    * the guarantee itself, decidable cross-engine: the oracle
+    * recomputes the exact percentiles and expects the booleans TRUE.
+    * The approximate path is what survives 100 TB — exact percentile
+    * needs a full sort per group; the sketch is one mergeable pass.
+    */
+  private val approxPercentile = GraftQuery(
+    "q_approx_percentile_envelope",
+    (s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("exact_p95"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+          .between(expr("percentile(l_extendedprice, 0.495)"),
+                   expr("percentile(l_extendedprice, 0.505)")).as("within_50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)")
+          .between(expr("percentile(l_extendedprice, 0.945)"),
+                   expr("percentile(l_extendedprice, 0.955)")).as("within_95"))
+        .orderBy(asc("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+              ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+              TRUE AS within_50, TRUE AS within_95
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   private val sessionize = GraftQuery(
     "q_sessionize",
@@ -266,6 +305,7 @@ object AggExtSuite extends QuerySuite {
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   override val queries: Seq[GraftQuery] = Seq(
-    cubeAgg, groupingSets, approxDistinct, sessionize, userActivity,
-    jsonProps, asofJoin, asofJoinExec, weightedAvg, medianAgg, stringCollect)
+    cubeAgg, groupingSets, approxDistinct, approxPercentile, sessionize,
+    userActivity, jsonProps, asofJoin, asofJoinExec, weightedAvg, medianAgg,
+    stringCollect)
 }

@@ -99,6 +99,56 @@ object DedupSuite extends QuerySuite {
     None,
     headline = true)
 
+  // ---- windowed (per-shard) minhash: the scale path for corpora that
+  //      exceed one LSH pass. Planted corpus carries `source` as the
+  //      shard key; clones planted into a DIFFERENT shard must not pair.
+  //      Count-based oracle: identical texts are GUARANTEED to share a
+  //      signature and bucket, so the LSH pairs restricted to matching
+  //      exact fingerprints must equal the per-shard duplicate-content
+  //      pair count — computable in SQL. An undercount means dropped
+  //      recall (or a shard leak); the xxhash LSH internals themselves
+  //      stay rows-only (unit-test ground truth).
+  private val minhashSharded = GraftQuery(
+    "q_dedup_minhash_sharded",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"), col("source"))
+      val plantedSharded = docs.unionByName(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+                    col("source")))
+        .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+                    col("text"), lit("offsite").as("source")))
+      val fps = plantedSharded.select(col("doc_id"),
+        graft.functions.TextFunctions.exactFingerprint(col("text")).as("fp"))
+      Dedup.nearDuplicatePairs(plantedSharded, minJaccard = 0.9,
+          shardCols = Seq("source"))
+        .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
+        .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
+        .filter(col("fa") === col("fb"))
+        .select(
+          count(lit(1)).as("n_exact_pairs"),
+          sum(when(col("b") >= 2000000L, 1L).otherwise(0L)).as("n_offsite"))
+    },
+    // exact-clone pairs per shard: C(k,2) over per-content copy counts k
+    // within each shard. Original shards hold 2 copies of every doc (+
+    // same-content collisions); the offsite shard holds 1 copy of each.
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text, source FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text, source FROM documents
+               UNION ALL
+               SELECT doc_id + 2000000, text, 'offsite' FROM documents),
+             per_content AS (
+               SELECT source, md5(array_to_string($toksSql, ' ')) AS h,
+                      COUNT(*) AS k
+               FROM corpus GROUP BY source, h),
+             shard_pairs AS (
+               SELECT source, SUM(k * (k - 1) / 2) AS np
+               FROM per_content GROUP BY source)
+             SELECT CAST(SUM(np) AS BIGINT) AS n_exact_pairs,
+                    CAST(SUM(CASE WHEN source = 'offsite' THEN np ELSE 0 END)
+                      AS BIGINT) AS n_offsite
+             FROM shard_pairs"""))
+
   // ---- SimHash signatures + near pairs on planted duplicates ---------
   private val simhashSignatures = GraftQuery(
     "q_simhash_signatures",
@@ -117,6 +167,6 @@ object DedupSuite extends QuerySuite {
     None)
 
   override val queries: Seq[GraftQuery] = Seq(
-    dedupExact, dedupDrop, ngramJaccard, minhashPairs,
+    dedupExact, dedupDrop, ngramJaccard, minhashPairs, minhashSharded,
     simhashSignatures, simhashPairs)
 }

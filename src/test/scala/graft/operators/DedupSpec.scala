@@ -49,6 +49,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L), "unrelated doc flagged")
   }
 
+  test("sharded minhash: pairs form within a shard, never across") {
+    // same text planted in two shards: (1,2) share shard A, 3 sits alone
+    // in shard B with the identical text — unsharded finds (1,3),(2,3);
+    // sharded must not
+    val sharded = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "A"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "A"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again", "B"),
+      (4L, "completely different content about spark query engines at scale", "B")
+    ).toDF("doc_id", "text", "source")
+    val in1 = Dedup.nearDuplicatePairs(sharded, minJaccard = 0.8,
+        shardCols = Seq("source"))
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(in1.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"sharded pairs: $in1")
+    val unsharded = Dedup.nearDuplicatePairs(sharded, minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq.map(p => (p._1, p._2)).sorted
+    assert(unsharded == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"unsharded pairs: $unsharded")
+  }
+
   test("signatureSimilarity is 1.0 for identical texts") {
     val sigs = Dedup.signatures(corpus.filter($"doc_id" <= 2), "doc_id", "text",
       shingleK = 5, numHashes = 64)
