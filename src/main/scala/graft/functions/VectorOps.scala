@@ -108,12 +108,14 @@ case class VectorCosine(left: Expression, right: Expression)
   * Null handling deviates from the HOF tower on degenerate input only
   * (null array → NULL here vs 0 there; embeddings are non-null).
   */
-case class HyperplaneBucket(child: Expression, nPlanes: Int)
+case class HyperplaneBucket(child: Expression, nPlanes: Int,
+                            planeOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(DoubleType, _) if nPlanes >= 1 && nPlanes <= 30 =>
+      case ArrayType(DoubleType, _)
+          if nPlanes >= 1 && nPlanes <= 30 && planeOffset >= 0 =>
         TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
         s"hyperplane_bucket requires array<double> and 1<=nPlanes<=30, got ${t.sql}")
@@ -124,14 +126,14 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    VectorOps.hyperplaneBucket(input.asInstanceOf[ArrayData], nPlanes)
+    VectorOps.hyperplaneBucket(input.asInstanceOf[ArrayData], nPlanes, planeOffset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mod = VectorOps.getClass.getName.stripSuffix("$")
     val tmp = ctx.freshName("bucketRes")
     nullSafeCodeGen(ctx, ev, a => {
       s"""
-         |java.lang.Integer $tmp = $mod.hyperplaneBucket($a, $nPlanes);
+         |java.lang.Integer $tmp = $mod.hyperplaneBucket($a, $nPlanes, $planeOffset);
          |if ($tmp == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -267,11 +269,16 @@ object VectorOps {
     * iteration is bit-identical to the HOF's plane-outer passes).
     * Null element ⇒ every plane dot is null ⇒ HOF bits all fall to the
     * `otherwise(0)` branch ⇒ bucket 0.
+    *
+    * `planeOffset` selects an independent plane family (global plane
+    * index = offset + p) — multi-table OR-amplified LSH hashes the same
+    * vector against nTables disjoint families.
     */
-  def hyperplaneBucket(v: ArrayData, nPlanes: Int): java.lang.Integer = {
+  def hyperplaneBucket(v: ArrayData, nPlanes: Int,
+                       planeOffset: Int = 0): java.lang.Integer = {
     val n = v.numElements()
     val hash1 = Array.tabulate(nPlanes)(p =>
-      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, 42L))
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(planeOffset + p, 42L))
     val sums = new Array[Double](nPlanes)
     var j = 0
     while (j < n) {
@@ -305,9 +312,9 @@ object VectorOps {
     GraftColumnBridge.column(
       VectorCosine(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  def hyperplane_bucket(v: Column, nPlanes: Int): Column =
+  def hyperplane_bucket(v: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     GraftColumnBridge.column(
-      HyperplaneBucket(GraftColumnBridge.expression(v), nPlanes))
+      HyperplaneBucket(GraftColumnBridge.expression(v), nPlanes, planeOffset))
 
   def sig_agree(a: Column, b: Column): Column =
     GraftColumnBridge.column(

@@ -95,9 +95,61 @@ object Similarity {
 
   /** Sign bucket over `nPlanes` hyperplanes as an int in [0, 2^nPlanes)
     * — codegen'd single pass ([[graft.functions.HyperplaneBucket]]).
+    * `planeOffset` picks an independent plane family (multi-table LSH).
     */
-  def hyperplaneBucket(vec: Column, nPlanes: Int = 8): Column =
-    graft.functions.VectorOps.hyperplane_bucket(asDouble(vec), nPlanes)
+  def hyperplaneBucket(vec: Column, nPlanes: Int = 8,
+                       planeOffset: Int = 0): Column =
+    graft.functions.VectorOps.hyperplane_bucket(asDouble(vec), nPlanes, planeOffset)
+
+  /** Embedding-cosine near-duplicate pairs — the vector-space member of
+    * the dedup family ([[Dedup]] covers token space): all pairs with
+    * cosine ≥ `minCosine`, found via OR-amplified multi-table hyperplane
+    * LSH and verified with the codegen cosine.
+    *
+    * Shape, cheap-to-expensive like the minhash pipeline: each vector
+    * hashes into `nTables` independent sign-buckets (one compiled pass
+    * per table, planes disjoint via planeOffset); a candidate pair is a
+    * same-(table, bucket) collision, deduplicated BEFORE vectors are
+    * re-joined for the exact verify, so the wide rows never ride through
+    * the distinct. Near-parallel vectors (the near-dup regime) collide
+    * in ≥1 of the OR'd tables with probability ≈ 1 − (nPlanes·θ/π)^nTables;
+    * recall decays gracefully toward the `minCosine` boundary — the
+    * standard LSH trade, tunable via nTables/nPlanes. A maxBucket
+    * broadcast anti-join caps degenerate buckets (all-similar corpora)
+    * exactly like the minhash skew guard.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      minCosine: Double = 0.95,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nTables: Int = 4,
+      nPlanes: Int = 8,
+      maxBucket: Int = 2000): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val tables = array((0 until nTables).map(t =>
+      struct(lit(t).as("t"),
+             hyperplaneBucket(col("v"), nPlanes, t * nPlanes).as("bkt"))): _*)
+    val banded = vecs
+      .select(col("id"), explode(tables).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val oversized = banded.groupBy("t", "bkt")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("t", "bkt")
+    val guarded = banded.join(broadcast(oversized), Seq("t", "bkt"), "left_anti")
+    val candidates = guarded.select(col("t"), col("bkt"), col("id").as("a"))
+      .join(guarded.select(col("t"), col("bkt"), col("id").as("b")),
+            Seq("t", "bkt"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    candidates
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), "b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
 
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (by cosine), fully relationally — vectors × broadcast

@@ -113,6 +113,37 @@ object SimilaritySuite extends QuerySuite {
     },
     None)
 
+  // ---- embedding-cosine near-dup with a planted-recall oracle --------
+  // Each corpus vector gets a barely-perturbed clone (cosine ≈ 1 − 1e-9,
+  // far inside the 0.999 threshold); the multi-table LSH pipeline must
+  // recover EVERY planted pair — n_found == n_planted is decidable in
+  // SQL even though the xxhash plane geometry is not. A recall
+  // regression (dropped table, broken offset, bucket leak) flips
+  // all_found and fails the hash.
+  private val embNearDup = GraftQuery(
+    "q_embedding_neardup",
+    (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("embedding"))
+      val clones = e.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * 1.0001 + 0.0001).otherwise(x))
+          .as("embedding"))
+      val pairs = Similarity.cosineNearDupPairs(
+        e.unionByName(clones), minCosine = 0.999)
+      val expected = e.agg(count(lit(1)).as("n_planted"))
+      val found = pairs.agg(
+        sum(when(col("b") === col("a") + 1000000L, 1L).otherwise(0L))
+          .as("n_found"))
+      expected.crossJoin(found).select(
+        col("n_planted"), col("n_found"),
+        (col("n_planted") === col("n_found")).as("all_found"))
+    },
+    Some("""SELECT COUNT(*) AS n_planted, COUNT(*) AS n_found,
+              TRUE AS all_found
+            FROM embeddings"""))
+
   // ---- IVF coarse-quantized ANN (approximate; recall vs exact path
   //      pinned in unit tests) ----------------------------------------
   private val ivfTopK = GraftQuery(
@@ -189,5 +220,6 @@ object SimilaritySuite extends QuerySuite {
             FROM s2 ORDER BY vec_id"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(topK, pairCosine, lshTopK, embDedup, ivfTopK, vectorNorm, quantize)
+    Seq(topK, pairCosine, lshTopK, embDedup, embNearDup, ivfTopK,
+        vectorNorm, quantize)
 }

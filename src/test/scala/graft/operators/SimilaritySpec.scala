@@ -76,4 +76,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.forall(b => b >= 0 && b < 256))
     assert(b1(0) == b1(4), "identical vectors must share a bucket")
   }
+
+  test("hyperplaneBucket planeOffset selects an independent family") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rows = emb.select(
+      Similarity.hyperplaneBucket($"embedding", 8).as("t0"),
+      Similarity.hyperplaneBucket($"embedding", 8, planeOffset = 0).as("t0b"),
+      Similarity.hyperplaneBucket($"embedding", 8, planeOffset = 8).as("t1"),
+      Similarity.hyperplaneBucket($"embedding", 8, planeOffset = 16).as("t2")).collect()
+    // offset 0 is exactly the legacy bucket
+    assert(rows.forall(r => r.getInt(0) == r.getInt(1)))
+    // different families genuinely differ (not a shifted copy)
+    assert(rows.exists(r => r.getInt(0) != r.getInt(2)))
+    assert(rows.exists(r => r.getInt(2) != r.getInt(3)))
+  }
+
+  test("cosineNearDupPairs: finds near pairs, rejects far, emits each pair once") {
+    val fixture = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9999f, 0.0001f, 0.0f, 0.0f)),  // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),        // orthogonal
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),       // anti-parallel
+      (5L, Array(0.9999f, 0.0001f, 0.0f, 0.0f))   // clone of 2
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(fixture, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly once each, a < b, no orthogonal/anti-parallel members
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.toSet == Set((1L, 2L), (1L, 5L), (2L, 5L)), s"pairs: $pairs")
+  }
 }
