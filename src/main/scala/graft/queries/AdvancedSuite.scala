@@ -61,6 +61,27 @@ object AdvancedSuite extends QuerySuite {
               ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
+  // ---- streaming dedup (dropDuplicatesWithinWatermark) vs batch ------
+  // The stream is unioned with itself (every event arrives twice — the
+  // at-least-once delivery the operator exists for); the deduped output
+  // must reproduce the single-copy batch aggregates exactly. One
+  // availableNow micro-batch keeps all dedup state live, so the check
+  // is exact, not watermark-lossy.
+  private val streamDedup = GraftQuery(
+    "q_stream_dedup",
+    (s, d) => {
+      val ev = EventsStream.readEvents(s, d)
+      val doubled = ev.unionByName(EventsStream.readEvents(s, d))
+      val deduped = EventsStream.dedupedEvents(doubled)
+      EventsStream.runToCompletion(s, deduped, outputMode = "append")
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("event_id")).as("n_ids"),
+             round(sum(col("value")), 2).as("sum_value"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids,
+              ROUND(SUM(value), 2) AS sum_value
+            FROM events"""))
+
   // ---- custom streaming state (flatMapGroupsWithState) vs batch ------
   // Update-mode emissions accumulate in the sink; the final per-user
   // total is the row with the max (monotone) event count. State carries
@@ -177,6 +198,6 @@ object AdvancedSuite extends QuerySuite {
             GROUP BY day, segment ORDER BY day, segment"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(wktPointExpr, streamHourly, multimodal, frameSample,
+    Seq(wktPointExpr, streamHourly, streamDedup, multimodal, frameSample,
         streamStreamJoin, streamStaticJoin, statefulTotals)
 }

@@ -20,6 +20,14 @@ class PlanSpec extends AnyFunSuite {
     finalPlan(df.queryExecution.executedPlan).toString
   }
 
+  /** Pre-execution plan: AQE's FINAL plan string collapses reused early
+    * stages into opaque QueryStage references, so whole-plan shape
+    * assertions (a guard join deep in the pipeline) read the initial
+    * physical plan instead.
+    */
+  private def planNoExec(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
   private def finalPlan(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
     case other => other
@@ -133,6 +141,23 @@ class PlanSpec extends AnyFunSuite {
     // evaluates vec_cosine must carry that prefix (fused, not interpreted)
     assert("""\*\(\d+\) Project \[[^\n]*vec_cosine""".r.findFirstIn(s).isDefined,
       s"vec_cosine not inside a codegen span:\n$s")
+  }
+
+  test("q_embedding_neardup: bucket skew guard is a broadcast anti-join; no all-pairs join") {
+    val s = planNoExec("q_embedding_neardup")
+    assert(s.contains("LeftAnti"), s"maxBucket anti-join guard missing:\n$s")
+    // the only nested-loop join allowed is the final 1-row×1-row
+    // expected×found crossJoin — the corpus must never cross itself
+    assert(!s.contains("CartesianProduct"), s"all-pairs join appeared:\n$s")
+  }
+
+  test("q_dedup_minhash_sharded: skew guard present; shard key joins the bucket key") {
+    val s = planNoExec("q_dedup_minhash_sharded")
+    assert(s.contains("LeftAnti"), s"maxBucket anti-join guard missing:\n$s")
+    // the candidate self-join must key on (source, band, bh) — a plan
+    // that pairs across shards would drop `source` from the join keys
+    assert("""source#\d+[^\n]*band#\d+[^\n]*bh#\d+""".r.findFirstIn(s).isDefined,
+      s"shard key not in the bucket join:\n$s")
   }
 
   test("q_sample_mod: deterministic sample is a pure scan-side filter") {
