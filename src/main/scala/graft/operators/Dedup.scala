@@ -304,6 +304,38 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ---------- incremental (batch-vs-corpus) dedup ---------------------
+
+  /** Incremental-ingest dedup: the rows of `newBatch` whose content does
+    * NOT already exist in `corpus`. Exact result, Bloom-accelerated:
+    *
+    * The naive anti-join shuffles every corpus fingerprint — at 100 TB
+    * that is a full-corpus shuffle to admit a batch a millionth its
+    * size. Instead the (small) new batch builds a Bloom filter over its
+    * fingerprints, delivered to the corpus scan as a scalar subquery
+    * ([[BloomJoin]] machinery); the corpus is scanned once and only
+    * fingerprints that MIGHT collide with the batch survive to the
+    * anti-join — ≈ |batch| · (dup rate + false-positive rate) rows
+    * shuffle instead of |corpus|. No false negatives, and the exact
+    * anti-join removes false positives, so the result equals the naive
+    * join (the oracle checks this).
+    */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text",
+                       expectedBatchItems: Long = 1000000L): DataFrame = {
+    val fp = TextFunctions.exactFingerprint(col(textCol))
+    val batchBloom = BloomJoin.bloomOf(
+      newBatch.select(fp.as("fp")), "fp", expectedBatchItems)
+    val corpusHits = corpus
+      .select(fp.as("__corpus_fp"))
+      .where(BloomJoin.mightContain(batchBloom, col("__corpus_fp")))
+    newBatch
+      .withColumn("__fp", fp)
+      .join(corpusHits, col("__fp") === col("__corpus_fp"), "left_anti")
+      .drop("__fp")
+  }
+
   // ---------- duplicate clustering ------------------------------------
 
   /** Connected components over an undirected near-duplicate edge set:

@@ -149,6 +149,41 @@ object DedupSuite extends QuerySuite {
                       AS BIGINT) AS n_offsite
              FROM shard_pairs"""))
 
+  // ---- incremental (batch-vs-corpus) dedup, Bloom-accelerated --------
+  // New batch: every corpus doc re-arrives (a dup to reject) plus a
+  // modified twin (new content to admit). Exact anti-join semantics, so
+  // fully oracle-able; the Bloom pre-filter is a plan detail the oracle
+  // proves harmless.
+  private val incrementalDedup = GraftQuery(
+    "q_incremental_dedup",
+    (s, d) => {
+      val corpus = documents(s, d).select(col("doc_id"), col("text"))
+      val newBatch = corpus
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+        .unionByName(corpus.select(
+          (col("doc_id") + 4000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+      Dedup.incrementalDedup(newBatch, corpus)
+        .select("doc_id")
+        .orderBy(asc("doc_id"))
+    },
+    Some {
+      val toksV2 = toksSql.replace("trim(text)", "trim(text || ' v2')")
+      s"""WITH corpus AS (
+            SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
+            FROM documents),
+          batch AS (
+            SELECT doc_id + 3000000 AS doc_id,
+                   md5(array_to_string($toksSql, ' ')) AS fp
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 4000000, md5(array_to_string($toksV2, ' '))
+            FROM documents)
+          SELECT b.doc_id FROM batch b
+          WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+          ORDER BY doc_id"""
+    })
+
   // ---- SimHash signatures + near pairs on planted duplicates ---------
   private val simhashSignatures = GraftQuery(
     "q_simhash_signatures",
@@ -168,5 +203,5 @@ object DedupSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, minhashSharded,
-    simhashSignatures, simhashPairs)
+    incrementalDedup, simhashSignatures, simhashPairs)
 }

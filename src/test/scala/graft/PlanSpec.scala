@@ -160,6 +160,17 @@ class PlanSpec extends AnyFunSuite {
       s"shard key not in the bucket join:\n$s")
   }
 
+  test("q_incremental_dedup: batch bloom probes the corpus scan; exact anti-join on top") {
+    val s = planNoExec("q_incremental_dedup")
+    // the bloom arrives as a scalar subquery inlined into the corpus
+    // side's filter — the shape that keeps the corpus from shuffling
+    // more than its collision set
+    assert(s.contains("might_contain"), s"bloom probe missing:\n$s")
+    assert(s.contains("Subquery") || s.contains("scalar-subquery"),
+      s"bloom not delivered as a scalar subquery:\n$s")
+    assert(s.contains("LeftAnti"), s"exact anti-join missing:\n$s")
+  }
+
   test("q_sample_mod: deterministic sample is a pure scan-side filter") {
     val s = plan("q_sample_mod")
     // pmod isn't a parquet-pushable predicate, but it must stay a plain

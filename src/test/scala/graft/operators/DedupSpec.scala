@@ -70,6 +70,21 @@ class DedupSpec extends AnyFunSuite {
       s"unsharded pairs: $unsharded")
   }
 
+  test("incrementalDedup admits only content absent from the corpus") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"),        // dup of corpus 1 → rejected
+      (11L, "  alpha   beta gamma "),   // same token stream → rejected
+      (12L, "eta theta iota"),          // new → admitted
+      (13L, "alpha beta"),              // prefix ≠ same content → admitted
+      (14L, "eta theta iota")           // batch-internal dup of 12 → admitted (batch-vs-corpus only)
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(12L, 13L, 14L))
+  }
+
   test("signatureSimilarity is 1.0 for identical texts") {
     val sigs = Dedup.signatures(corpus.filter($"doc_id" <= 2), "doc_id", "text",
       shingleK = 5, numHashes = 64)
