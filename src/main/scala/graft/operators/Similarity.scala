@@ -231,6 +231,14 @@ object Similarity {
   /** Approximate top-k: score only corpus vectors sharing the query's
     * hyperplane bucket. Recall < 1 by design; bucket count 2^nPlanes
     * controls the probe fraction.
+    *
+    * `probeHamming = 1` turns on MULTI-PROBE: each query also probes
+    * the nPlanes buckets one bit-flip away — the buckets a near
+    * neighbor most likely fell into when exactly one hyperplane
+    * separated it from the query. Probe cost rises ×(nPlanes+1) on the
+    * (small, broadcast) query side only; the corpus is still hashed
+    * once. The standard recall/cost knob when adding whole extra
+    * tables ([[cosineNearDupPairs]]) is too expensive.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -238,13 +246,25 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      "probeHamming 0 (single bucket) or 1 (all one-bit-flip buckets)")
     val c = corpus.select(
       col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"),
       hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
-    val q = queries.select(
+    val qBase = queries.select(
       col("query_id"), asDouble(col("query_vec")).as("q"),
       hyperplaneBucket(col("query_vec"), nPlanes).as("bucket"))
+    val q =
+      if (probeHamming == 0) qBase
+      else qBase
+        .select(col("query_id"), col("q"),
+          explode(array(col("bucket") +: (0 until nPlanes).map(i =>
+            col("bucket").bitwiseXOR(lit(1 << i))): _*)).as("bucket"))
+    // probe buckets are distinct ints and each corpus vector hashes to
+    // exactly one bucket, so no (query, neighbor) pair can repeat — no
+    // distinct needed before scoring
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

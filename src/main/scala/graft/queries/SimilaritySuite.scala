@@ -90,6 +90,18 @@ object SimilaritySuite extends QuerySuite {
         .orderBy(asc("query_id"), asc("rank")),
     None)
 
+  // multi-probe variant: queries also probe the nPlanes one-bit-flip
+  // buckets (recall knob without extra tables; recall ≥ single-probe
+  // pinned in SimilaritySpec)
+  private val lshTopKMp = GraftQuery(
+    "q_embedding_lsh_mp",
+    (s, d) =>
+      Similarity.lshTopK(
+        embeddings(s, d), queryVectors(s, d), k = 3, nPlanes = 6,
+        probeHamming = 1)
+        .orderBy(asc("query_id"), asc("rank")),
+    None)
+
   // ---- embedding near-dup detection on planted clones ----------------
   private val embDedup = GraftQuery(
     "q_dedup_embedding",
@@ -220,6 +232,6 @@ object SimilaritySuite extends QuerySuite {
             FROM s2 ORDER BY vec_id"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(topK, pairCosine, lshTopK, embDedup, embNearDup, ivfTopK,
+    Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
         vectorNorm, quantize)
 }

@@ -92,6 +92,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.exists(r => r.getInt(2) != r.getInt(3)))
   }
 
+  test("multi-probe LSH: recall >= single-probe, still exactly k rows per query") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.embeddings(spark, sf)
+    val qs = corpus.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, qs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(probe: Int): Double = {
+      val hits = Similarity.lshTopK(corpus, qs, k = 5, nPlanes = 6,
+          probeHamming = probe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      exact.intersect(hits).size.toDouble / exact.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    assert(r1 >= r0, s"multi-probe recall $r1 < single-probe $r0")
+    // random gaussian corpora are LSH's worst case (no cluster
+    // structure) — the bar is "meaningfully above single probe's
+    // floor", not near-exact
+    assert(r1 > 0.15, s"multi-probe recall collapsed: $r1")
+    // candidate superset: every single-probe result pair is reachable
+    // (same-bucket pairs are a subset of Hamming<=1 pairs by definition)
+    val rows1 = Similarity.lshTopK(corpus, qs, k = 5, nPlanes = 6, probeHamming = 1)
+      .groupBy("query_id").count().collect()
+    assert(rows1.forall(_.getLong(1) <= 5))
+  }
+
   test("cosineNearDupPairs: finds near pairs, rejects far, emits each pair once") {
     val fixture = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
