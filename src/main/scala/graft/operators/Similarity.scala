@@ -162,11 +162,13 @@ object Similarity {
     */
   def ivfAssign(corpus: DataFrame, nCells: Int,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                centroids: Option[DataFrame] = None): DataFrame = {
     val vecs = corpus.select(col(idCol).as("ivf_id"),
                              asDouble(col(vecCol)).as("ivf_v"))
-    val cents = vecs.filter(col("ivf_id") < nCells)
-      .select(col("ivf_id").as("cell"), col("ivf_v").as("cv"))
+    val cents = centroids.getOrElse(
+      vecs.filter(col("ivf_id") < nCells)
+        .select(col("ivf_id").as("cell"), col("ivf_v").as("cv")))
     val scored = vecs.crossJoin(broadcast(cents))
       .select(col("ivf_id"), col("ivf_v"), col("cell"),
               cosine(col("ivf_v"), col("cv")).as("csim"))
@@ -187,6 +189,82 @@ object Similarity {
               col("best.cell").as("cell"))
   }
 
+  /** Spherical k-means fit (Lloyd iterations) for IVF coarse
+    * quantization — the real centroid fit [[ivfAssign]] documents as
+    * its slot-in point. Fully relational:
+    *
+    *  - assignment: vectors × broadcast centroids → map-side `max_by`
+    *    argmax by cosine (one row per vector shuffles, as in ivfAssign);
+    *  - update: element-wise mean via posexplode → (cell, pos) partial
+    *    avg → re-assembled array (k·dims tiny rows);
+    *  - convergence: the spherical objective Σ cos(v, c(v)) is
+    *    non-decreasing under Lloyd steps — one scalar action per round
+    *    is the stop test, the driver never sees vectors;
+    *  - rounds use the LogicalRDD + persist/unpersist pattern measured
+    *    in [[graft.operators.Dedup.connectedComponents]]: O(1) logical
+    *    plan per round, previous round's blocks released explicitly.
+    *
+    * Empty cells keep their previous centroid. Objective history is
+    * exposed for tests; float summation order makes exact centroid
+    * values run-order-sensitive at the last ulp, so centroids are
+    * surfaced as a rows-gate, not a hash oracle.
+    */
+  def kmeansFit(corpus: DataFrame, k: Int, maxIter: Int = 10,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    kmeansFitWithHistory(corpus, k, maxIter, idCol, vecCol)._1
+
+  private[graft] def kmeansFitWithHistory(
+      corpus: DataFrame, k: Int, maxIter: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, Seq[Double]) = {
+    val spark = corpus.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def cut(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).persist(lvl)
+    val vecs = cut(corpus.select(col(idCol).as("id"),
+                                 asDouble(col(vecCol)).as("v")))
+    var cents = cut(vecs.filter(col("id") < k)
+      .select(col("id").as("cell"), col("v").as("cv")))
+    val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      // assignment is consumed TWICE (objective + centroid update), so
+      // it is the round's persisted artifact — the objective action
+      // fills its cache, the update reads the cache
+      val assigned = cut(vecs.crossJoin(broadcast(cents))
+        .select(col("id"), col("v"), col("cell"),
+                cosine(col("v"), col("cv")).as("csim"))
+        .groupBy("id")
+        .agg(max_by(struct(col("cell"), col("v")),
+                    struct(col("csim"), (-col("cell")).as("nc"))).as("best"),
+             max(col("csim")).as("bc"))
+        .select(col("best.cell").as("cell"), col("best.v").as("v"), col("bc")))
+      val objective = assigned.agg(sum(col("bc"))).head.getDouble(0)
+      val meanParts = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                       s => s.getField("m")).as("ncv"))
+      // empty cells keep the previous centroid
+      val newCents = cut(cents
+        .join(meanParts, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("ncv"), col("cv")).as("cv")))
+      newCents.count() // materialize (k rows) before parents release
+      cents.unpersist(blocking = false)
+      assigned.unpersist(blocking = false)
+      cents = newCents
+      // non-decreasing by Lloyd; stop when the gain vanishes
+      done = history.nonEmpty && objective - history.last < 1e-9
+      history += objective
+      i += 1
+    }
+    vecs.unpersist(blocking = false)
+    (cents, history.toSeq)
+  }
+
   /** IVF probe: score only corpus vectors in the query's `nProbe`
     * nearest cells. Probe fraction ≈ nProbe / nCells of the corpus —
     * the linear-scan cost shrinks accordingly, recall governed by
@@ -199,11 +277,19 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(corpus, nCells, idCol, vecCol)
-    val cents = corpus.select(col(idCol).as("cell"),
-                              asDouble(col(vecCol)).as("cv"))
-      .filter(col("cell") < nCells)
+      vecCol: String = "embedding",
+      kmeansIters: Int = 0): DataFrame = {
+    // kmeansIters > 0 replaces the deterministic seed centroids with a
+    // Lloyd fit — assignment AND query probes must use the same set
+    val fitted =
+      if (kmeansIters > 0)
+        Some(kmeansFit(corpus, nCells, kmeansIters, idCol, vecCol))
+      else None
+    val assigned = ivfAssign(corpus, nCells, idCol, vecCol, fitted)
+    val cents = fitted.getOrElse(
+      corpus.select(col(idCol).as("cell"),
+                    asDouble(col(vecCol)).as("cv"))
+        .filter(col("cell") < nCells))
     // query → its nProbe nearest cells
     val qcells = queries
       .select(col("query_id"), asDouble(col("query_vec")).as("q"))

@@ -166,6 +166,19 @@ object SimilaritySuite extends QuerySuite {
         .orderBy(asc("query_id"), asc("rank")),
     None)
 
+  // ---- k-means centroid fit for IVF (float-summation-order sensitive
+  //      at the last ulp, so rows-gate; objective monotonicity + exact
+  //      full-probe equivalence pinned in SimilaritySpec) --------------
+  private val kmeansCentroids = GraftQuery(
+    "q_kmeans_centroids",
+    (s, d) =>
+      Similarity.kmeansFit(embeddings(s, d), k = 8, maxIter = 3)
+        .select(col("cell"), size(col("cv")).as("dims"),
+                round(sqrt(graft.functions.VectorOps.vec_dot(col("cv"), col("cv"))), 4)
+                  .as("norm"))
+        .orderBy(asc("cell")),
+    None)
+
   // ---- vector norms / normalization (oracle-checked) -----------------
   // L2 norm via the codegen'd vec_dot; per-element normalization shown
   // on the first component (the full normalized array is the same
@@ -233,5 +246,5 @@ object SimilaritySuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
-        vectorNorm, quantize)
+        kmeansCentroids, vectorNorm, quantize)
 }

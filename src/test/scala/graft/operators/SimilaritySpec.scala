@@ -119,6 +119,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows1.forall(_.getLong(1) <= 5))
   }
 
+  test("kmeansFit: spherical objective non-decreasing; k centroids survive") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.embeddings(spark, sf)
+    val (cents, history) = Similarity.kmeansFitWithHistory(corpus, k = 8, maxIter = 5)
+    assert(cents.count() === 8)  // empty cells keep previous centroid
+    assert(history.nonEmpty && history.length <= 5)
+    history.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-9, s"objective decreased: $history")
+      case _ => ()
+    }
+    // Lloyd must actually improve on the seed assignment for this corpus
+    assert(history.last > history.head, s"no improvement: $history")
+    cents.unpersist(blocking = false)
+  }
+
+  test("ivfTopK with fitted centroids: full probe still equals exact search") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.embeddings(spark, sf)
+    val qs = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, qs, k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val fittedFull = Similarity.ivfTopK(corpus, qs, k = 3, nCells = 8,
+        nProbe = 8, kmeansIters = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(fittedFull == exact,
+      "full-probe IVF must equal exact regardless of centroid fit")
+  }
+
   test("cosineNearDupPairs: finds near pairs, rejects far, emits each pair once") {
     val fixture = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
