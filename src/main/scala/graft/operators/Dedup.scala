@@ -32,6 +32,9 @@ object Dedup {
   /** Last [[connectedComponents]] result cache, same eviction contract. */
   private var lastLabelsCache: Option[DataFrame] = None
 
+  /** Last [[simhashNearPairs]] packed-signature cache, same contract. */
+  private var lastPackedCache: Option[DataFrame] = None
+
   // ---------- exact ---------------------------------------------------
 
   /** One row per distinct content: keeper id (min), duplicate count. */
@@ -535,6 +538,14 @@ object Dedup {
     val packed = simhashSignatures(docs, idCol, textCol)
       .select(col("id"), packBits(col("sig")).as("words"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same eviction contract as the minhash signature cache: CacheManager
+    // pins persisted plans until an explicit unpersist, so the previous
+    // call's cache is released here (recomputes if still referenced —
+    // laziness makes that safe, never wrong).
+    Dedup.synchronized {
+      lastPackedCache.foreach(_.unpersist(blocking = false))
+      lastPackedCache = Some(packed)
+    }
     // Words travel WITH the banded rows (32 bytes/row) so the Hamming
     // verify evaluates inside the bucket join's projection — BEFORE the
     // distinct. On template-heavy corpora the 16-bit bands are loose
