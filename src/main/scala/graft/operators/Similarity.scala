@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Last [[kmeansFit]] centroid cache, evicted on the next call — same
+    * contract as the [[Dedup]] cache slots: CacheManager pins persisted
+    * plans until an explicit unpersist, so without this slot every fit
+    * would pin a dead k-row cache forever. Eviction assumes the common
+    * one-caller-at-a-time usage; a concurrent caller merely loses the
+    * cache benefit (an unpersisted plan recomputes, it never fails).
+    */
+  private var lastCentroidCache: Option[DataFrame] = None
+
   /** Cast any numeric array to array<double> for stable arithmetic. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
@@ -262,6 +271,14 @@ object Similarity {
       i += 1
     }
     vecs.unpersist(blocking = false)
+    // the returned centroid frame stays persisted (ivfTopK consumes it in
+    // both the assignment and the query-probe join); evict the PREVIOUS
+    // fit's frame so repeated fits can't accumulate dead k-row caches —
+    // the same eviction contract as Dedup.lastSigCache/lastPackedCache.
+    Similarity.synchronized {
+      lastCentroidCache.foreach(_.unpersist(blocking = false))
+      lastCentroidCache = Some(cents)
+    }
     (cents, history.toSeq)
   }
 

@@ -147,7 +147,8 @@ object DedupSuite extends QuerySuite {
              SELECT CAST(SUM(np) AS BIGINT) AS n_exact_pairs,
                     CAST(SUM(CASE WHEN source = 'offsite' THEN np ELSE 0 END)
                       AS BIGINT) AS n_offsite
-             FROM shard_pairs"""))
+             FROM shard_pairs"""),
+    headline = true)
 
   // ---- incremental (batch-vs-corpus) dedup, Bloom-accelerated --------
   // New batch: every corpus doc re-arrives (a dup to reject) plus a
@@ -182,7 +183,8 @@ object DedupSuite extends QuerySuite {
           SELECT b.doc_id FROM batch b
           WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
           ORDER BY doc_id"""
-    })
+    },
+    headline = true)
 
   // ---- SimHash signatures + near pairs on planted duplicates ---------
   private val simhashSignatures = GraftQuery(

@@ -154,7 +154,8 @@ object SimilaritySuite extends QuerySuite {
     },
     Some("""SELECT COUNT(*) AS n_planted, COUNT(*) AS n_found,
               TRUE AS all_found
-            FROM embeddings"""))
+            FROM embeddings"""),
+    headline = true)
 
   // ---- IVF coarse-quantized ANN (approximate; recall vs exact path
   //      pinned in unit tests) ----------------------------------------
