@@ -40,6 +40,11 @@ object Dedup {
   /** Last [[simhashNearPairs]] packed-signature cache, same contract. */
   private var lastPackedCache: Option[DataFrame] = None
 
+  /** Last [[crossShardDedupClusters]] label caches (within-shard + rep
+    * level — both feed the returned lazy stitch join), same contract.
+    */
+  private var lastCrossShardCaches: Seq[DataFrame] = Nil
+
   // ---------- exact ---------------------------------------------------
 
   /** One row per distinct content: keeper id (min), duplicate count. */
@@ -264,8 +269,9 @@ object Dedup {
     * `shardCols` turns this into WINDOWED dedup: pairs only form within
     * a shard (source, date window, …). For corpora that exceed one LSH
     * pass this bounds every bucket join to shard size, at the documented
-    * cost of missing cross-shard duplicates — run a second pass over
-    * shard representatives when cross-shard matters.
+    * cost of missing cross-shard duplicates — use
+    * [[crossShardDedupClusters]] when cross-shard matters: it adds the
+    * second pass over shard representatives.
     */
   def nearDuplicatePairs(
       docs: DataFrame,
@@ -292,24 +298,115 @@ object Dedup {
     }
     val pairs = lshCandidatePairsFromSigs(sigs, numHashes,
       shardCols = shardCols)
-    val estimated = pairs
-      .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")
-      .join(sigs.select(col("id").as("b"), col("sig").as("sb")), "b")
-      .withColumn("est", signatureSimilarity(col("sa"), col("sb")))
-      .filter(col("est") >= minJaccard - 0.15)
-      .select(col("a"), col("b"))
     // tokenize each doc ONCE before the pair join — per-pair jaccard then
     // reads two materialized arrays instead of re-tokenizing both texts
     // for every candidate pair
     val toks = docs.select(
       col(idCol).as("id"),
       TextFunctions.distinctTokens(col(textCol)).as("toks"))
+    verifyCandidates(pairs, sigs, toks, minJaccard)
+  }
+
+  /** The estimate-then-verify tail shared by the one-pass and two-pass
+    * near-dup pipelines: signature-agreement estimate filter (slack
+    * below `minJaccard` to protect recall) → exact token-set Jaccard on
+    * the survivors only.
+    */
+  private def verifyCandidates(pairs: DataFrame, sigs: DataFrame,
+                               toks: DataFrame,
+                               minJaccard: Double): DataFrame = {
+    val estimated = pairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sb")), "b")
+      .withColumn("est", signatureSimilarity(col("sa"), col("sb")))
+      .filter(col("est") >= minJaccard - 0.15)
+      .select(col("a"), col("b"))
     val da = toks.select(col("id").as("a"), col("toks").as("ta"))
     val db = toks.select(col("id").as("b"), col("toks").as("tb"))
     estimated.join(da, "a").join(db, "b")
       .withColumn("jaccard", jaccardTokens(col("ta"), col("tb")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Windowed near-dup dedup WITH the cross-shard second pass the
+    * windowed pipeline documents ([[nearDuplicatePairs]] `shardCols`
+    * note): per-shard LSH bounds every bucket join to shard size, then a
+    * single GLOBAL pass over shard REPRESENTATIVES (one doc per
+    * within-shard cluster) catches the duplicates that span shards — the
+    * common case on a real corpus sharded by date or source. Cost shape
+    * at scale: the shard pass is |corpus| with shard-bounded joins; the
+    * rep pass is |distinct contents per shard| ≪ |corpus| after
+    * within-shard dedup, so the global bucket join runs on the deduped
+    * residue, never the raw corpus.
+    *
+    * Signatures are computed ONCE over the corpus and reused by both
+    * passes (the rep pass semi-joins them down to representatives) — at
+    * 100 TB this halves the dominant tokenize+minhash cost vs running
+    * the one-pass pipeline twice.
+    *
+    * Returns one row per doc: (id, cluster) where cluster is the min doc
+    * id reachable through within-shard OR cross-shard near-dup pairs —
+    * i.e. exact clones in different shards are GUARANTEED to share a
+    * cluster (identical text ⇒ identical signature ⇒ same rep-pass
+    * bucket), which is the oracle contract of `q_dedup_cross_shard`.
+    */
+  def crossShardDedupClusters(
+      docs: DataFrame,
+      minJaccard: Double = 0.8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      shardCols: Seq[String] = Nil,
+      maxBucket: Int = 200): DataFrame = {
+    require(shardCols.nonEmpty,
+      "crossShardDedupClusters needs shardCols; for a single-window corpus " +
+      "use nearDuplicatePairs + connectedComponents directly")
+    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes,
+        carryCols = shardCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = docs.select(
+      col(idCol).as("id"),
+      TextFunctions.distinctTokens(col(textCol)).as("toks"))
+    // pass 1: within-shard pairs → within-shard clusters. Labels are
+    // caller-owned (registerCache=false): the default slot would be
+    // evicted by the SECOND connectedComponents call below while the
+    // stitch join still needs these labels live.
+    val withinPairs = verifyCandidates(
+      lshCandidatePairsFromSigs(sigs, numHashes, maxBucket = maxBucket,
+        shardCols = shardCols),
+      sigs, toks, minJaccard)
+    val shardLabels = connectedComponents(
+      docs.select(col(idCol).as("id")), withinPairs,
+      registerCache = false)
+    // representatives: the min-id doc of each within-shard cluster is
+    // exactly the doc whose id == its label (singletons represent
+    // themselves)
+    val reps = shardLabels.filter(col("id") === col("label")).select("id")
+    val repSigs = sigs.join(reps, Seq("id"), "left_semi")
+    // pass 2: GLOBAL pairs over representatives (no shard key in the
+    // bucket join) → rep-level clusters
+    val repPairs = verifyCandidates(
+      lshCandidatePairsFromSigs(repSigs, numHashes, maxBucket = maxBucket),
+      repSigs, toks, minJaccard)
+    val repLabels = connectedComponents(reps, repPairs,
+      registerCache = false)
+    // both passes have materialized through the signature cache by now
+    // (connectedComponents rounds are eager actions)
+    sigs.unpersist(blocking = false)
+    // the two label frames feed the lazy stitch join the caller consumes;
+    // evict the previous call's pair so repeated invocations can't
+    // accumulate dead caches (same contract as the other slots).
+    Dedup.synchronized {
+      lastCrossShardCaches.foreach(_.unpersist(blocking = false))
+      lastCrossShardCaches = Seq(shardLabels, repLabels)
+    }
+    // stitch: doc → its within-shard rep → the rep's global cluster
+    shardLabels.select(col("id"), col("label").as("rep"))
+      .join(repLabels.select(col("id").as("rep"), col("label").as("cluster")),
+            Seq("rep"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("rep")).as("cluster"))
   }
 
   // ---------- incremental (batch-vs-corpus) dedup ---------------------
@@ -358,9 +455,15 @@ object Dedup {
     * fixpoint test (one cheap action per round — the driver never
     * collects the labels themselves).
     */
+  /** @param registerCache when false the caller takes ownership of the
+    *   returned persisted frame's eviction (used by multi-CC operators
+    *   like [[crossShardDedupClusters]], where the default slot would
+    *   evict a frame the composed plan still needs).
+    */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 30,
-                          usePersist: Boolean = true): DataFrame = {
+                          usePersist: Boolean = true,
+                          registerCache: Boolean = true): DataFrame = {
     // Iterative plans MUST truncate lineage each round (localCheckpoint,
     // eager): chaining round N's plan into round N+1 doubles the logical
     // plan per round — exponential planning cost that OOMs the driver
@@ -425,7 +528,7 @@ object Dedup {
     // the returned frame stays persisted (callers consume it next);
     // evict the previous call's result so repeated invocations can't
     // accumulate dead caches — same contract as the signature cache.
-    Dedup.synchronized {
+    if (registerCache) Dedup.synchronized {
       lastLabelsCache.foreach(_.unpersist(blocking = false))
       lastLabelsCache = if (usePersist) Some(labels) else None
     }

@@ -34,6 +34,26 @@ object Similarity {
   /** Cast any numeric array to array<double> for stable arithmetic. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Broadcast guard for the query side of the ANN operators. Every
+    * top-k path ships the query set to all executors (that is what makes
+    * the corpus side a single partition-local scan), which is only sane
+    * for a BOUNDED query set — an unguarded million-query frame OOMs the
+    * driver during broadcast collection instead of failing with a
+    * diagnosable error. The guard costs one count() of the (small) query
+    * frame and raises a named error past `maxQueries`; callers with a
+    * genuinely large query set should partition it and fan out, not
+    * raise the bound past executor memory.
+    */
+  private def guardedQueryBroadcast(queries: DataFrame, maxQueries: Long,
+                                    op: String): DataFrame = {
+    val n = queries.count()
+    require(n <= maxQueries,
+      s"$op: query side has $n rows > maxQueries=$maxQueries; the query set " +
+      "is broadcast to every executor, so a frame this large must be run in " +
+      "bounded batches (or raise maxQueries explicitly if memory allows)")
+    broadcast(queries)
+  }
+
   /** Sequential-fold dot product (left-to-right, matching DuckDB's
     * list_sum order so oracle doubles are bit-identical). Backed by the
     * codegen'd [[graft.functions.VectorDot]] — one compiled loop per
@@ -54,7 +74,8 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector.
     *
-    * @param queries small frame (query_id, query_vec) — broadcast.
+    * @param queries small frame (query_id, query_vec) — broadcast,
+    *                guarded by `maxQueries` (named error, not an OOM).
     * @param excludeSelf drop hits where corpus id == query id.
     */
   def bruteForceTopK(
@@ -63,11 +84,13 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      maxQueries: Long = 10000L): DataFrame = {
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
-      .crossJoin(broadcast(
-        queries.select(col("query_id"), asDouble(col("query_vec")).as("q"))))
+      .crossJoin(guardedQueryBroadcast(
+        queries.select(col("query_id"), asDouble(col("query_vec")).as("q")),
+        maxQueries, "bruteForceTopK"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
               cosine(col("v"), col("q")).as("cos"))
@@ -295,7 +318,14 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      kmeansIters: Int = 0): DataFrame = {
+      kmeansIters: Int = 0,
+      maxQueries: Long = 10000L): DataFrame = {
+    // guard the query side ONCE at entry: both broadcast frames below
+    // (qcells probes) are ≤ nProbe rows per query, so bounding the query
+    // count bounds every query-derived broadcast in this operator
+    val guardedQueries = guardedQueryBroadcast(
+      queries.select(col("query_id"), asDouble(col("query_vec")).as("q")),
+      maxQueries, "ivfTopK")
     // kmeansIters > 0 replaces the deterministic seed centroids with a
     // Lloyd fit — assignment AND query probes must use the same set
     val fitted =
@@ -308,8 +338,7 @@ object Similarity {
                     asDouble(col(vecCol)).as("cv"))
         .filter(col("cell") < nCells))
     // query → its nProbe nearest cells
-    val qcells = queries
-      .select(col("query_id"), asDouble(col("query_vec")).as("q"))
+    val qcells = guardedQueries
       .crossJoin(broadcast(cents))
       .select(col("query_id"), col("q"), col("cell"),
               cosine(col("q"), col("cv")).as("csim"))
@@ -350,15 +379,20 @@ object Similarity {
       nPlanes: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      probeHamming: Int = 0): DataFrame = {
+      probeHamming: Int = 0,
+      maxQueries: Long = 10000L): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1,
       "probeHamming 0 (single bucket) or 1 (all one-bit-flip buckets)")
     val c = corpus.select(
       col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"),
       hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
-    val qBase = queries.select(
-      col("query_id"), asDouble(col("query_vec")).as("q"),
-      hyperplaneBucket(col("query_vec"), nPlanes).as("bucket"))
+    // guard at entry: multi-probe multiplies the broadcast by nPlanes+1,
+    // but only on this (bounded) side — the corpus is still hashed once
+    val qBase = guardedQueryBroadcast(
+      queries.select(
+        col("query_id"), asDouble(col("query_vec")).as("q"),
+        hyperplaneBucket(col("query_vec"), nPlanes).as("bucket")),
+      maxQueries, "lshTopK")
     val q =
       if (probeHamming == 0) qBase
       else qBase
@@ -367,7 +401,8 @@ object Similarity {
             col("bucket").bitwiseXOR(lit(1 << i))): _*)).as("bucket"))
     // probe buckets are distinct ints and each corpus vector hashes to
     // exactly one bucket, so no (query, neighbor) pair can repeat — no
-    // distinct needed before scoring
+    // distinct needed before scoring. q derives from the already-guarded
+    // broadcast qBase, so the hint survives the explode projection.
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

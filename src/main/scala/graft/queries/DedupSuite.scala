@@ -150,6 +150,61 @@ object DedupSuite extends QuerySuite {
              FROM shard_pairs"""),
     headline = true)
 
+  // ---- cross-shard two-pass dedup: per-shard LSH + global pass over
+  //      shard representatives. Guarantee-based oracle: identical texts
+  //      (regardless of shard) share signatures and therefore rep-pass
+  //      buckets, so every exact-content group must land in ONE final
+  //      cluster — in particular every group that SPANS shards, the
+  //      pairs q_dedup_minhash_sharded proves the windowed pass alone
+  //      misses. n_cross_intact == n_cross_groups is SQL-decidable even
+  //      though the xxhash LSH geometry is not.
+  private val crossShard = GraftQuery(
+    "q_dedup_cross_shard",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"), col("source"))
+      val plantedSharded = docs.unionByName(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+                    col("source")))
+        .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+                    col("text"), lit("offsite").as("source")))
+      val clusters = Dedup.crossShardDedupClusters(plantedSharded,
+        minJaccard = 0.9, shardCols = Seq("source"))
+      val withFp = plantedSharded
+        .filter(size(graft.functions.TextFunctions.tokens(col("text"))) > 0)
+        .select(col("doc_id").as("id"), col("source"),
+          graft.functions.TextFunctions.exactFingerprint(col("text")).as("fp"))
+        .join(clusters, "id")
+      val groups = withFp.groupBy("fp").agg(
+        countDistinct(col("source")).as("ns"),
+        countDistinct(col("cluster")).as("nc"))
+      groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("ns") >= 2, 1L).otherwise(0L)).as("n_cross_groups"),
+        sum(when(col("ns") >= 2 && col("nc") === 1, 1L).otherwise(0L))
+          .as("n_cross_intact"),
+        (sum(when(col("nc") === 1, 1L).otherwise(0L)) === count(lit(1)))
+          .as("all_intact"))
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text, source FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text, source FROM documents
+               UNION ALL
+               SELECT doc_id + 2000000, text, 'offsite' FROM documents),
+             t AS (
+               SELECT doc_id, source,
+                      md5(array_to_string($toksSql, ' ')) AS fp
+               FROM corpus WHERE len($toksSql) > 0),
+             g AS (
+               SELECT fp, COUNT(DISTINCT source) AS ns FROM t GROUP BY fp)
+             SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                    CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_cross_groups,
+                    CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_cross_intact,
+                    TRUE AS all_intact
+             FROM g"""))
+
   // ---- incremental (batch-vs-corpus) dedup, Bloom-accelerated --------
   // New batch: every corpus doc re-arrives (a dup to reject) plus a
   // modified twin (new content to admit). Exact anti-join semantics, so
@@ -205,5 +260,5 @@ object DedupSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, minhashSharded,
-    incrementalDedup, simhashSignatures, simhashPairs)
+    crossShard, incrementalDedup, simhashSignatures, simhashPairs)
 }

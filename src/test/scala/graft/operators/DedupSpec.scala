@@ -70,6 +70,30 @@ class DedupSpec extends AnyFunSuite {
       s"unsharded pairs: $unsharded")
   }
 
+  test("crossShardDedupClusters merges the cross-shard clones windowed dedup misses") {
+    val sharded = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "A"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "A"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again", "B"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again", "B"),
+      (4L, "completely different content about spark query engines at scale", "B"),
+      (6L, "yet another unrelated body of text mentioning databases only", "C")
+    ).toDF("doc_id", "text", "source")
+    // the windowed pass alone: (1,2) in A, (3,5) in B — never across
+    val windowed = Dedup.nearDuplicatePairs(sharded, minJaccard = 0.8,
+        shardCols = Seq("source"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(windowed == Set((1L, 2L), (3L, 5L)))
+    // two-pass: reps 1 (A-cluster) and 3 (B-cluster) pair globally, so
+    // ALL FOUR clones stitch into cluster 1 — including 5, which never
+    // paired with 1 or 2 directly (transitivity through its rep)
+    val clusters = Dedup.crossShardDedupClusters(sharded, minJaccard = 0.8,
+        shardCols = Seq("source"))
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+                           4L -> 4L, 6L -> 6L), s"clusters: $clusters")
+  }
+
   test("incrementalDedup admits only content absent from the corpus") {
     val corpus = Seq(
       (1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")

@@ -148,6 +148,33 @@ class SimilaritySpec extends AnyFunSuite {
       "full-probe IVF must equal exact regardless of centroid fit")
   }
 
+  test("query-side broadcast guard: oversized query frame raises a named error") {
+    // 50 queries against maxQueries=10 must fail FAST with the operator's
+    // name in the message — the unguarded alternative is a driver OOM
+    // mid-broadcast with no hint which operator collected what.
+    val bigQueries = spark.range(0, 50)
+      .select($"id".as("query_id"),
+              array(lit(1.0f), lit(0.0f), lit(0.0f)).as("query_vec"))
+    val bf = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(vecs, bigQueries, k = 1, maxQueries = 10)
+    }
+    assert(bf.getMessage.contains("bruteForceTopK")
+      && bf.getMessage.contains("maxQueries"))
+    val lsh = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(vecs, bigQueries, k = 1, maxQueries = 10)
+    }
+    assert(lsh.getMessage.contains("lshTopK"))
+    val ivf = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(vecs, bigQueries, k = 1, nCells = 2, nProbe = 1,
+        maxQueries = 10)
+    }
+    assert(ivf.getMessage.contains("ivfTopK"))
+    // within the bound the same frames run fine
+    val ok = Similarity.bruteForceTopK(vecs, bigQueries.limit(5), k = 1,
+      maxQueries = 10)
+    assert(ok.count() == 5)
+  }
+
   test("cosineNearDupPairs: finds near pairs, rejects far, emits each pair once") {
     val fixture = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
