@@ -167,18 +167,39 @@ object SimilaritySuite extends QuerySuite {
         .orderBy(asc("query_id"), asc("rank")),
     None)
 
-  // ---- k-means centroid fit for IVF (float-summation-order sensitive
-  //      at the last ulp, so rows-gate; objective monotonicity + exact
-  //      full-probe equivalence pinned in SimilaritySpec) --------------
+  // ---- k-means centroid fit for IVF, guarantee-based oracle ----------
+  // Exact centroid values are float-summation-order-sensitive at the
+  // last ulp (parallel vs sequential reduction), so they can't be
+  // value-oracled — but Lloyd's GUARANTEES can: the spherical objective
+  // Σ cos(v, c(v)) is non-decreasing per round, so `monotone` (every
+  // step gains ≥ −1e−6; real gains are O(1), ulp noise is ~1e−12) and
+  // `improved` (final ≥ seed objective) are exact booleans from the
+  // exported objective history, and the centroid frame's shape (k cells,
+  // every centroid full-width) is schema arithmetic. All SQL-decidable
+  // even though the float geometry is not — same trick as
+  // q_embedding_neardup's planted-recall count.
   private val kmeansCentroids = GraftQuery(
     "q_kmeans_centroids",
-    (s, d) =>
-      Similarity.kmeansFit(embeddings(s, d), k = 8, maxIter = 3)
-        .select(col("cell"), size(col("cv")).as("dims"),
-                round(sqrt(graft.functions.VectorOps.vec_dot(col("cv"), col("cv"))), 4)
-                  .as("norm"))
-        .orderBy(asc("cell")),
-    None)
+    (s, d) => {
+      val (cents, hist) =
+        Similarity.kmeansFitWithHistory(embeddings(s, d), k = 8, maxIter = 3)
+      val monotone = hist.sliding(2).forall {
+        case Seq(a, b) => b >= a - 1e-6
+        case _         => true
+      }
+      val improved = hist.last >= hist.head - 1e-9
+      cents.agg(
+          count(lit(1)).as("n_cells"),
+          min(size(col("cv"))).cast("long").as("dims_min"),
+          max(size(col("cv"))).cast("long").as("dims_max"))
+        .withColumn("monotone", lit(monotone))
+        .withColumn("improved", lit(improved))
+    },
+    Some("""SELECT CAST(8 AS BIGINT) AS n_cells,
+              MIN(len(embedding)) AS dims_min,
+              MAX(len(embedding)) AS dims_max,
+              TRUE AS monotone, TRUE AS improved
+            FROM embeddings"""))
 
   // ---- vector norms / normalization (oracle-checked) -----------------
   // L2 norm via the codegen'd vec_dot; per-element normalization shown

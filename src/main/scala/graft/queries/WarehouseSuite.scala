@@ -138,6 +138,51 @@ object WarehouseSuite extends QuerySuite {
               ROUND(rev * 100.0 / SUM(rev) OVER (), 4) AS share_pct
             FROM r ORDER BY o_orderpriority"""))
 
+  // ---- dynamic partition pruning over a partitioned lake layout ------
+  // The 100 TB staple: a fact laid out by month (Sinks.writePartitionedByDate)
+  // joined to a filtered dim must scan ONLY the matching partitions, with
+  // the partition list discovered AT RUNTIME from the dim side. The dim's
+  // filter is deliberately on an AGGREGATED column (year of MIN(date)) so
+  // static constraint propagation cannot rewrite it onto o_month — only
+  // runtime DPP can prune the scan (a static filter would make this a
+  // plain pushdown demo). The dim is built from the base table, so DuckDB
+  // reproduces the result without seeing the partitioned copy; PlanSpec
+  // pins dynamicpruningexpression in the fact scan's PartitionFilters.
+  private val dppPrune = GraftQuery(
+    "q_dpp_prune",
+    (s, d) => {
+      val lakePath = System.getProperty("java.io.tmpdir") +
+        "/graft_dpp_lake_" + d.replaceAll("[^0-9a-zA-Z.]", "_")
+      val fact = orders(s, d).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      graft.sources.Sinks.writePartitionedByDate(fact, lakePath, "o_month")
+      val lake = s.read.parquet(lakePath)
+      val dim = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+        .agg(min(col("o_orderdate").cast("date")).as("first_day"))
+        .filter(year(col("first_day")) === 1995)
+        .select("o_month")
+      lake.join(broadcast(dim), Seq("o_month"))
+        .groupBy("o_month")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(asc("o_month"))
+    },
+    Some("""WITH f AS (
+              SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS o_month,
+                     o_totalprice
+              FROM orders),
+            dim AS (
+              SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS o_month,
+                     MIN(CAST(o_orderdate AS DATE)) AS first_day
+              FROM orders GROUP BY 1)
+            SELECT f.o_month, COUNT(*) AS n_orders,
+                   ROUND(SUM(f.o_totalprice), 2) AS revenue
+            FROM f JOIN dim USING (o_month)
+            WHERE EXTRACT(YEAR FROM dim.first_day) = 1995
+            GROUP BY f.o_month ORDER BY f.o_month"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(snapshotDiff, incrementalAgg, keepLatest, revenueShare)
+    Seq(snapshotDiff, incrementalAgg, keepLatest, revenueShare, dppPrune)
 }

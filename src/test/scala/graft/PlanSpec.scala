@@ -171,6 +171,16 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("LeftAnti"), s"exact anti-join missing:\n$s")
   }
 
+  test("q_dpp_prune: fact scan carries a DynamicPruningExpression partition filter") {
+    // runtime partition pruning, not static: the dim filter is on an
+    // aggregated column, so the partition list only exists at execution
+    // time — the scan must wait on it via a dynamic pruning subquery
+    val s = planNoExec("q_dpp_prune")
+    assert(s.toLowerCase.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the fact scan:\n$s")
+    assert(s.contains("PartitionFilters"), s"scan has no partition filters:\n$s")
+  }
+
   test("q_sample_mod: deterministic sample is a pure scan-side filter") {
     val s = plan("q_sample_mod")
     // pmod isn't a parquet-pushable predicate, but it must stay a plain
