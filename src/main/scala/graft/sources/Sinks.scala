@@ -44,6 +44,23 @@ object Sinks {
       .option("batchsize", batchSize)
       .jdbc(url, table, properties)
 
+  /** Driver-side DDL/DML execution on the JDBC target — the reference's
+    * `CREATE TABLE IF NOT EXISTS … PRIMARY KEY … UNIQUE` step before its
+    * chunked append (/root/reference/load_musemotion_to_azure.py:96-142).
+    * Spark's writer can create plain tables but never constraint-bearing
+    * ones, so schema-with-constraints is issued here, once, from the
+    * driver; the distributed writer then appends into it. Statements are
+    * a driver-side O(1) action — nothing executor-side touches this.
+    */
+  def executeDdl(url: String, sql: String,
+                 properties: java.util.Properties = new java.util.Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, properties)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    } finally conn.close()
+  }
+
   /** JDBC read-back. Partitioned reads (one task per key range) are the
     * scale path for big tables: pass `partitionCol` + bounds to fan the
     * scan out over `numPartitions` concurrent connections.

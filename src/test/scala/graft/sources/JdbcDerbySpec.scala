@@ -57,6 +57,69 @@ class JdbcDerbySpec extends AnyFunSuite {
     assert(back.agg(sum("v")).head.getLong(0) === (0L until 100L).map(_ * 2).sum)
   }
 
+  test("C5 executed: constraint DDL (PK + UNIQUE vin); upsert merges, never violates") {
+    // the reference's table DDL (/root/reference/load_musemotion_to_azure.py:96-142)
+    // in Derby dialect: SERIAL PRIMARY KEY → GENERATED ALWAYS AS IDENTITY.
+    // Column names are quoted lowercase because Spark's JDBC writer quotes
+    // the DataFrame's names verbatim in its INSERT — unquoted DDL would
+    // fold to uppercase and never match ("year" is also a Derby keyword).
+    Sinks.executeDdl(url, """CREATE TABLE musemotion (
+      "id" INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+      "vin" VARCHAR(50) UNIQUE,
+      "city" VARCHAR(100),
+      "year" INT)""")
+    val base = Seq(
+      ("VIN1", "Seattle", 2019), ("VIN2", "Tacoma", 2020))
+      .toDF("vin", "city", "year")
+    Sinks.writeJdbc(base, url, "musemotion", SaveMode.Append, properties = props)
+
+    // the UNIQUE constraint is live: re-appending an existing vin must
+    // raise a constraint violation, not silently duplicate
+    val dup = intercept[Exception] {
+      Sinks.writeJdbc(Seq(("VIN1", "Elsewhere", 2030)).toDF("vin", "city", "year"),
+        url, "musemotion", SaveMode.Append, properties = props)
+    }
+    def rootChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(rootChain(dup).exists(c =>
+        c.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+        Option(c.getMessage).exists(_.contains("duplicate key"))),
+      s"expected a unique-constraint violation, got: $dup")
+
+    // staged upsert against the CONSTRAINED table: stage updates, merge
+    // relationally, then land via truncate-overwrite — truncate keeps the
+    // table (and its PK/UNIQUE DDL) instead of drop/recreate losing it
+    val updates = Seq(
+      ("VIN2", "Bellevue", 2024), ("VIN4", "Spokane", 2025))
+      .toDF("vin", "city", "year")
+    Sinks.writeJdbc(updates, url, "musemotion_stage", SaveMode.Overwrite,
+      properties = props)
+    val merged = Upsert.upsertByVin(
+        Sinks.readJdbc(spark, url, "musemotion", props)
+          .select("vin", "city", "year"),
+        Sinks.readJdbc(spark, url, "musemotion_stage", props))
+      .localCheckpoint(true)
+    merged.write.mode(SaveMode.Overwrite)
+      .option("truncate", "true")
+      .jdbc(url, "musemotion", props)
+    val back = Sinks.readJdbc(spark, url, "musemotion", props)
+      .select("vin", "city", "year")
+      .orderBy("vin").as[(String, String, Int)].collect().toSeq
+    assert(back === Seq(
+      ("VIN1", "Seattle", 2019), ("VIN2", "Bellevue", 2024),
+      ("VIN4", "Spokane", 2025)))
+
+    // constraints survived the truncate-overwrite: a dup still raises
+    val dup2 = intercept[Exception] {
+      Sinks.writeJdbc(Seq(("VIN4", "X", 2031)).toDF("vin", "city", "year"),
+        url, "musemotion", SaveMode.Append, properties = props)
+    }
+    assert(rootChain(dup2).exists(c =>
+        c.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+        Option(c.getMessage).exists(_.contains("duplicate key"))),
+      s"constraints lost after truncate-overwrite: $dup2")
+  }
+
   test("C4 executed: staged vin-upsert through a real database") {
     val base = Seq(
       ("VIN1", "Seattle", 2019), ("VIN2", "Tacoma", 2020),
