@@ -27,7 +27,7 @@ object Dedup {
   /** Last [[nearDuplicatePairs]] signature cache, evicted on the next call
     * so repeated invocations can't accumulate dead persisted plans.
     *
-    * Eviction (for all three slots) assumes the common one-caller-at-a-
+    * Eviction (for all the slots below) assumes the common one-caller-at-a-
     * time usage: two CONCURRENT calls can interleave persist/unpersist so
     * one caller's in-flight job loses its cache — safe (an unpersisted
     * plan lazily recomputes, it never fails) but no longer accelerated.

@@ -39,16 +39,21 @@ object Similarity {
     * the corpus side a single partition-local scan), which is only sane
     * for a BOUNDED query set — an unguarded million-query frame OOMs the
     * driver during broadcast collection instead of failing with a
-    * diagnosable error. The guard costs one count() of the (small) query
-    * frame and raises a named error past `maxQueries`; callers with a
-    * genuinely large query set should partition it and fan out, not
-    * raise the bound past executor memory.
+    * diagnosable error. The guard counts `limit(maxQueries + 1)` — never
+    * the whole frame — so its cost is bounded at the threshold even when
+    * a caller hands it a corpus-sized query set by mistake (the failure
+    * case is exactly when a full count() would be most expensive). It
+    * raises a named error past `maxQueries`; callers with a genuinely
+    * large query set should partition it and fan out, not raise the
+    * bound past executor memory.
     */
   private def guardedQueryBroadcast(queries: DataFrame, maxQueries: Long,
                                     op: String): DataFrame = {
-    val n = queries.count()
+    val lim = if (maxQueries >= Int.MaxValue) Int.MaxValue
+              else (maxQueries + 1).toInt
+    val n = queries.limit(lim).count()
     require(n <= maxQueries,
-      s"$op: query side has $n rows > maxQueries=$maxQueries; the query set " +
+      s"$op: query side has >$maxQueries rows (maxQueries=$maxQueries); the query set " +
       "is broadcast to every executor, so a frame this large must be run in " +
       "bounded batches (or raise maxQueries explicitly if memory allows)")
     broadcast(queries)

@@ -153,10 +153,16 @@ object WarehouseSuite extends QuerySuite {
     (s, d) => {
       val lakePath = System.getProperty("java.io.tmpdir") +
         "/graft_dpp_lake_" + d.replaceAll("[^0-9a-zA-Z.]", "_")
-      val fact = orders(s, d).select(
-        col("o_orderkey"), col("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
-      graft.sources.Sinks.writePartitionedByDate(fact, lakePath, "o_month")
+      // Write-once: the layout is keyed by the dataset dir and the fact
+      // projection is deterministic, so a committed layout (_SUCCESS from
+      // a completed overwrite) is reused by later runs instead of being
+      // rewritten and orphaned on every verify invocation.
+      if (!new java.io.File(lakePath, "_SUCCESS").exists()) {
+        val fact = orders(s, d).select(
+          col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+        graft.sources.Sinks.writePartitionedByDate(fact, lakePath, "o_month")
+      }
       val lake = s.read.parquet(lakePath)
       val dim = orders(s, d)
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))

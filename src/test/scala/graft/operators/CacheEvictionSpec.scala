@@ -8,8 +8,10 @@ import graft.SparkTestSession
   * that persists internally and returns (or retains) a cached frame:
   * [[Dedup.nearDuplicatePairs]] (signature cache),
   * [[Dedup.simhashNearPairs]] (packed-signature cache),
-  * [[Dedup.connectedComponents]] (returned labels), and
-  * [[Similarity.kmeansFit]] (returned centroids).
+  * [[Dedup.connectedComponents]] (returned labels),
+  * [[Similarity.kmeansFit]] (returned centroids), and
+  * [[Dedup.crossShardDedupClusters]] (a TWO-frame slot: the within-shard
+  * and rep-level label frames the stitch join consumes).
   *
   * CacheManager pins persisted plans until an explicit unpersist, so
   * without eviction a long-lived session calling these repeatedly
@@ -73,6 +75,22 @@ class CacheEvictionSpec extends AnyFunSuite {
     Similarity.kmeansFit(vectors(0.5), k = 2, maxIter = 2).count()
     assert(cacheEntries == 4,
       "kmeansFit must evict the previous fit's centroid cache")
+
+    // crossShardDedupClusters owns TWO caller-owned CC label frames per
+    // call (registerCache=false inside), tracked in a 2-frame slot; the
+    // signature cache it persists internally is released before return.
+    // So two calls must leave exactly the latest call's two frames live.
+    def sharded(tag: String) = Seq(
+      (1L, s"the quick brown fox jumps over the lazy dog $tag", "s1"),
+      (2L, s"the quick brown fox jumps over the lazy dog $tag", "s2"),
+      (3L, s"an entirely different document about spark engines $tag", "s1"),
+      (4L, s"yet another unrelated piece of text content here $tag", "s2"))
+      .toDF("doc_id", "text", "shard")
+    Dedup.crossShardDedupClusters(sharded("a"), shardCols = Seq("shard")).count()
+    Dedup.crossShardDedupClusters(sharded("b"), shardCols = Seq("shard")).count()
+    assert(cacheEntries == 6,
+      "crossShardDedupClusters must evict the previous call's two label " +
+      "frames and leave exactly the latest call's pair live")
 
     // hygiene: leave nothing behind for other suites
     spark.sharedState.cacheManager.clearCache()
