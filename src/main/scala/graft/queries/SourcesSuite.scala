@@ -85,5 +85,50 @@ object SourcesSuite extends QuerySuite {
              WHERE vin IS NOT NULL AND city IS NOT NULL
              ORDER BY vin"""))
 
-  override val queries: Seq[GraftQuery] = Seq(xlsxRead, xlsxClean)
+  // ---- typed decode: date serials → ISO strings ----------------------
+
+  private val datedXlsx = s"$dir/dated.xlsx"
+  private val datedCsv = s"$dir/dated.csv"
+  private val datedCols = Seq("Event ID", "Name", "Registration Date",
+    "Last Seen", "Duration", "Score")
+
+  private val datedRawSql =
+    s"""SELECT "Event ID" AS event_id, "Name" AS name,
+              "Registration Date" AS registration_date,
+              "Last Seen" AS last_seen, "Duration" AS duration,
+              "Score" AS score
+       FROM read_csv('$datedCsv', header=true, all_varchar=true)"""
+
+  /** Date-bearing workbook under `typedDates=true`: every serial styled
+    * with a date / custom-datetime / time number format must render the
+    * SAME ISO string the CSV twin carries (python-datetime arithmetic —
+    * an independent implementation), including the 1900 leap-bug edge
+    * serials 1 / 59 / 61 and a text-typed date that must pass through.
+    */
+  private val xlsxTyped = GraftQuery(
+    "q_xlsx_typed",
+    (s, _) =>
+      XlsxSource.readAutoHeader(s, datedXlsx, datedCols, typedDates = true)
+        .orderBy(asc("event_id")),
+    Some(s"""$datedRawSql ORDER BY event_id"""))
+
+  /** The point of the decode: the column is date-CASTABLE downstream.
+    * Group registrations by calendar year through a plain cast — with
+    * raw serials this query would be meaningless.
+    */
+  private val xlsxTypedAgg = GraftQuery(
+    "q_xlsx_typed_agg",
+    (s, _) =>
+      XlsxSource.readAutoHeader(s, datedXlsx, datedCols, typedDates = true)
+        .groupBy(year(col("registration_date").cast("date")).as("reg_year"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc("reg_year")),
+    Some(s"""SELECT CAST(EXTRACT(YEAR FROM CAST(registration_date AS DATE))
+                    AS INTEGER) AS reg_year,
+                    COUNT(*) AS n
+             FROM ($datedRawSql)
+             GROUP BY reg_year ORDER BY reg_year NULLS FIRST"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(xlsxRead, xlsxClean, xlsxTyped, xlsxTypedAgg)
 }

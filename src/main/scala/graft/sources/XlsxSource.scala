@@ -33,6 +33,19 @@ import graft.etl.SchemaResolver
   *
   * Every value lands as a STRING (missing cells null): typing is the
   * clean pipeline's job, same contract as the headerless-CSV path.
+  * Excel stores dates as DAY SERIALS (floats, epoch 1899-12-30 or
+  * 1904-01-01) distinguishable from plain numbers only by the cell's
+  * number format, so the string contract alone would surface opaque
+  * serials for date columns. Opt-in `typedDates=true` decodes them:
+  * `xl/styles.xml` cellXfs are classified date / datetime / time via
+  * the built-in numFmtId table (ECMA-376 §18.8.30) plus a POI-style
+  * heuristic over custom format codes, and matching NUMERIC cells
+  * render as ISO-8601 strings (`yyyy-MM-dd`, `yyyy-MM-dd HH:mm:ss`,
+  * `HH:mm:ss`) — directly castable downstream, still strings, so the
+  * raw schema is unchanged. The 1900 system's fictitious 1900-02-29
+  * (Lotus leap-year bug: serials 60 and 59 both render 1900-02-28
+  * here, the LibreOffice reading) and the `workbookPr date1904` flag
+  * are both handled; see [[serialToIso]].
   *
   * Scale shape: sheet XML is not splittable and xlsx is a small-file
   * format by construction (XLSX row limit is 2^20), so the unit of
@@ -62,7 +75,8 @@ object XlsxSource {
   private def readParts(in: InputStream): Map[String, Array[Byte]] = {
     val wanted = (n: String) =>
       n == "xl/workbook.xml" || n == "xl/_rels/workbook.xml.rels" ||
-      n == "xl/sharedStrings.xml" || (n.startsWith("xl/worksheets/") && n.endsWith(".xml"))
+      n == "xl/sharedStrings.xml" || n == "xl/styles.xml" ||
+      (n.startsWith("xl/worksheets/") && n.endsWith(".xml"))
     val zin = new ZipInputStream(in)
     val out = Map.newBuilder[String, Array[Byte]]
     try {
@@ -144,8 +158,143 @@ object XlsxSource {
       all.toIndexedSeq
     }.getOrElse(IndexedSeq.empty)
 
+  // ---------- typed decode: styles + date serials ----------------------
+
+  /** How a numeric cell formatted with a given cellXf renders under
+    * typed decode. NotDate = raw serial text (the default contract).
+    */
+  private[sources] object StyleKind {
+    val NotDate = 0; val Date = 1; val DateTime = 2; val Time = 3
+  }
+
+  /** Built-in numFmtId classification (ECMA-376 §18.8.30): 14–17 and the
+    * era formats 27–36 / 50–58 are dates, 18–21 and 45–47 times, 22 the
+    * one built-in date+time. Custom ids (≥164) classify by format code.
+    */
+  private def numFmtKind(id: Int, code: Option[String]): Int =
+    if ((id >= 14 && id <= 17) || (id >= 27 && id <= 36) || (id >= 50 && id <= 58))
+      StyleKind.Date
+    else if ((id >= 18 && id <= 21) || (id >= 45 && id <= 47)) StyleKind.Time
+    else if (id == 22) StyleKind.DateTime
+    else code.map(customKind).getOrElse(StyleKind.NotDate)
+
+  /** POI-style heuristic for custom format codes: drop quoted literals,
+    * bracket sections (colors / conditions / elapsed markers), backslash
+    * escapes and the AM/PM token, then classify by which pattern letters
+    * survive — y/d mean a date part, h/s a time part, a bare m (no h/s
+    * context) is a month. "#,##0.00", "0.00%", "General", "@" keep none
+    * of them and stay NotDate.
+    */
+  private[sources] def customKind(fmt: String): Int = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) fmt.charAt(i) match {
+      case '"' =>
+        i += 1
+        while (i < fmt.length && fmt.charAt(i) != '"') i += 1
+        i += 1
+      case '[' =>
+        i += 1
+        while (i < fmt.length && fmt.charAt(i) != ']') i += 1
+        i += 1
+      case '\\' => i += 2
+      case ch   => sb.append(ch); i += 1
+    }
+    val s = sb.toString.toLowerCase
+      .replace("am/pm", "").replace("a/p", "")
+    val hasDate = s.exists(c => c == 'y' || c == 'd')
+    val hasTime = s.exists(c => c == 'h' || c == 's')
+    if (hasDate && hasTime) StyleKind.DateTime
+    else if (hasDate) StyleKind.Date
+    else if (hasTime) StyleKind.Time
+    else if (s.contains('m')) StyleKind.Date // bare month, e.g. "mmm-yy"
+    else StyleKind.NotDate
+  }
+
+  /** Per-cellXf StyleKind from `xl/styles.xml`. Single pass is sound:
+    * the styleSheet XSD sequences `numFmts` before `cellXfs`, so every
+    * custom code is known when its xf is classified. Only xfs inside
+    * `cellXfs` count — `cellStyleXfs` holds the named-style masters that
+    * cells never reference directly.
+    */
+  private def styleKinds(parts: Map[String, Array[Byte]]): IndexedSeq[Int] =
+    parts.get("xl/styles.xml").map { bytes =>
+      val r = secureFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+      val custom = mutable.Map.empty[Int, String]
+      val kinds = mutable.ArrayBuffer.empty[Int]
+      var inCellXfs = false
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            for (id <- Option(r.getAttributeValue(null, "numFmtId"));
+                 code <- Option(r.getAttributeValue(null, "formatCode")))
+              custom += id.trim.toInt -> code
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            val id = Option(r.getAttributeValue(null, "numFmtId"))
+              .map(_.trim.toInt).getOrElse(0)
+            kinds += numFmtKind(id, custom.get(id))
+          case _ => ()
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ => ()
+      }
+      r.close()
+      kinds.toIndexedSeq
+    }.getOrElse(IndexedSeq.empty)
+
+  /** `workbookPr date1904` flag: serials count from 1904-01-01 (classic
+    * Mac Excel) instead of the 1900 system.
+    */
+  private def isDate1904(parts: Map[String, Array[Byte]]): Boolean =
+    parts.get("xl/workbook.xml").exists { bytes =>
+      val r = secureFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+      var flag = false
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "workbookPr") {
+          val v = r.getAttributeValue(null, "date1904")
+          flag = v == "1" || v == "true"
+        }
+      }
+      r.close()
+      flag
+    }
+
+  /** Day serial → ISO-8601 string. 1900 system: Excel inherits Lotus
+    * 1-2-3's fictitious 1900-02-29 (serial 60), so real dates from
+    * 1900-03-01 on live at epoch 1899-12-30 while serials 1–59 live at
+    * 1899-12-31; serial 60 itself decodes as 1900-02-28 (the
+    * LibreOffice reading of the non-existent day). 1904 system: plain
+    * offset from 1904-01-01, no bug. The fraction is the time of day,
+    * rounded to the nearest second (rolling into the next day at
+    * exactly 86400). Serials Excel itself cannot display (negative in
+    * the 1900 system) pass through as raw text.
+    */
+  private[sources] def serialToIso(raw: String, kind: Int,
+                                   date1904: Boolean): String = {
+    val serial = raw.trim.toDouble
+    if (!date1904 && serial < 0) return raw
+    var days = math.floor(serial).toLong
+    var secs = math.round((serial - days) * 86400.0)
+    if (secs >= 86400L) { secs -= 86400L; days += 1 }
+    val d =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1).plusDays(days)
+      else if (days >= 60) java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+      else java.time.LocalDate.of(1899, 12, 31).plusDays(days)
+    val hms = "%02d:%02d:%02d".format(secs / 3600, (secs / 60) % 60, secs % 60)
+    kind match {
+      case StyleKind.Date => d.toString
+      case StyleKind.Time => hms
+      case _              => s"$d $hms"
+    }
+  }
+
   private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String],
-                         maxRows: Int): Vector[SheetRow] = {
+                         maxRows: Int,
+                         styleKind: IndexedSeq[Int] = IndexedSeq.empty,
+                         date1904: Boolean = false): Vector[SheetRow] = {
     val r = secureFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
     val rows = mutable.ArrayBuffer.empty[(Int, Vector[(Int, String)])]
     var cells = mutable.ArrayBuffer.empty[(Int, String)]
@@ -153,6 +302,7 @@ object XlsxSource {
     var nextCol = 0       // advance cursor for cells without an r= ref
     var cellCol = 0
     var cellType = "n"
+    var cellKind = StyleKind.NotDate
     // rich-text inline strings carry multiple <t> runs per cell — they
     // concatenate (Excel's rendering), so buffer until </c>
     var inlineSb: StringBuilder = null
@@ -167,6 +317,13 @@ object XlsxSource {
           val ref = r.getAttributeValue(null, "r")
           cellCol = if (ref != null) colIndex(ref) else nextCol
           cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+          cellKind =
+            if (styleKind.isEmpty) StyleKind.NotDate
+            else Option(r.getAttributeValue(null, "s"))
+              .map(_.trim.toInt)
+              .filter(i => i >= 0 && i < styleKind.length)
+              .map(styleKind)
+              .getOrElse(StyleKind.NotDate)
           inlineSb = if (cellType == "inlineStr") new StringBuilder else null
           nextCol = cellCol + 1
         case "v" =>
@@ -177,7 +334,12 @@ object XlsxSource {
               if (i >= 0 && i < shared.length) shared(i) else null
             case "b" => if (raw.trim == "1") "true" else "false"
             case "e" => null
-            case _   => raw
+            case _ if cellKind != StyleKind.NotDate =>
+              // numeric cell under a date/time format → ISO string;
+              // unparseable numerics fall back to the raw contract
+              try serialToIso(raw, cellKind, date1904)
+              catch { case _: NumberFormatException => raw }
+            case _ => raw
           }
           if (v != null) cells += cellCol -> v
         case "t" if inlineSb != null =>
@@ -206,9 +368,11 @@ object XlsxSource {
 
   /** Parse one workbook stream: the named sheet (default: first), at most
     * `maxRows` rows. Pure function of the bytes — callable on executors.
+    * `typedDates=true` opts into the date-serial decode (see object doc).
     */
   def parseWorkbook(in: InputStream, sheet: Option[String] = None,
-                    maxRows: Int = Int.MaxValue): Vector[SheetRow] = {
+                    maxRows: Int = Int.MaxValue,
+                    typedDates: Boolean = false): Vector[SheetRow] = {
     val parts = readParts(in)
     val sheets = sheetTargets(parts)
     if (sheets.isEmpty)
@@ -221,7 +385,9 @@ object XlsxSource {
     }
     val bytes = parts.getOrElse(target,
       throw new IllegalArgumentException(s"sheet part $target missing (sheet '$name')"))
-    parseSheet(bytes, sharedStrings(parts), maxRows)
+    parseSheet(bytes, sharedStrings(parts), maxRows,
+      styleKind = if (typedDates) styleKinds(parts) else IndexedSeq.empty,
+      date1904 = typedDates && isDate1904(parts))
   }
 
   // ---------- Spark surface -------------------------------------------
@@ -236,7 +402,8 @@ object XlsxSource {
     * sheet position — header detection and skipping key off it.
     */
   def read(spark: SparkSession, pathGlob: String,
-           sheet: Option[String] = None): DataFrame = {
+           sheet: Option[String] = None,
+           typedDates: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = FsUtil.expand(pathGlob, conf)
     require(files.nonEmpty, s"no files match $pathGlob")
@@ -245,7 +412,8 @@ object XlsxSource {
       .parallelize(files, files.length)
       .flatMap { p =>
         val in = FsUtil.open(p, serConf.value)
-        try parseWorkbook(in, sheet).map(sr => Row(p, sr.rowIdx, sr.cells))
+        try parseWorkbook(in, sheet, typedDates = typedDates)
+          .map(sr => Row(p, sr.rowIdx, sr.cells))
         finally in.close()
       }
     spark.createDataFrame(rdd, rawSchema)
@@ -260,7 +428,8 @@ object XlsxSource {
   def readAutoHeader(spark: SparkSession, pathGlob: String,
                      expected: Seq[String],
                      sheet: Option[String] = None,
-                     maxProbe: Int = 10): DataFrame = {
+                     maxProbe: Int = 10,
+                     typedDates: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = FsUtil.expand(pathGlob, conf)
     require(files.nonEmpty, s"no files match $pathGlob")
@@ -275,7 +444,7 @@ object XlsxSource {
         s"(expected like: ${expected.mkString(", ")})"))
     val names = det.headers.map(SchemaResolver.normalize)
       .zipWithIndex.map { case (n, i) => if (n.isEmpty) s"_c$i" else n }
-    val raw = read(spark, pathGlob, sheet)
+    val raw = read(spark, pathGlob, sheet, typedDates)
     raw.filter(col("_row") > det.headerRow)
       .select(names.zipWithIndex.map {
         case (n, i) => col("cells").getItem(i).as(n)
