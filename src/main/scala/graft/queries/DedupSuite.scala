@@ -205,6 +205,57 @@ object DedupSuite extends QuerySuite {
                     TRUE AS all_intact
              FROM g"""))
 
+  // ---- cross-shard NEAR-dup recall: q_dedup_cross_shard pins exact
+  //      clones (identical signatures make the rep-pass bucket a
+  //      guarantee); near-duplicates that span shards rely on LSH
+  //      geometry, which this gate pins with a planted-recall oracle.
+  //      Each base doc with >= 25 distinct tokens AND >= 45 tokens gets
+  //      a twin in a DIFFERENT shard with ONE appended token: token-set
+  //      jaccard >= 25/26 = 0.96 (> the 0.9 threshold, the exact-verify
+  //      margin) and k=5 shingle jaccard >= (m-4)/(m-3) >= 41/42 =
+  //      0.976 (the LSH margin: 8x8-band miss probability <= 8e-7 per
+  //      pair, ~2e-4 expected misses across the few hundred planted
+  //      groups at ANY test SF) — every planted group must land in ONE
+  //      cluster, and both sides of that count are SQL-decidable.
+  private val crossShardNear = GraftQuery(
+    "q_dedup_cross_shard_near",
+    (s, d) => {
+      val base = documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+        .filter(
+          size(graft.functions.TextFunctions.distinctTokens(col("text"))) >= 25 &&
+          size(graft.functions.TextFunctions.tokens(col("text"))) >= 45)
+      val twins = base.select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" qqneardupmarker")).as("text"),
+        lit("neardup").as("source"))
+      val clusters = Dedup.crossShardDedupClusters(
+        base.unionByName(twins), minJaccard = 0.9,
+        shardCols = Seq("source"))
+      // twins carry their BASE content's fingerprint: a planted group =
+      // one base content + all its docs' twins, intact iff one cluster
+      val fp = graft.functions.TextFunctions.exactFingerprint(col("text"))
+      val baseFp = base.select(col("doc_id").as("id"), fp.as("bfp"))
+        .unionByName(base.select(
+          (col("doc_id") + 5000000L).as("id"), fp.as("bfp")))
+      baseFp.join(clusters, "id")
+        .groupBy("bfp").agg(countDistinct(col("cluster")).as("nc"))
+        .agg(
+          count(lit(1)).as("n_near_groups"),
+          sum(when(col("nc") === 1, 1L).otherwise(0L)).as("n_near_intact"),
+          (sum(when(col("nc") === 1, 1L).otherwise(0L)) === count(lit(1)))
+            .as("all_near_intact"))
+    },
+    Some(s"""WITH base AS (
+               SELECT md5(array_to_string($toksSql, ' ')) AS fp
+               FROM documents
+               WHERE len(list_distinct($toksSql)) >= 25
+                 AND len($toksSql) >= 45)
+             SELECT CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_near_groups,
+                    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_near_intact,
+                    TRUE AS all_near_intact
+             FROM base"""))
+
   // ---- incremental (batch-vs-corpus) dedup, Bloom-accelerated --------
   // New batch: every corpus doc re-arrives (a dup to reject) plus a
   // modified twin (new content to admit). Exact anti-join semantics, so
@@ -260,5 +311,6 @@ object DedupSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, minhashSharded,
-    crossShard, incrementalDedup, simhashSignatures, simhashPairs)
+    crossShard, crossShardNear, incrementalDedup, simhashSignatures,
+    simhashPairs)
 }
