@@ -203,7 +203,8 @@ object DedupSuite extends QuerySuite {
                     CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                       AS n_cross_intact,
                     TRUE AS all_intact
-             FROM g"""))
+             FROM g"""),
+    headline = true)
 
   // ---- cross-shard NEAR-dup recall: q_dedup_cross_shard pins exact
   //      clones (identical signatures make the rep-pass bucket a
