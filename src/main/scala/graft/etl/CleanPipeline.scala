@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{StringType, StructType}
 import graft.model.EvSchema
 
 /** The reference's clean pipeline (/root/reference/pipeline.py:81-123)
@@ -52,6 +52,25 @@ object CleanPipeline {
         d.withColumn(c, col(c).try_cast("double").try_cast(t.sql))
       else d
     }
+  }
+
+  /** Generic typed-schema imposition for all-strings sources (CSV with
+    * imposed names, [[graft.sources.XlsxSource]] under `typedDates`):
+    * cast each frame column to its target type from `schema` with
+    * null-on-failure (`try_cast`, so the contract holds under ANSI
+    * mode too), pandas' `errors='coerce'` for a whole schema at once.
+    * Columns absent from the schema pass through unchanged; schema
+    * fields absent from the frame are ignored (caller's resolver owns
+    * name drift). Projection-only — one codegen span, no shuffle.
+    */
+  def imposeTypes(df: DataFrame, schema: StructType): DataFrame = {
+    val target = schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(df.columns.map { c =>
+      target.get(c) match {
+        case Some(t) => col(c).try_cast(t.sql).as(c)
+        case None    => col(c)
+      }
+    }.toIndexedSeq: _*)
   }
 
   /** P4 — WKT `POINT (lon lat)` → (latitude, longitude) doubles, the

@@ -493,9 +493,18 @@ object Dedup {
     val sym = materialize(edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b"))))
     var labels = materialize(nodes.select(col("id"), col("id").as("label")))
+    // Edgeless graphs short-circuit: every node is its own cluster, so
+    // the identity labels ARE the fixpoint — skip the propagation loop
+    // (2 rounds of 3 joins over the full node set just to observe a
+    // stable sum). Common in composed operators: a well-sharded corpus
+    // reaches the rep pass with few or zero cross-shard pairs, and an
+    // already-deduped batch has none at all. The isEmpty probe reads
+    // one partition of the (persisted) edge frame — negligible next to
+    // the loop it avoids, and the cached blocks feed round 1 when the
+    // frame is non-empty.
     var prevSum = BigDecimal(-1)
     var i = 0
-    var done = false
+    var done = sym.isEmpty
     while (!done && i < maxIter) {
       val neighborMin = sym
         .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")

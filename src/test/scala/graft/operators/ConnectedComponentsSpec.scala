@@ -20,6 +20,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("zero edges short-circuit to identity labels") {
+    val nodes = Seq(7L, 8L, 9L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 7L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("long chain converges within the log-bounded iteration budget") {
     val n = 200L
     val nodes = (1L to n).toDF("id")

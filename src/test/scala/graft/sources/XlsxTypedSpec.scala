@@ -95,6 +95,33 @@ class XlsxTypedSpec extends AnyFunSuite {
     assert(r(2) === "1904-04-10 12:00:00") // serial 100.5, custom fmt 164
   }
 
+  test("imposeTypes: decoded ISO strings land as real date/timestamp/double") {
+    import org.apache.spark.sql.types._
+    val df = XlsxSource.readAutoHeader(spark, dated,
+      Seq("Event ID", "Name", "Registration Date", "Last Seen",
+          "Duration", "Score"),
+      typedDates = true)
+    val typed = graft.etl.CleanPipeline.imposeTypes(df, StructType(Seq(
+      StructField("registration_date", DateType),
+      StructField("last_seen", TimestampType),
+      StructField("score", DoubleType))))
+    assert(typed.schema("registration_date").dataType === DateType)
+    assert(typed.schema("last_seen").dataType === TimestampType)
+    assert(typed.schema("score").dataType === DoubleType)
+    assert(typed.schema("name").dataType === StringType) // untouched
+    val r = typed.filter(col("event_id") === "E100")
+      .select(col("registration_date").cast("string"),
+              col("last_seen").cast("string"), col("score"))
+      .head()
+    assert(r.getString(0) === "2015-01-01")
+    assert(r.getString(1) === "2015-01-01 00:00:00")
+    assert(r.getDouble(2) === 0.5)
+    // unparseable values coerce to null, never throw (edge rows carry
+    // empty last_seen/score cells)
+    assert(typed.filter(col("event_id") === "E900")
+      .head().isNullAt(typed.columns.indexOf("last_seen")))
+  }
+
   test("distributed read: typed column is date-castable end-to-end") {
     val df = XlsxSource.readAutoHeader(spark, dated,
       Seq("Event ID", "Name", "Registration Date", "Last Seen",
