@@ -492,19 +492,32 @@ object Dedup {
       if (usePersist) df.unpersist(blocking = false)
     val sym = materialize(edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b"))))
-    var labels = materialize(nodes.select(col("id"), col("id").as("label")))
+    // Propagation runs over edge PARTICIPANTS only, not the full node
+    // set: an isolated node can never change label (no neighbor, and the
+    // label chase starts from identity), so carrying it through every
+    // round pays |nodes|-sized self-join and left-join rounds for rows
+    // that are already at their fixpoint. On a real corpus duplicates
+    // are sparse — CC must scale with the DUP GRAPH, not the corpus
+    // (100 TB of docs vs the few percent that pair). Isolated nodes
+    // rejoin as identity labels in one final linear pass. The semi-join
+    // keeps the current semantics for edges naming unknown ids (they
+    // influence nothing, as before).
+    val participants = sym.select(col("a").as("id")).distinct()
+      .join(nodes.select(col("id")), Seq("id"), "left_semi")
+    var labels = materialize(participants.select(col("id"), col("id").as("label")))
     // Edgeless graphs short-circuit: every node is its own cluster, so
-    // the identity labels ARE the fixpoint — skip the propagation loop
-    // (2 rounds of 3 joins over the full node set just to observe a
-    // stable sum). Common in composed operators: a well-sharded corpus
-    // reaches the rep pass with few or zero cross-shard pairs, and an
+    // the identity labels ARE the fixpoint — skip the propagation loop.
+    // Common in composed operators: a well-sharded corpus reaches the
+    // rep pass with few or zero cross-shard pairs, and an
     // already-deduped batch has none at all. The isEmpty probe reads
     // one partition of the (persisted) edge frame — negligible next to
     // the loop it avoids, and the cached blocks feed round 1 when the
     // frame is non-empty.
     var prevSum = BigDecimal(-1)
     var i = 0
-    var done = sym.isEmpty
+    // labels can be empty even with edges present (every edge naming
+    // unknown ids) — identity is the fixpoint there too
+    var done = sym.isEmpty || labels.isEmpty
     while (!done && i < maxIter) {
       val neighborMin = sym
         .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")
@@ -534,14 +547,24 @@ object Dedup {
       prevSum = s
     }
     release(sym)
+    // Rejoin isolated nodes as identity labels — one linear pass,
+    // materialized EAGERLY (count) so the participant frame can be
+    // released immediately: a lazy hand-off would leave the returned
+    // frame's lineage rooted in blocks we are about to free, turning
+    // the caller's first action into a full loop recompute.
+    val full = materialize(nodes.select(col("id"))
+      .join(labels.select(col("id"), col("label").as("plabel")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("plabel"), col("id")).as("label")))
+    full.count()
+    release(labels)
     // the returned frame stays persisted (callers consume it next);
     // evict the previous call's result so repeated invocations can't
     // accumulate dead caches — same contract as the signature cache.
     if (registerCache) Dedup.synchronized {
       lastLabelsCache.foreach(_.unpersist(blocking = false))
-      lastLabelsCache = if (usePersist) Some(labels) else None
+      lastLabelsCache = if (usePersist) Some(full) else None
     }
-    labels
+    full
   }
 
   // ---------- SimHash -------------------------------------------------

@@ -28,6 +28,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(7L -> 7L, 8L -> 8L, 9L -> 9L))
   }
 
+  test("isolated nodes stay identity; propagation runs on participants only") {
+    // 2 participants among 5 nodes — isolated nodes must come back as
+    // their own cluster via the final rejoin, not ride the loop
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((4L, 5L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("edges naming unknown ids influence nothing") {
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((90L, 91L)).toDF("a", "b") // neither endpoint known
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("long chain converges within the log-bounded iteration budget") {
     val n = 200L
     val nodes = (1L to n).toDF("id")
