@@ -280,7 +280,8 @@ object Dedup {
       textCol: String = "text",
       shingleK: Int = 5,
       numHashes: Int = 64,
-      shardCols: Seq[String] = Nil): DataFrame = {
+      shardCols: Seq[String] = Nil,
+      maxBucket: Int = 200): DataFrame = {
     // signatures feed three consumers (banding + both estimate joins):
     // cache them so the corpus-wide signature aggregation runs once, not
     // three times. At 100 TB this is the difference between one and
@@ -297,7 +298,7 @@ object Dedup {
       lastSigCache = Some(sigs)
     }
     val pairs = lshCandidatePairsFromSigs(sigs, numHashes,
-      shardCols = shardCols)
+      maxBucket = maxBucket, shardCols = shardCols)
     // tokenize each doc ONCE before the pair join — per-pair jaccard then
     // reads two materialized arrays instead of re-tokenizing both texts
     // for every candidate pair

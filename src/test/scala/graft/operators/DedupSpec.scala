@@ -94,6 +94,29 @@ class DedupSpec extends AnyFunSuite {
                            4L -> 4L, 6L -> 6L), s"clusters: $clusters")
   }
 
+  test("maxBucket guard drops oversized boilerplate buckets, keeps the rest") {
+    // 30 identical boilerplate docs put >maxBucket ids into every one of
+    // their band buckets -> the guard must drop them (zero pairs among
+    // ids < 100), while an unrelated small near-dup pair in its own
+    // bucket still verifies. This is the BEHAVIOR the PlanSpec LeftAnti
+    // invariant only proves structurally.
+    val boiler = (1L to 30L).map(i =>
+      (i, "standard legal boilerplate header repeated across every document"))
+    val docs = (boiler ++ Seq(
+      (100L, "a genuinely distinct article about spark catalyst optimizers"),
+      (101L, "a genuinely distinct article about spark catalyst optimizers")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(docs, minJaccard = 0.8,
+        maxBucket = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((100L, 101L)),
+      s"expected only the small-bucket pair, got $pairs")
+    // with the guard relaxed the boilerplate pairs come back: C(30,2)
+    val all = Dedup.nearDuplicatePairs(docs, minJaccard = 0.8,
+        maxBucket = 200).count()
+    assert(all == 30L * 29 / 2 + 1, s"relaxed guard found $all pairs")
+  }
+
   test("incrementalDedup admits only content absent from the corpus") {
     val corpus = Seq(
       (1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
