@@ -45,7 +45,7 @@ object ProfileCluster {
       val (edges, nodes) = edgesAndNodes()
       val t0 = System.nanoTime()
       val labels = Dedup.connectedComponents(nodes, edges, usePersist = usePersist)
-      val n = labels.agg(sum(col("label"))).head.getLong(0)
+      val n = labels.agg(sum(col("label"))).head().getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       labels.unpersist(blocking = false)
       (sec, n)

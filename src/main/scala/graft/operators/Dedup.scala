@@ -541,7 +541,7 @@ object Dedup {
       // one action per round: fixpoint test + (persist mode) cache fill.
       // Only after it may the previous round's blocks be dropped — the
       // new round computes FROM them.
-      val s = BigDecimal(updated.agg(sum("label")).head.getLong(0))
+      val s = BigDecimal(updated.agg(sum("label")).head().getLong(0))
       release(labels)
       labels = updated
       done = s == prevSum

@@ -278,7 +278,7 @@ object Similarity {
                     struct(col("csim"), (-col("cell")).as("nc"))).as("best"),
              max(col("csim")).as("bc"))
         .select(col("best.cell").as("cell"), col("best.v").as("v"), col("bc")))
-      val objective = assigned.agg(sum(col("bc"))).head.getDouble(0)
+      val objective = assigned.agg(sum(col("bc"))).head().getDouble(0)
       val meanParts = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))

@@ -29,7 +29,7 @@ object XlsxSink {
   private def colLetter(idx0: Int): String = {
     var s = ""
     var i = idx0 + 1
-    while (i > 0) { val r = (i - 1) % 26; s = ('A' + r).toChar + s; i = (i - 1) / 26 }
+    while (i > 0) { val r = (i - 1) % 26; s = s"${('A' + r).toChar}$s"; i = (i - 1) / 26 }
     s
   }
 
@@ -98,7 +98,7 @@ object XlsxSink {
         }.mkString
         s"""<row r="$rix">$cs</row>"""
       }
-      emit(rowXml(1, df.columns.zipWithIndex.map { case (n, i) => (i, n: Any) }))
+      emit(rowXml(1, df.columns.zipWithIndex.toIndexedSeq.map { case (n, i) => (i, n: Any) }))
       var rix = 2
       val it = df.toLocalIterator()
       while (it.hasNext) {
