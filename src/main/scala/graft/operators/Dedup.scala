@@ -367,9 +367,14 @@ object Dedup {
     val sigs = signatures(docs, idCol, textCol, shingleK, numHashes,
         carryCols = shardCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // toks joins into BOTH verify passes on BOTH pair sides (a and b,
+    // different join keys — no exchange reuse), so without a cache the
+    // corpus tokenizes four times. Persisted for the operator's
+    // lifetime, released with the signature cache below.
     val toks = docs.select(
       col(idCol).as("id"),
       TextFunctions.distinctTokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: within-shard pairs → within-shard clusters. Labels are
     // caller-owned (registerCache=false): the default slot would be
     // evicted by the SECOND connectedComponents call below while the
@@ -393,9 +398,10 @@ object Dedup {
       repSigs, toks, minJaccard)
     val repLabels = connectedComponents(reps, repPairs,
       registerCache = false)
-    // both passes have materialized through the signature cache by now
-    // (connectedComponents rounds are eager actions)
+    // both passes have materialized through the signature and token
+    // caches by now (connectedComponents rounds are eager actions)
     sigs.unpersist(blocking = false)
+    toks.unpersist(blocking = false)
     // the two label frames feed the lazy stitch join the caller consumes;
     // evict the previous call's pair so repeated invocations can't
     // accumulate dead caches (same contract as the other slots).
