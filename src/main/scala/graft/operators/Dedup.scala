@@ -112,17 +112,48 @@ object Dedup {
         sequence(lit(1), size(th) - (k - 1)),
         i => xxhash64((0 until k).map(j => element_at(th, i + j)): _*)))
 
+  /** Per-seed hash family for minhash: independent affine-xorshift
+    * permutations v_s(h) = mix(A_s·h + B_s) with fixed random odd
+    * multipliers A_s and offsets B_s (mix = one invertible xorshift, so
+    * each seed's map is a genuine bijection of the 64-bit space — a
+    * permutation, which is what the minhash estimator assumes).
+    *
+    * Deliberately NOT the double-hashing family h1 + s·h2 (round-8 fix):
+    * a LINEAR seed progression lets one shingle whose h2 approximates
+    * (k/m)·2^64 capture the min on every m-th seed simultaneously — and
+    * when m ≤ rowsPerBand that single shingle poisons EVERY band at
+    * once, turning a one-token edit into a guaranteed candidate miss on
+    * a jaccard≈0.99 pair. Observed at sf0.1: a planted twin's single new
+    * shingle won exactly seeds 7,14,…,63 (stride 7 < the 8-row bands, so
+    * all 8 bands disagreed) and a cross-shard near-dup group split.
+    * Independent per-seed multipliers have no seed progression, so
+    * min-capture events are uncorrelated across seeds — the same shape
+    * as MLlib MinHashLSH's per-function random affine coefficients.
+    */
+  private val seedPerms: IndexedSeq[(Long, Long)] = {
+    val rng = new scala.util.Random(0x5DEECE66DL)
+    IndexedSeq.fill(512)((rng.nextLong() | 1L, rng.nextLong()))
+  }
+
+  private def seedPerm(h: Column, s: Int): Column = {
+    val v = h * lit(seedPerms(s)._1) + lit(seedPerms(s)._2)
+    v.bitwiseXOR(shiftrightunsigned(v, 32))
+  }
+
   /** MinHash signature from a shingle-hash array ([[shingleHashes]]):
-    * element s = min over shingles of h1 + s·h2, the classic
-    * double-hashing family (h2 re-derived from h1, long-to-long). Pure
-    * per-row expression — no explode, no shuffle.
+    * element s = min over shingles of the seed-s permutation
+    * ([[seedPerm]] family). Pure per-row expression — no explode, no
+    * shuffle. Kept in exact parity with the agg-form [[signatures]]
+    * (spec-pinned).
     */
   def minhashSignature(shHashes: Column, numHashes: Int = 64): Column = {
-    val hp = transform(shHashes, h =>
-      struct(h.as("h1"), xxhash64(h).as("h2")))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(hp,
-        p => p.getField("h1") + s.cast("long") * p.getField("h2"))))
+    require(numHashes <= seedPerms.length, s"numHashes > ${seedPerms.length}")
+    val perms = array((0 until numHashes).map(s =>
+      struct(lit(seedPerms(s)._1).as("a"), lit(seedPerms(s)._2).as("b"))): _*)
+    transform(perms, p => array_min(transform(shHashes, h => {
+      val v = h * p.getField("a") + p.getField("b")
+      v.bitwiseXOR(shiftrightunsigned(v, 32))
+    })))
   }
 
   /** LSH bands: band i hashes signature rows [i*r, (i+1)*r). Same band
@@ -150,10 +181,13 @@ object Dedup {
     //  1. shingles live in HASH space ([[shingleHashes]]) — explode longs,
     //     not concat_ws strings (string building was the single biggest
     //     stage cost);
-    //  2. double hashing (h1 + s·h2): the per-seed family members are two
-    //     long ops, not a fresh string hash per seed.
+    //  2. per-seed affine-xorshift permutations ([[seedPerm]]): three
+    //     long ops per seed, constants baked as literals — as cheap as
+    //     the double-hashing family it replaced, without its correlated
+    //     min-capture pathology (see [[minhashSignature]] scaladoc).
     // carryCols ride along (functionally dependent on the id — e.g. the
     // shard key for windowed dedup) so no re-join is needed downstream.
+    require(numHashes <= seedPerms.length, s"numHashes > ${seedPerms.length}")
     val carry = carryCols.map(col)
     val ex = docs.select(
         (col(idCol).as("id") +: carry) :+
@@ -161,10 +195,8 @@ object Dedup {
       .select(
         (col("id") +: carry) :+
           explode(shingleHashesFromTokenHashes(col("th"), shingleK)).as("h1"): _*)
-      .select((col("id") +: carry) :+ col("h1") :+
-          xxhash64(col("h1")).as("h2"): _*)
     val aggs = (0 until numHashes).map(s =>
-      min(col("h1") + lit(s.toLong) * col("h2")).as(s"h$s"))
+      min(seedPerm(col("h1"), s)).as(s"h$s"))
     ex.groupBy(("id" +: carryCols).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .select((col("id") +: carry) :+

@@ -49,9 +49,13 @@ object Similarity {
     */
   private def guardedQueryBroadcast(queries: DataFrame, maxQueries: Long,
                                     op: String): DataFrame = {
-    val lim = if (maxQueries >= Int.MaxValue) Int.MaxValue
-              else (maxQueries + 1).toInt
-    val n = queries.limit(lim).count()
+    // limit() cannot probe past 2^31-1 rows, so a bound at or above
+    // Int.MaxValue would silently disable the check — reject it instead
+    // (a >2-billion-row broadcast is out of the question anyway).
+    require(maxQueries < Int.MaxValue,
+      s"$op: maxQueries must be < Int.MaxValue (the guard probes with " +
+      "limit(maxQueries + 1), which cannot see past 2^31-1 rows)")
+    val n = queries.limit((maxQueries + 1).toInt).count()
     require(n <= maxQueries,
       s"$op: query side has >$maxQueries rows (maxQueries=$maxQueries); the query set " +
       "is broadcast to every executor, so a frame this large must be run in " +

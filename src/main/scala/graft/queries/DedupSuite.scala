@@ -10,9 +10,11 @@ import graft.operators.Dedup
   * Exact dedup and n-gram Jaccard are fully oracle-checked. The
   * MinHash-LSH and SimHash pipelines hash with xxhash64 (not available
   * in DuckDB), so they are validated on a *planted-duplicate* corpus —
-  * the corpus unioned with itself under shifted ids — where the expected
-  * answer (every doc pairs with its clone at similarity 1) is known by
-  * construction and pinned in unit tests; the driver records rows>0.
+  * the corpus unioned with itself under shifted ids — where identical
+  * texts are GUARANTEED to pair (identical signatures share every
+  * bucket), making the exact-fingerprint-restricted pair count a
+  * SQL-decidable COUNT oracle; the xxhash geometry of the NEAR pairs
+  * stays pinned in unit tests.
   */
 object DedupSuite extends QuerySuite {
 
@@ -90,13 +92,38 @@ object DedupSuite extends QuerySuite {
             WHERE jac > 0.3 ORDER BY a, b"""))
 
   // ---- MinHash+LSH near-dup pipeline on planted duplicates -----------
-  //      (xxhash64-based: no SQL oracle; rows>0 + unit-test ground truth)
+  //      COUNT oracle (round 8; same trick as q_dedup_minhash_sharded):
+  //      identical texts are GUARANTEED to pair — identical signature ⇒
+  //      same band buckets ⇒ estimate 1 ⇒ exact jaccard 1 — so the LSH
+  //      pairs restricted to matching exact fingerprints must equal the
+  //      C(k,2) sum over per-content copy counts in the planted corpus,
+  //      which is SQL-decidable. An undercount means dropped recall; a
+  //      non-1 jaccard on any exact pair means a broken verify. The
+  //      xxhash LSH geometry itself (which NEAR pairs surface) stays
+  //      pinned by unit tests.
   private val minhashPairs = GraftQuery(
     "q_dedup_minhash",
-    (s, d) =>
-      Dedup.nearDuplicatePairs(planted(s, d), minJaccard = 0.9)
-        .orderBy(asc("a"), asc("b")),
-    None,
+    (s, d) => {
+      val p = planted(s, d)
+      val fps = p.select(col("doc_id"),
+        graft.functions.TextFunctions.exactFingerprint(col("text")).as("fp"))
+      Dedup.nearDuplicatePairs(p, minJaccard = 0.9)
+        .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
+        .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
+        .filter(col("fa") === col("fb"))
+        .agg(count(lit(1)).as("n_exact_pairs"),
+             (min(col("jaccard")) === 1.0).as("exact_jac_ok"))
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM documents),
+             per_content AS (
+               SELECT md5(array_to_string($toksSql, ' ')) AS h, COUNT(*) AS k
+               FROM corpus GROUP BY h)
+             SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_exact_pairs,
+                    TRUE AS exact_jac_ok
+             FROM per_content"""),
     headline = true)
 
   // ---- windowed (per-shard) minhash: the scale path for corpora that
@@ -226,8 +253,14 @@ object DedupSuite extends QuerySuite {
         .filter(
           size(graft.functions.TextFunctions.distinctTokens(col("text"))) >= 25 &&
           size(graft.functions.TextFunctions.tokens(col("text"))) >= 45)
+      // Twin ids must not collide with real doc_ids at ANY scale factor:
+      // a fixed +5e6 offset breaks the moment the table carries ids that
+      // high (duplicate ids corrupt the cluster graph and the fp join).
+      // Offset past the observed max instead — one scalar aggregate, and
+      // base ids are unique so base+off stays unique and disjoint.
+      val twinOff = documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1L
       val twins = base.select(
-        (col("doc_id") + 5000000L).as("doc_id"),
+        (col("doc_id") + twinOff).as("doc_id"),
         concat(col("text"), lit(" qqneardupmarker")).as("text"),
         lit("neardup").as("source"))
       val clusters = Dedup.crossShardDedupClusters(
@@ -238,7 +271,7 @@ object DedupSuite extends QuerySuite {
       val fp = graft.functions.TextFunctions.exactFingerprint(col("text"))
       val baseFp = base.select(col("doc_id").as("id"), fp.as("bfp"))
         .unionByName(base.select(
-          (col("doc_id") + 5000000L).as("id"), fp.as("bfp")))
+          (col("doc_id") + twinOff).as("id"), fp.as("bfp")))
       baseFp.join(clusters, "id")
         .groupBy("bfp").agg(countDistinct(col("cluster")).as("nc"))
         .agg(
@@ -303,12 +336,35 @@ object DedupSuite extends QuerySuite {
         .orderBy(asc("doc_id")),
     None)
 
+  // COUNT oracle (round 8): identical texts have identical SimHash bits
+  // (hamming 0), and the 4-band pigeonhole makes the candidate a
+  // GUARANTEE at hamming ≤ 3 — so the pairs restricted to matching exact
+  // fingerprints must equal the planted C(k,2) sum, with hamming 0 on
+  // every such pair. The near-pair geometry (hamming 1–3 survivors)
+  // stays pinned by unit tests.
   private val simhashPairs = GraftQuery(
     "q_dedup_simhash",
-    (s, d) =>
-      Dedup.simhashNearPairs(planted(s, d), maxHamming = 3)
-        .orderBy(asc("a"), asc("b")),
-    None)
+    (s, d) => {
+      val p = planted(s, d)
+      val fps = p.select(col("doc_id"),
+        graft.functions.TextFunctions.exactFingerprint(col("text")).as("fp"))
+      Dedup.simhashNearPairs(p, maxHamming = 3)
+        .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
+        .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
+        .filter(col("fa") === col("fb"))
+        .agg(count(lit(1)).as("n_exact_pairs"),
+             max(col("hamming")).as("max_exact_hamming"))
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM documents),
+             per_content AS (
+               SELECT md5(array_to_string($toksSql, ' ')) AS h, COUNT(*) AS k
+               FROM corpus GROUP BY h)
+             SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_exact_pairs,
+                    CAST(0 AS INTEGER) AS max_exact_hamming
+             FROM per_content"""))
 
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, minhashSharded,

@@ -103,6 +103,12 @@ object SimilaritySuite extends QuerySuite {
     None)
 
   // ---- embedding near-dup detection on planted clones ----------------
+  // COUNT oracle (round 8): each planted clone is an EXACT copy, so it
+  // lands in the same hyperplane bucket as its original by construction
+  // (identical vector ⇒ identical plane signs) and scores cosine 1 —
+  // the clone-pair count must equal the corpus size, SQL-decidable even
+  // though the xxhash plane geometry is not. A bucket leak, broken
+  // offset, or cosine regression drops n_clone_pairs and fails the hash.
   private val embDedup = GraftQuery(
     "q_dedup_embedding",
     (s, d) => {
@@ -116,14 +122,22 @@ object SimilaritySuite extends QuerySuite {
         Similarity.hyperplaneBucket(col("embedding"), nPlanes = 8).as("bucket"))
       val l = withB.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
       val r = withB.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
-      l.join(r, Seq("bucket"))
+      val pairs = l.join(r, Seq("bucket"))
         .filter(col("a") < col("b"))
         .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
         .filter(col("cos") > 0.999999)
         .select(col("a"), col("b"))
-        .orderBy(asc("a"), asc("b"))
+      val expected = e.agg(count(lit(1)).as("n_planted"))
+      val found = pairs.agg(
+        sum(when(col("b") === col("a") + 1000000L, 1L).otherwise(0L))
+          .as("n_clone_pairs"))
+      expected.crossJoin(found).select(
+        col("n_planted"), col("n_clone_pairs"),
+        (col("n_planted") === col("n_clone_pairs")).as("all_found"))
     },
-    None)
+    Some("""SELECT COUNT(*) AS n_planted, COUNT(*) AS n_clone_pairs,
+              TRUE AS all_found
+            FROM embeddings"""))
 
   // ---- embedding-cosine near-dup with a planted-recall oracle --------
   // Each corpus vector gets a barely-perturbed clone (cosine ≈ 1 − 1e-9,

@@ -151,12 +151,28 @@ object WarehouseSuite extends QuerySuite {
   private val dppPrune = GraftQuery(
     "q_dpp_prune",
     (s, d) => {
+      // The lake key carries a CONTENT fingerprint of the source orders
+      // parquet (file names + sizes + mtimes), not just the dataset dir
+      // name: a regenerated dataset at the same path gets a fresh layout
+      // instead of silently serving the stale persisted one while the
+      // oracle reads fresh data.
+      val srcFp = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+          else Seq(f)
+        val sig = walk(new java.io.File(d, "orders.parquet"))
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          .mkString("|")
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
+      }
       val lakePath = System.getProperty("java.io.tmpdir") +
-        "/graft_dpp_lake_" + d.replaceAll("[^0-9a-zA-Z.]", "_")
-      // Write-once: the layout is keyed by the dataset dir and the fact
-      // projection is deterministic, so a committed layout (_SUCCESS from
-      // a completed overwrite) is reused by later runs instead of being
-      // rewritten and orphaned on every verify invocation.
+        "/graft_dpp_lake_" + d.replaceAll("[^0-9a-zA-Z.]", "_") + "_" + srcFp
+      // Write-once: the layout is keyed by the dataset dir + source
+      // fingerprint and the fact projection is deterministic, so a
+      // committed layout (_SUCCESS from a completed overwrite) is reused
+      // by later runs instead of being rewritten and orphaned on every
+      // verify invocation.
       if (!new java.io.File(lakePath, "_SUCCESS").exists()) {
         val fact = orders(s, d).select(
           col("o_orderkey"), col("o_totalprice"),

@@ -336,9 +336,14 @@ object XlsxSource {
             case "e" => null
             case _ if cellKind != StyleKind.NotDate =>
               // numeric cell under a date/time format → ISO string;
-              // unparseable numerics fall back to the raw contract
+              // anything the decode can't render falls back to the raw
+              // contract. NonFatal, not just NumberFormatException: an
+              // absurd-but-parseable serial (9.9E99 styled as a date)
+              // saturates floor().toLong and makes LocalDate.plusDays
+              // throw DateTimeException/ArithmeticException — one such
+              // cell must not fail the whole file read.
               try serialToIso(raw, cellKind, date1904)
-              catch { case _: NumberFormatException => raw }
+              catch { case scala.util.control.NonFatal(_) => raw }
             case _ => raw
           }
           if (v != null) cells += cellCol -> v

@@ -139,6 +139,40 @@ class DedupSpec extends AnyFunSuite {
     assert(two(0).getSeq[Long](1) == two(1).getSeq[Long](1))
   }
 
+  test("agg-form minhash signatures equal the per-row HOF form") {
+    // pins the per-seed permutation family: both forms must apply the
+    // SAME seed constants in the same order, so a drift in either
+    // implementation (or an accidental return to a seed-linear family)
+    // shows up as a value mismatch here
+    val docs = corpus.filter($"doc_id" =!= 5L)
+    val agg = Dedup.signatures(docs, "doc_id", "text", 5, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = docs.select($"doc_id".as("id"),
+        Dedup.minhashSignature(Dedup.shingleHashesFromTokenHashes(
+          Dedup.tokenHashes($"text"), 5)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(agg.keySet == hof.keySet)
+    agg.keySet.foreach(id => assert(agg(id) == hof(id), s"doc $id"))
+  }
+
+  test("one-token-appended twins stay LSH-reachable (stride regression)") {
+    // The double-hashing family this replaced lost a jaccard≈0.99 pair
+    // when one shingle captured the min on a stride ≤ rowsPerBand (all
+    // bands poisoned at once). Property: across many synthetic docs,
+    // every appended-token twin must surface as a candidate pair.
+    val texts = (0 until 120).map { i =>
+      val toks = (0 until 60).map(j => s"w${(i * 31 + j * 7) % 97}")
+      (i.toLong, toks.mkString(" "))
+    }
+    val base = texts.toDF("doc_id", "text")
+    val twins = texts.map { case (id, t) => (id + 10000L, t + " zz") }
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(base.unionByName(twins),
+        minJaccard = 0.9)
+      .filter($"b" === $"a" + 10000L).count()
+    assert(pairs == 120L, s"only $pairs of 120 twins paired")
+  }
+
   test("simhash: identical text -> identical bits; near text -> small hamming") {
     val sigs = corpus.filter($"doc_id" =!= 5L).select(
       $"doc_id", Dedup.simhashBits($"text").as("bits"))
