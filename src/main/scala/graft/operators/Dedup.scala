@@ -531,32 +531,40 @@ object Dedup {
       if (usePersist) df.unpersist(blocking = false)
     val sym = materialize(edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b"))))
-    // Propagation runs over edge PARTICIPANTS only, not the full node
-    // set: an isolated node can never change label (no neighbor, and the
-    // label chase starts from identity), so carrying it through every
-    // round pays |nodes|-sized self-join and left-join rounds for rows
-    // that are already at their fixpoint. On a real corpus duplicates
-    // are sparse — CC must scale with the DUP GRAPH, not the corpus
-    // (100 TB of docs vs the few percent that pair). Isolated nodes
-    // rejoin as identity labels in one final linear pass. The semi-join
-    // keeps the current semantics for edges naming unknown ids (they
+    // Propagation runs over edge PARTICIPANTS only when the dup graph is
+    // SPARSE: an isolated node can never change label (no neighbor, and
+    // the label chase starts from identity), so carrying it through
+    // every round pays |nodes|-sized self-join and left-join rounds for
+    // rows that are already at their fixpoint. On a real corpus
+    // duplicates are sparse — CC must scale with the DUP GRAPH, not the
+    // corpus (100 TB of docs vs the few percent that pair). The
+    // restriction is ADAPTIVE (round 8): on a DENSE graph (≥ half the
+    // nodes touch an edge — planted test corpora, heavily duplicated
+    // crawls) restricting buys nothing while paying an eager rejoin
+    // pass, so the probe routes dense graphs down the full-node path.
+    // The probe itself is two counts over frames the sparse path needs
+    // anyway; both caches are filled by the counts. The semi-join keeps
+    // the current semantics for edges naming unknown ids (they
     // influence nothing, as before).
-    val participants = sym.select(col("a").as("id")).distinct()
-      .join(nodes.select(col("id")), Seq("id"), "left_semi")
-    var labels = materialize(participants.select(col("id"), col("id").as("label")))
+    val participants = materialize(sym.select(col("a").as("id")).distinct()
+      .join(nodes.select(col("id")), Seq("id"), "left_semi"))
+    val nParts = participants.count()
+    val nNodes = nodes.count()
+    val dense = nParts * 2 >= nNodes && nNodes > 0
+    var labels = materialize(
+      (if (dense) nodes.select(col("id")) else participants)
+        .select(col("id"), col("id").as("label")))
+    if (dense) release(participants)
     // Edgeless graphs short-circuit: every node is its own cluster, so
     // the identity labels ARE the fixpoint — skip the propagation loop.
     // Common in composed operators: a well-sharded corpus reaches the
     // rep pass with few or zero cross-shard pairs, and an
-    // already-deduped batch has none at all. The isEmpty probe reads
-    // one partition of the (persisted) edge frame — negligible next to
-    // the loop it avoids, and the cached blocks feed round 1 when the
-    // frame is non-empty.
+    // already-deduped batch has none at all. nParts == 0 covers both
+    // the edgeless frame and edges naming only unknown ids (identity is
+    // the fixpoint there too) without an extra isEmpty probe.
     var prevSum = BigDecimal(-1)
     var i = 0
-    // labels can be empty even with edges present (every edge naming
-    // unknown ids) — identity is the fixpoint there too
-    var done = sym.isEmpty || labels.isEmpty
+    var done = nParts == 0L
     while (!done && i < maxIter) {
       val neighborMin = sym
         .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")
@@ -586,16 +594,26 @@ object Dedup {
       prevSum = s
     }
     release(sym)
-    // Rejoin isolated nodes as identity labels — one linear pass,
-    // materialized EAGERLY (count) so the participant frame can be
+    // Sparse path: rejoin isolated nodes as identity labels — one linear
+    // pass, materialized EAGERLY (count) so the participant frame can be
     // released immediately: a lazy hand-off would leave the returned
     // frame's lineage rooted in blocks we are about to free, turning
-    // the caller's first action into a full loop recompute.
-    val full = materialize(nodes.select(col("id"))
-      .join(labels.select(col("id"), col("label").as("plabel")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("plabel"), col("id")).as("label")))
-    full.count()
-    release(labels)
+    // the caller's first action into a full loop recompute. Dense path:
+    // the loop already ran over every node, so the labels frame IS the
+    // result — no rejoin pass to pay (that pass is exactly what the
+    // adaptive probe exists to avoid on dup-dense corpora).
+    val full =
+      if (dense) labels
+      else {
+        val f = materialize(nodes.select(col("id"))
+          .join(labels.select(col("id"), col("label").as("plabel")),
+                Seq("id"), "left")
+          .select(col("id"), coalesce(col("plabel"), col("id")).as("label")))
+        f.count()
+        release(participants)
+        release(labels)
+        f
+      }
     // the returned frame stays persisted (callers consume it next);
     // evict the previous call's result so repeated invocations can't
     // accumulate dead caches — same contract as the signature cache.

@@ -38,6 +38,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("dense route: isolated node and unknown-id edges still resolve") {
+    // 3 of 4 nodes touch an edge → the adaptive probe takes the
+    // full-node path (no rejoin pass). The isolated node must still be
+    // identity (it rides the loop at its fixpoint), and an edge naming
+    // an unknown id must still influence nothing.
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 77L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
   test("edges naming unknown ids influence nothing") {
     val nodes = Seq(1L, 2L).toDF("id")
     val edges = Seq((90L, 91L)).toDF("a", "b") // neither endpoint known
