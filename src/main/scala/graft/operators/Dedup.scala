@@ -244,6 +244,18 @@ object Dedup {
     * caller compute/cache signatures ONCE when they are reused by a
     * downstream verify stage.
     */
+  /** Banded bucket rows from a signature frame: one (id, [shard cols,]
+    * band, bh) row per band — the join-key stream every LSH bucket join
+    * builds on.
+    */
+  private def bandedRows(sigs: DataFrame, numBands: Int, rowsPerBand: Int,
+                         shardCols: Seq[String] = Nil): DataFrame =
+    sigs
+      .select((col("id") +: shardCols.map(col)) :+
+              explode(bands(col("sig"), numBands, rowsPerBand)).as("b"): _*)
+      .select((col("id") +: shardCols.map(col)) :+
+              col("b.band").as("band") :+ col("b.bh").as("bh"): _*)
+
   def lshCandidatePairsFromSigs(
       sigs: DataFrame,
       numHashes: Int = 64,
@@ -255,11 +267,7 @@ object Dedup {
     // (windowed dedup — a corpus too large for one LSH pass dedups per
     // source/date window, each shard an independent, smaller bucket join)
     val key = shardCols ++ Seq("band", "bh")
-    val banded = sigs
-      .select((col("id") +: shardCols.map(col)) :+
-              explode(bands(col("sig"), numBands, rowsPerBand)).as("b"): _*)
-      .select((col("id") +: shardCols.map(col)) :+
-              col("b.band").as("band") :+ col("b.bh").as("bh"): _*)
+    val banded = bandedRows(sigs, numBands, rowsPerBand, shardCols)
     // Skew guard as a broadcast ANTI-join against the (tiny) set of
     // oversized buckets — not a count() window, which would total-sort
     // every banded row by bucket. The agg is map-side partial; the
@@ -478,6 +486,115 @@ object Dedup {
       .withColumn("__fp", fp)
       .join(corpusHits, col("__fp") === col("__corpus_fp"), "left_anti")
       .drop("__fp")
+  }
+
+  /** Last [[incrementalNearDupPairs]] corpus-signature cache, same
+    * eviction contract as the other slots.
+    */
+  private var lastIncSigCache: Option[DataFrame] = None
+
+  /** Incremental-ingest NEAR-dup: the (batch doc, corpus doc) pairs whose
+    * token-set jaccard meets `minJaccard` — "which batch docs are
+    * near-duplicates of content already in the corpus", the natural
+    * ingest-time operator at 100 TB (the exact-content version is
+    * [[incrementalDedup]]). Returns (a = batch id, b = corpus id,
+    * jaccard); batch rows to ADMIT are the anti-join of the batch
+    * against `select("a")`.
+    *
+    * Scale shape: the naive approach runs the full one-pass LSH over
+    * corpus ∪ batch — a corpus-sized bucket shuffle to place a batch a
+    * millionth its size. Instead:
+    *
+    *  - signatures are computed per side; the corpus signature pass is
+    *    one scan (in production they are precomputed and stored — the
+    *    persisted frame here stands in for that signature table);
+    *  - the corpus's banded rows are pruned by a Bloom filter over the
+    *    BATCH's (band, bandHash) keys, delivered to the corpus stream as
+    *    a scalar subquery ([[BloomJoin]] machinery): only corpus rows
+    *    whose bucket might collide with the batch survive to the bucket
+    *    join, ≈ |batch|·bands·(dup + false-positive rate) rows instead
+    *    of |corpus|·bands;
+    *  - candidate enrichment joins BROADCAST the (bounded) candidate
+    *    side so corpus signatures and tokens are never shuffled — the
+    *    corpus is only ever scanned, never exchanged.
+    *
+    * Bloom false positives cost only wasted candidates (removed by the
+    * estimate + exact verify); no false negatives, so recall equals the
+    * unpruned bucket join's. Oversized buckets on either side are
+    * dropped by the [[lshCandidatePairs]] `maxBucket` contract, bounding
+    * the worst case at buckets·maxBucket².
+    *
+    * Id spaces of `newBatch` and `corpus` must be disjoint (standard for
+    * ingest — new docs get new ids); signatures/tokens are looked up per
+    * SIDE, so a collision would silently pair the wrong documents.
+    */
+  def incrementalNearDupPairs(
+      newBatch: DataFrame, corpus: DataFrame,
+      minJaccard: Double = 0.8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      numBands: Int = 8,
+      maxBucket: Int = 200,
+      expectedBatchBands: Long = 1000000L): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val bSigs = signatures(newBatch, idCol, textCol, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cSigs = signatures(corpus, idCol, textCol, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.synchronized {
+      lastIncSigCache.foreach(_.unpersist(blocking = false))
+      lastIncSigCache = Some(cSigs)
+      lastSigCache.foreach(_.unpersist(blocking = false))
+      lastSigCache = Some(bSigs)
+    }
+    val bBand = bandedRows(bSigs, numBands, rowsPerBand)
+    val cBand = bandedRows(cSigs, numBands, rowsPerBand)
+    // Bloom over the batch's bucket keys; both sides fold (band, bh) into
+    // one long the same way, so probe equals build by construction.
+    val bandKey = xxhash64(col("band"), col("bh"))
+    val bloom = BloomJoin.bloomOf(
+      bBand.select(bandKey.as("bk")), "bk", expectedBatchBands)
+    val cPruned = cBand.where(BloomJoin.mightContain(bloom, bandKey))
+    // Skew guard per side (broadcast anti-join, as in the one-pass path):
+    // a boilerplate bucket on EITHER side would otherwise make the bucket
+    // join quadratic in bucket size. The corpus-side count runs on the
+    // Bloom-pruned stream, so it is batch-proportional too.
+    def guard(banded: DataFrame): DataFrame = {
+      val oversized = banded.groupBy("band", "bh")
+        .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+        .select("band", "bh")
+      banded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+    }
+    val cand = guard(bBand).select(col("band"), col("bh"), col("id").as("a"))
+      .join(guard(cPruned).select(col("band"), col("bh"), col("id").as("b")),
+            Seq("band", "bh"))
+      .select(col("a"), col("b"))
+      .distinct()
+    // estimate filter: batch sigs broadcast; then the candidate side
+    // broadcasts against the corpus signature scan (no corpus exchange)
+    val withSa = cand.join(
+      broadcast(bSigs.select(col("id").as("a"), col("sig").as("sa"))), "a")
+    val estimated = cSigs.select(col("id").as("b"), col("sig").as("sb"))
+      .join(broadcast(withSa), "b")
+      .withColumn("est", signatureSimilarity(col("sa"), col("sb")))
+      .filter(col("est") >= minJaccard - 0.15)
+      .select(col("a"), col("b"))
+    // exact verify: corpus tokens only for surviving candidate ids (a
+    // broadcast semi-join keeps the corpus scan shuffle-free)
+    val candB = estimated.select(col("b")).distinct()
+    val cToks = corpus
+      .join(broadcast(candB), corpus(idCol) === candB("b"), "left_semi")
+      .select(col(idCol).as("b"),
+              TextFunctions.distinctTokens(col(textCol)).as("tb"))
+    val bToks = newBatch.select(
+      col(idCol).as("a"),
+      TextFunctions.distinctTokens(col(textCol)).as("ta"))
+    estimated.join(broadcast(bToks), "a").join(cToks, "b")
+      .withColumn("jaccard", jaccardTokens(col("ta"), col("tb")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ---------- duplicate clustering ------------------------------------

@@ -326,6 +326,42 @@ object DedupSuite extends QuerySuite {
     },
     headline = true)
 
+  // ---- incremental NEAR-dup (batch-vs-corpus), planted COUNT oracle --
+  // The ingest-time near-dup operator: every eligible corpus doc (same
+  // margins as q_dedup_cross_shard_near: >= 25 distinct tokens for the
+  // exact-verify margin, >= 45 tokens for the LSH margin) re-arrives as
+  // a batch twin with ONE appended token — every batch doc must match
+  // its base content in the corpus, so n_matched == n_batch is
+  // SQL-decidable even though the xxhash LSH geometry is not. A Bloom
+  // regression (dropped corpus buckets), a broken band join, or a
+  // broadcast-side mixup drops n_matched and fails the hash.
+  private val incrementalNearDup = GraftQuery(
+    "q_incremental_neardup",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val eligible = docs.filter(
+        size(graft.functions.TextFunctions.distinctTokens(col("text"))) >= 25 &&
+        size(graft.functions.TextFunctions.tokens(col("text"))) >= 45)
+      // batch ids offset past the observed max — see q_dedup_cross_shard_near
+      val off = documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val batch = eligible.select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" qqincneardup")).as("text"))
+      val pairs = Dedup.incrementalNearDupPairs(batch, docs, minJaccard = 0.9)
+      val nBatch = batch.agg(count(lit(1)).as("n_batch"))
+      val matched = pairs.agg(countDistinct(col("a")).as("n_matched"))
+      nBatch.crossJoin(matched).select(
+        col("n_batch"), col("n_matched"),
+        (col("n_batch") === col("n_matched")).as("all_matched"))
+    },
+    Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+                    CAST(COUNT(*) AS BIGINT) AS n_matched,
+                    TRUE AS all_matched
+             FROM documents
+             WHERE len(list_distinct($toksSql)) >= 25
+               AND len($toksSql) >= 45"""),
+    headline = true)
+
   // ---- SimHash signatures + near pairs on planted duplicates ---------
   private val simhashSignatures = GraftQuery(
     "q_simhash_signatures",
@@ -368,6 +404,6 @@ object DedupSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, minhashSharded,
-    crossShard, crossShardNear, incrementalDedup, simhashSignatures,
-    simhashPairs)
+    crossShard, crossShardNear, incrementalDedup, incrementalNearDup,
+    simhashSignatures, simhashPairs)
 }

@@ -132,6 +132,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(12L, 13L, 14L))
   }
 
+  test("incrementalNearDupPairs matches near and exact content, skips new") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),      // exact dup → match 1
+      (11L, "the quick brown fox jumps over the lazy dog again and again zz"),   // appended-token near dup → match 1
+      (12L, "entirely novel text with no relation to anything stored before ok") // new → no match
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDupPairs(batch, corpus, minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(pairs.map(p => (p._1, p._2)) == Seq((10L, 1L), (11L, 1L)),
+      s"got $pairs")
+    assert(pairs.head._3 == 1.0)
+  }
+
+  test("incrementalNearDupPairs plan: bloom prunes the corpus band stream") {
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val plan = Dedup.incrementalNearDupPairs(batch, corpus)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
   test("signatureSimilarity is 1.0 for identical texts") {
     val sigs = Dedup.signatures(corpus.filter($"doc_id" <= 2), "doc_id", "text",
       shingleK = 5, numHashes = 64)
