@@ -165,6 +165,63 @@ object AdvancedSuite extends QuerySuite {
             UNION ALL SELECT * FROM other_rows
             ORDER BY doc_id, frame_no"""))
 
+  // ---- REAL image decode vs an independent encoder -------------------
+  // The fixture PNGs are written by a python-STDLIB encoder
+  // (tools/make_image_fixtures.py — struct+zlib, no shared code with
+  // the JVM) with ground-truth stats computed from the raw pattern
+  // arrays; javax.imageio must decode every file to the same
+  // dimensions, channel count, and exact per-channel pixel sums. Covers
+  // gray / RGB / RGBA, 1x1 through 255-wide, filter-0 scanlines.
+  private val imageDir = "/root/repo/src/test/resources/fixtures/images"
+  private val imageDecode = GraftQuery(
+    "q_image_decode",
+    (s, _) =>
+      Multimodal.imageFeatures(s, s"$imageDir/*.png")
+        .toDF()
+        .orderBy(asc("file_name")),
+    Some(s"""SELECT file_name,
+               CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height,
+               CAST(channels AS INTEGER) AS channels,
+               CAST(n_px AS BIGINT) AS n_px,
+               CAST(sum_r AS BIGINT) AS sum_r,
+               CAST(sum_g AS BIGINT) AS sum_g,
+               CAST(sum_b AS BIGINT) AS sum_b
+             FROM read_csv('$imageDir/images.csv', header=true)
+             ORDER BY file_name"""))
+
+  // ---- in-pipeline image round-trip (encode → decode, SQL oracle) ----
+  // One two-tone PNG per document, every dimension and color an integer
+  // function of doc_id — so DuckDB reproduces the decode stats with
+  // pure arithmetic, never seeing a pixel. Pins BOTH codec directions
+  // plus the distributed plumbing (binary payloads through
+  // mapPartitions, stats out as columns).
+  private val imageFeaturesQ = GraftQuery(
+    "q_image_features",
+    (s, d) =>
+      Multimodal.imageFeaturesById(
+          s, Multimodal.synthesizeImages(s, documents(s, d)))
+        .toDF()
+        .orderBy(asc("doc_id")),
+    Some("""WITH m AS (
+              SELECT doc_id,
+                CAST((doc_id % 16) * 4 + 8 AS INTEGER) AS w,
+                CAST((doc_id % 12) * 4 + 8 AS INTEGER) AS h,
+                CAST((doc_id * 13) % 256 AS INTEGER) AS ra,
+                CAST((doc_id * 7 + 31) % 256 AS INTEGER) AS ga,
+                CAST((doc_id * 29 + 17) % 256 AS INTEGER) AS ba
+              FROM documents)
+            SELECT doc_id, w AS width, h AS height,
+              CAST(3 AS INTEGER) AS channels,
+              CAST(w AS BIGINT) * h AS n_px,
+              CAST(h AS BIGINT) * ((w // 2) * ra + (w - w // 2) * (255 - ra))
+                AS sum_r,
+              CAST(h AS BIGINT) * ((w // 2) * ga + (w - w // 2) * (255 - ga))
+                AS sum_g,
+              CAST(h AS BIGINT) * ((w // 2) * ba + (w - w // 2) * (255 - ba))
+                AS sum_b
+            FROM m ORDER BY doc_id"""))
+
   // ---- stream-stream interval join vs batch oracle -------------------
   private val streamStreamJoin = GraftQuery(
     "q_stream_stream_join",
@@ -199,5 +256,6 @@ object AdvancedSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(wktPointExpr, streamHourly, streamDedup, multimodal, frameSample,
+        imageDecode, imageFeaturesQ,
         streamStreamJoin, streamStaticJoin, statefulTotals)
 }

@@ -63,6 +63,63 @@ class MultimodalSpec extends AnyFunSuite {
       rest.collect().forall(_.getAs[Int]("frame_no") == 0))
   }
 
+  test("decodeImageStats: solid-color PNG and JPEG round-trip") {
+    val img = new java.awt.image.BufferedImage(
+      8, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 5).foreach(y => (0 until 8).foreach(x =>
+      img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)))
+    val png = Multimodal.decodeImageStats(Multimodal.encodePng(img)).get
+    assert(png.width == 8 && png.height == 5 && png.channels == 3)
+    assert(png.sumR == 200L * 40 && png.sumG == 100L * 40 && png.sumB == 50L * 40)
+    // JPEG is lossy: dims/channels exact, solid-color means near-exact
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpg = Multimodal.decodeImageStats(bos.toByteArray).get
+    assert(jpg.width == 8 && jpg.height == 5 && jpg.channels == 3)
+    assert(math.abs(jpg.sumR / 40.0 - 200) < 8 &&
+           math.abs(jpg.sumG / 40.0 - 100) < 8 &&
+           math.abs(jpg.sumB / 40.0 - 50) < 8)
+    assert(Multimodal.decodeImageStats("not an image".getBytes).isEmpty)
+  }
+
+  test("extractFeatures: real decode on image rows, fake fallback elsewhere") {
+    // doc 0 -> media_type image with a REAL png payload; decode flag
+    // (last feature slot) must be 1 and dims must match the payload
+    val png = {
+      val img = new java.awt.image.BufferedImage(
+        6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 6).foreach(x =>
+        img.setRGB(x, y, (10 << 16) | (20 << 8) | 30)))
+      Multimodal.encodePng(img)
+    }
+    val media = Seq((0L, "image", 6, 4, png),
+                    (1L, "audio", 8, 8, Array[Byte](1, 2, 3)),
+                    (3L, "image", 2, 2, Array[Byte](9, 9)))  // junk image
+      .toDF("doc_id", "media_type", "width", "height", "content")
+    val by = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.doc_id -> f.features).toMap
+    assert(by(0L)(7) == 1.0f, "real image payload must take the real path")
+    assert(by(0L).take(6).toSeq == Seq(6f, 4f, 3f, 10f, 20f, 30f))
+    assert(by(1L)(7) != 1.0f || by(1L).sum <= 1.0f + 1e-5)  // fake path histogram
+    assert(by(3L).sum > 0.999f && by(3L).sum < 1.001f,
+      "undecodable image payload must fall back to the fake histogram")
+  }
+
+  test("resizeImages: every decodable payload decodes to the target dims") {
+    val imgs = Multimodal.synthesizeImages(spark,
+      Seq(1L, 2L, 3L).toDF("doc_id"))
+      .unionByName(Seq((99L, Array[Byte](1, 2, 3)))
+        .toDF("doc_id", "content"))
+    val out = Multimodal.resizeImages(spark, imgs, 12, 10).collect()
+    out.filter(_.getAs[Boolean]("resized")).foreach { r =>
+      val s = Multimodal.decodeImageStats(r.getAs[Array[Byte]]("content")).get
+      assert(s.width == 12 && s.height == 10)
+    }
+    assert(out.count(_.getAs[Boolean]("resized")) == 3)
+    assert(!out.find(_.getAs[Long]("doc_id") == 99L).get
+      .getAs[Boolean]("resized"))
+  }
+
   test("feature vector is a normalized byte histogram (sums to ~1)") {
     val f = Multimodal
       .extractFeatures(spark, Multimodal.synthesizeMedia(docs.filter($"doc_id" === 0L)))
