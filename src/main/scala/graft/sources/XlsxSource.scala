@@ -162,9 +162,12 @@ object XlsxSource {
 
   /** How a numeric cell formatted with a given cellXf renders under
     * typed decode. NotDate = raw serial text (the default contract).
+    * ElapsedH/M/S are the `[h]` / `[mm]` / `[ss]` duration formats:
+    * totals, NOT modulo-24/60 clock parts (26.5h renders "26:30:00").
     */
   private[sources] object StyleKind {
     val NotDate = 0; val Date = 1; val DateTime = 2; val Time = 3
+    val ElapsedH = 4; val ElapsedM = 5; val ElapsedS = 6
   }
 
   /** Built-in numFmtId classification (ECMA-376 §18.8.30): 14–17 and the
@@ -179,14 +182,18 @@ object XlsxSource {
     else code.map(customKind).getOrElse(StyleKind.NotDate)
 
   /** POI-style heuristic for custom format codes: drop quoted literals,
-    * bracket sections (colors / conditions / elapsed markers), backslash
-    * escapes and the AM/PM token, then classify by which pattern letters
-    * survive — y/d mean a date part, h/s a time part, a bare m (no h/s
-    * context) is a month. "#,##0.00", "0.00%", "General", "@" keep none
-    * of them and stay NotDate.
+    * bracket sections (colors / conditions) and backslash escapes plus
+    * the AM/PM token, then classify by which pattern letters survive —
+    * y/d mean a date part, h/s a time part, a bare m (no h/s context) is
+    * a month. "#,##0.00", "0.00%", "General", "@" keep none of them and
+    * stay NotDate. An ELAPSED bracket (`[h]`/`[mm]`/`[ss]` — a bracket
+    * holding only h/m/s letters) wins outright: those are duration
+    * formats, rendered as totals rather than clock parts (the first
+    * elapsed bracket's letter picks the unit, as in Excel).
     */
   private[sources] def customKind(fmt: String): Int = {
     val sb = new StringBuilder
+    var elapsed = StyleKind.NotDate
     var i = 0
     while (i < fmt.length) fmt.charAt(i) match {
       case '"' =>
@@ -195,11 +202,21 @@ object XlsxSource {
         i += 1
       case '[' =>
         i += 1
+        val start = i
         while (i < fmt.length && fmt.charAt(i) != ']') i += 1
+        val content = fmt.substring(start, math.min(i, fmt.length)).toLowerCase
+        if (elapsed == StyleKind.NotDate && content.nonEmpty &&
+            content.forall(c => c == 'h' || c == 'm' || c == 's'))
+          elapsed = content.head match {
+            case 'h' => StyleKind.ElapsedH
+            case 'm' => StyleKind.ElapsedM
+            case _   => StyleKind.ElapsedS
+          }
         i += 1
       case '\\' => i += 2
       case ch   => sb.append(ch); i += 1
     }
+    if (elapsed != StyleKind.NotDate) return elapsed
     val s = sb.toString.toLowerCase
       .replace("am/pm", "").replace("a/p", "")
     val hasDate = s.exists(c => c == 'y' || c == 'd')
@@ -276,6 +293,18 @@ object XlsxSource {
                                    date1904: Boolean): String = {
     val serial = raw.trim.toDouble
     if (!date1904 && serial < 0) return raw
+    // elapsed formats: the serial is a DURATION in days — render totals
+    // (26.5h → "26:30:00"), never modulo-24/60 clock parts
+    if (kind >= StyleKind.ElapsedH) {
+      val total = math.round(serial * 86400.0)
+      return kind match {
+        case StyleKind.ElapsedH =>
+          "%d:%02d:%02d".format(total / 3600, (total / 60) % 60, total % 60)
+        case StyleKind.ElapsedM =>
+          "%d:%02d".format(total / 60, total % 60)
+        case _ => total.toString
+      }
+    }
     var days = math.floor(serial).toLong
     var secs = math.round((serial - days) * 86400.0)
     if (secs >= 86400L) { secs -= 86400L; days += 1 }

@@ -44,6 +44,18 @@ class XlsxTypedSpec extends AnyFunSuite {
     assert(dt("45000.9999999") === "2023-03-16 00:00:00")
   }
 
+  test("serialToIso: elapsed formats render totals past 24h/60m") {
+    def e(s: String, k: Int) = XlsxSource.serialToIso(s, k, date1904 = false)
+    // 1.104166... days = 26h30m — [h] must NOT wrap at 24
+    assert(e("1.1041666666666667", StyleKind.ElapsedH) === "26:30:00")
+    assert(e("0.5", StyleKind.ElapsedH) === "12:00:00")
+    // 0.06... days = 90 minutes — [mm] must NOT wrap at 60
+    assert(e("0.0625", StyleKind.ElapsedM) === "90:00")
+    assert(e("0.0625", StyleKind.ElapsedS) === "5400")
+    // negative serials stay raw, same as the date kinds
+    assert(e("-1.5", StyleKind.ElapsedH) === "-1.5")
+  }
+
   test("customKind classifies format codes like POI's heuristic") {
     import XlsxSource.customKind
     assert(customKind("yyyy-mm-dd") === StyleKind.Date)
@@ -53,8 +65,14 @@ class XlsxTypedSpec extends AnyFunSuite {
     assert(customKind("hh:mm:ss") === StyleKind.Time)
     assert(customKind("mm:ss") === StyleKind.Time)
     assert(customKind("h:mm AM/PM") === StyleKind.Time)
-    // elapsed-hour bracket strips; h survives outside it
-    assert(customKind("[h]:mm:ss") === StyleKind.Time)
+    // elapsed brackets are DURATION formats (round 8): totals, not
+    // modulo-24/60 clock parts; the first elapsed bracket picks the unit
+    assert(customKind("[h]:mm:ss") === StyleKind.ElapsedH)
+    assert(customKind("[hh]:mm") === StyleKind.ElapsedH)
+    assert(customKind("[mm]:ss") === StyleKind.ElapsedM)
+    assert(customKind("[ss]") === StyleKind.ElapsedS)
+    // color/condition brackets still strip without classifying
+    assert(customKind("[Red][h]:mm") === StyleKind.ElapsedH)
     // non-dates: literals in quotes/brackets/escapes must not classify
     assert(customKind("General") === StyleKind.NotDate)
     assert(customKind("#,##0.00") === StyleKind.NotDate)
