@@ -527,6 +527,13 @@ object Dedup {
     * Id spaces of `newBatch` and `corpus` must be disjoint (standard for
     * ingest — new docs get new ids); signatures/tokens are looked up per
     * SIDE, so a collision would silently pair the wrong documents.
+    *
+    * @param corpusSigs precomputed corpus signature frame (`id`, `sig`)
+    *   — the production shape: a stored signature table maintained at
+    *   ingest means repeated batches skip the corpus signature pass
+    *   entirely (the dominant corpus-side cost). Must have been built
+    *   with the same shingleK/numHashes. When provided it is used as-is
+    *   (not persisted here — its storage is the caller's).
     */
   def incrementalNearDupPairs(
       newBatch: DataFrame, corpus: DataFrame,
@@ -537,15 +544,17 @@ object Dedup {
       numHashes: Int = 64,
       numBands: Int = 8,
       maxBucket: Int = 200,
-      expectedBatchBands: Long = 1000000L): DataFrame = {
+      expectedBatchBands: Long = 1000000L,
+      corpusSigs: Option[DataFrame] = None): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val bSigs = signatures(newBatch, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cSigs = signatures(corpus, idCol, textCol, shingleK, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cSigs = corpusSigs.getOrElse(
+      signatures(corpus, idCol, textCol, shingleK, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     Dedup.synchronized {
       lastIncSigCache.foreach(_.unpersist(blocking = false))
-      lastIncSigCache = Some(cSigs)
+      lastIncSigCache = if (corpusSigs.isEmpty) Some(cSigs) else None
       lastSigCache.foreach(_.unpersist(blocking = false))
       lastSigCache = Some(bSigs)
     }

@@ -101,6 +101,85 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Decoded audio statistics: format metadata plus exact per-channel
+    * signed-sample sums (integers ⇒ SQL-oracle-checkable, same trick as
+    * [[ImageStats]]). Mono reports its one channel as both l and r.
+    */
+  final case class AudioStats(
+      sampleRate: Int, channels: Int, bits: Int,
+      nFrames: Long, sumL: Long, sumR: Long)
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU —
+    * no external library; same JDK-builtin upgrade the image path got).
+    * Returns None for undecodable payloads or encodings beyond PCM
+    * 8/16-bit. 8-bit unsigned samples are center-shifted (v − 128) so
+    * every sum is over SIGNED values regardless of depth.
+    */
+  def decodeWavStats(content: Array[Byte]): Option[AudioStats] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok =
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+        if (!ok) None
+        else {
+          val ch = fmt.getChannels
+          val bytes = ais.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val nFrames = bytes.length.toLong / frameSize
+          val sums = new Array[Long](ch)
+          var f = 0
+          while (f < nFrames) {
+            var c = 0
+            while (c < ch) {
+              val off = f * frameSize + c * (bits / 8)
+              val v =
+                if (bits == 16) {
+                  val lo = bytes(off) & 0xff
+                  val hi = bytes(off + 1) & 0xff
+                  val s = if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo
+                  s.toShort.toInt
+                } else (bytes(off) & 0xff) - 128
+              sums(c) += v
+              c += 1
+            }
+            f += 1
+          }
+          Some(AudioStats(fmt.getSampleRate.toInt, ch, bits, nFrames,
+            sums(0), if (ch > 1) sums(1) else sums(0)))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** PCM-16 mono/stereo WAV encode via AudioSystem — the write half of
+    * the audio round-trip. `samples` is frame-interleaved.
+    */
+  def encodeWavPcm16(samples: Array[Short], channels: Int,
+                     sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt,
+      samples.length.toLong / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** ==== STUBBED CODEC (audio/video only — images are real above) ====
     * Deterministic stand-in for an audio/video decoder (none exists in
     * the JDK). Real implementation would decode `content` (WAV/MP4...)
@@ -216,6 +295,67 @@ object Multimodal {
     }).toDF("doc_id", "content")
   }
 
+  // ==== real audio pipeline =============================================
+
+  /** One decoded audio row keyed by file name ([[audioFeatures]]). */
+  final case class AudioFileFeatures(
+      file_name: String, sample_rate: Int, channels: Int, bits: Int,
+      n_frames: Long, sum_l: Long, sum_r: Long)
+
+  /** One decoded audio row keyed by doc id ([[audioFeaturesById]]). */
+  final case class AudioDocFeatures(
+      doc_id: Long, sample_rate: Int, channels: Int, bits: Int,
+      n_frames: Long, sum_l: Long, sum_r: Long)
+
+  /** Decode stats for a directory/glob of WAV files — binaryFile scan →
+    * per-partition AudioSystem decode, undecodable files dropped (same
+    * contract as [[imageFeatures]]).
+    */
+  def audioFeatures(spark: SparkSession, pathGlob: String): Dataset[AudioFileFeatures] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+              col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (name, bytes) =>
+        decodeWavStats(bytes).map(s => AudioFileFeatures(
+          name, s.sampleRate, s.channels, s.bits,
+          s.nFrames, s.sumL, s.sumR))
+      })
+  }
+
+  /** Decode stats for an in-pipeline (id, content) frame. */
+  def audioFeaturesById(spark: SparkSession, media: DataFrame,
+                        idCol: String = "doc_id",
+                        contentCol: String = "content"): Dataset[AudioDocFeatures] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWavStats(bytes).map(s => AudioDocFeatures(
+          id, s.sampleRate, s.channels, s.bits,
+          s.nFrames, s.sumL, s.sumR))
+      })
+  }
+
+  /** Synthesize a REAL wav corpus from the documents table: one
+    * two-segment mono PCM-16 clip per doc, frame count and both segment
+    * amplitudes integer functions of `doc_id` — so every decode
+    * statistic is exact integer arithmetic for the SQL oracle
+    * (sum = nL·A + (n−nL)·B), the audio twin of [[synthesizeImages]].
+    */
+  def synthesizeAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = ((id % 50) * 4 + 40).toInt
+      val a = ((id * 131) % 60000 - 30000).toShort
+      val b = ((id * 257 + 12345) % 60000 - 30000).toShort
+      val nL = n / 2
+      val samples = Array.tabulate[Short](n)(i => if (i < nL) a else b)
+      (id, encodeWavPcm16(samples, 1, 8000))
+    }).toDF("doc_id", "content")
+  }
+
   /** ==== STUBBED TRANSFORMS over the real plumbing ==== */
 
   /** REAL image resize: decode → Graphics2D bilinear scale → PNG
@@ -305,9 +445,11 @@ object Multimodal {
     *
     * Image rows take the REAL decode ([[decodeImageStats]]): features =
     * [width, height, channels, mean_r, mean_g, mean_b, luma_mean, 1].
-    * Rows whose payload isn't a decodable image — and all audio/video —
-    * fall back to [[FakeCodec]] (last slot 0 marks the fake path), so a
-    * mixed or partly-corrupt corpus still features end-to-end.
+    * Audio rows likewise ([[decodeWavStats]]): [sample_rate, channels,
+    * bits, n_frames, mean_l, mean_r, 0, 1]. Rows whose payload doesn't
+    * decode — and all video — fall back to [[FakeCodec]] (last slot 0
+    * marks the fake path), so a mixed or partly-corrupt corpus still
+    * features end-to-end.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       partitions: Int = 0): Dataset[MediaFeatures] = {
@@ -317,15 +459,23 @@ object Multimodal {
       else media
     balanced.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        val real =
-          if (r.media_type == "image") decodeImageStats(r.content) else None
-        val feats = real match {
-          case Some(s) =>
-            val n = math.max(1L, s.nPx).toFloat
-            val mr = s.sumR / n; val mg = s.sumG / n; val mb = s.sumB / n
-            Array(s.width.toFloat, s.height.toFloat, s.channels.toFloat,
-              mr, mg, mb, 0.299f * mr + 0.587f * mg + 0.114f * mb, 1.0f)
-          case None => FakeCodec.decodeAndFeaturize(r.content)
+        val feats = r.media_type match {
+          case "image" => decodeImageStats(r.content) match {
+            case Some(s) =>
+              val n = math.max(1L, s.nPx).toFloat
+              val mr = s.sumR / n; val mg = s.sumG / n; val mb = s.sumB / n
+              Array(s.width.toFloat, s.height.toFloat, s.channels.toFloat,
+                mr, mg, mb, 0.299f * mr + 0.587f * mg + 0.114f * mb, 1.0f)
+            case None => FakeCodec.decodeAndFeaturize(r.content)
+          }
+          case "audio" => decodeWavStats(r.content) match {
+            case Some(s) =>
+              val n = math.max(1L, s.nFrames).toFloat
+              Array(s.sampleRate.toFloat, s.channels.toFloat, s.bits.toFloat,
+                s.nFrames.toFloat, s.sumL / n, s.sumR / n, 0f, 1.0f)
+            case None => FakeCodec.decodeAndFeaturize(r.content)
+          }
+          case _ => FakeCodec.decodeAndFeaturize(r.content)
         }
         MediaFeatures(
           doc_id = r.doc_id,

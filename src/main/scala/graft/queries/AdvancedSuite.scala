@@ -222,6 +222,55 @@ object AdvancedSuite extends QuerySuite {
                 AS sum_b
             FROM m ORDER BY doc_id"""))
 
+  // ---- REAL audio decode vs an independent encoder -------------------
+  // WAV fixtures from the python-stdlib `wave` writer
+  // (tools/make_audio_fixtures.py) with sums computed from the raw
+  // sample arrays; javax.sound.sampled must decode every file to the
+  // same metadata and exact per-channel signed-sample sums. Covers
+  // mono/stereo, 16-bit and 8-bit (center-shifted), 1-frame edge.
+  private val audioDir = "/root/repo/src/test/resources/fixtures/audio"
+  private val audioDecode = GraftQuery(
+    "q_audio_decode",
+    (s, _) =>
+      Multimodal.audioFeatures(s, s"$audioDir/*.wav")
+        .toDF()
+        .orderBy(asc("file_name")),
+    Some(s"""SELECT file_name,
+               CAST(sample_rate AS INTEGER) AS sample_rate,
+               CAST(channels AS INTEGER) AS channels,
+               CAST(bits AS INTEGER) AS bits,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(sum_l AS BIGINT) AS sum_l,
+               CAST(sum_r AS BIGINT) AS sum_r
+             FROM read_csv('$audioDir/audio.csv', header=true)
+             ORDER BY file_name"""))
+
+  // ---- in-pipeline audio round-trip (encode → decode, SQL oracle) ----
+  // Two-segment mono PCM-16 clip per document, frame count and both
+  // amplitudes integer functions of doc_id — the audio twin of
+  // q_image_features.
+  private val audioFeaturesQ = GraftQuery(
+    "q_audio_features",
+    (s, d) =>
+      Multimodal.audioFeaturesById(
+          s, Multimodal.synthesizeAudio(s, documents(s, d)))
+        .toDF()
+        .orderBy(asc("doc_id")),
+    Some("""WITH m AS (
+              SELECT doc_id,
+                CAST((doc_id % 50) * 4 + 40 AS INTEGER) AS n,
+                CAST((doc_id * 131) % 60000 - 30000 AS BIGINT) AS a,
+                CAST((doc_id * 257 + 12345) % 60000 - 30000 AS BIGINT) AS b
+              FROM documents)
+            SELECT doc_id,
+              CAST(8000 AS INTEGER) AS sample_rate,
+              CAST(1 AS INTEGER) AS channels,
+              CAST(16 AS INTEGER) AS bits,
+              CAST(n AS BIGINT) AS n_frames,
+              (n // 2) * a + (n - n // 2) * b AS sum_l,
+              (n // 2) * a + (n - n // 2) * b AS sum_r
+            FROM m ORDER BY doc_id"""))
+
   // ---- stream-stream interval join vs batch oracle -------------------
   private val streamStreamJoin = GraftQuery(
     "q_stream_stream_join",
@@ -256,6 +305,6 @@ object AdvancedSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(wktPointExpr, streamHourly, streamDedup, multimodal, frameSample,
-        imageDecode, imageFeaturesQ,
+        imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
         streamStreamJoin, streamStaticJoin, statefulTotals)
 }

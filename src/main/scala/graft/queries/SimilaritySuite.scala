@@ -181,6 +181,68 @@ object SimilaritySuite extends QuerySuite {
         .orderBy(asc("query_id"), asc("rank")),
     None)
 
+  // ---- IVF at FULL probe == exact brute force (guarantee oracle) -----
+  // With nProbe == nCells every cell is probed, so the IVF machinery
+  // (assignment, probe selection, within-cell scoring, rank window)
+  // must reproduce the exact top-k bit for bit — the same SQL oracle as
+  // q_embedding_topk. The unit suite proves this equality against
+  // bruteForceTopK; this gate pins it against an independent engine.
+  // The approximate operating point (nProbe < nCells) stays rows-only
+  // in q_embedding_ivf by nature.
+  private val ivfFull = GraftQuery(
+    "q_embedding_ivf_full",
+    (s, d) =>
+      Similarity.ivfTopK(
+        embeddings(s, d), queryVectors(s, d), k = 3, nCells = 16, nProbe = 16)
+        .orderBy(asc("query_id"), asc("rank")),
+    Some(s"""WITH c AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+             q AS (
+               SELECT vec_id AS query_id, v AS q FROM c WHERE vec_id < 3),
+             scored AS (
+               SELECT q.query_id, c.vec_id AS neighbor_id,
+                 $oracleCosine AS cos
+               FROM c, q WHERE c.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(cos, 6) AS cos
+             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  // ---- hyperplane LSH at FULL probe == exact (guarantee oracle) ------
+  // nPlanes = 1 splits the corpus into two buckets; probeHamming = 1
+  // probes both, so bucketing + multi-probe expansion + scoring must
+  // again equal the exact top-k. Pins the probe/score/rank machinery
+  // with an oracle; the real operating points stay rows-only.
+  private val lshFull = GraftQuery(
+    "q_embedding_lsh_full",
+    (s, d) =>
+      Similarity.lshTopK(
+        embeddings(s, d), queryVectors(s, d), k = 3, nPlanes = 1,
+        probeHamming = 1)
+        .orderBy(asc("query_id"), asc("rank")),
+    Some(s"""WITH c AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+             q AS (
+               SELECT vec_id AS query_id, v AS q FROM c WHERE vec_id < 3),
+             scored AS (
+               SELECT q.query_id, c.vec_id AS neighbor_id,
+                 $oracleCosine AS cos
+               FROM c, q WHERE c.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(cos, 6) AS cos
+             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   // ---- k-means centroid fit for IVF, guarantee-based oracle ----------
   // Exact centroid values are float-summation-order-sensitive at the
   // last ulp (parallel vs sequential reduction), so they can't be
@@ -282,5 +344,5 @@ object SimilaritySuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
-        kmeansCentroids, vectorNorm, quantize)
+        ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize)
 }

@@ -149,6 +149,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head._3 == 1.0)
   }
 
+  test("incrementalNearDupPairs: precomputed corpus signatures give identical pairs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "entirely novel text with no relation to anything stored before ok"))
+      .toDF("doc_id", "text")
+    val stored = Dedup.signatures(corpus, "doc_id", "text", 5, 64)
+    val viaStored = Dedup.incrementalNearDupPairs(batch, corpus,
+        minJaccard = 0.8, corpusSigs = Some(stored))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val recomputed = Dedup.incrementalNearDupPairs(batch, corpus,
+        minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(viaStored == recomputed && viaStored.map(p => (p._1, p._2)) == Seq((10L, 1L)))
+  }
+
   test("incrementalNearDupPairs plan: bloom prunes the corpus band stream") {
     val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val batch = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")

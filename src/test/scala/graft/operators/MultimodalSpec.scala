@@ -120,6 +120,29 @@ class MultimodalSpec extends AnyFunSuite {
       .getAs[Boolean]("resized"))
   }
 
+  test("decodeWavStats: stereo PCM-16 round-trip, junk rejected") {
+    // interleaved stereo: L ramp 0,2,4..., R constant -7
+    val n = 50
+    val samples = Array.tabulate[Short](n * 2)(i =>
+      if (i % 2 == 0) (i).toShort else (-7).toShort)
+    val wav = Multimodal.encodeWavPcm16(samples, 2, 16000)
+    val s = Multimodal.decodeWavStats(wav).get
+    assert(s.sampleRate == 16000 && s.channels == 2 && s.bits == 16)
+    assert(s.nFrames == n)
+    assert(s.sumL == (0 until n).map(_ * 2).sum)
+    assert(s.sumR == -7L * n)
+    assert(Multimodal.decodeWavStats("not audio".getBytes).isEmpty)
+  }
+
+  test("extractFeatures: real decode on audio rows (wav payload)") {
+    val wav = Multimodal.encodeWavPcm16(Array[Short](100, 100, 100, 100), 1, 8000)
+    val media = Seq((0L, "audio", 0, 0, wav))
+      .toDF("doc_id", "media_type", "width", "height", "content")
+    val f = Multimodal.extractFeatures(spark, media).head()
+    assert(f.features(7) == 1.0f, "wav payload must take the real path")
+    assert(f.features.take(6).toSeq == Seq(8000f, 1f, 16f, 4f, 100f, 100f))
+  }
+
   test("feature vector is a normalized byte histogram (sums to ~1)") {
     val f = Multimodal
       .extractFeatures(spark, Multimodal.synthesizeMedia(docs.filter($"doc_id" === 0L)))
