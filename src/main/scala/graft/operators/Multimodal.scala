@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads plus typed metadata, with batch-shaped
   * feature extraction over partitions.
   *
-  * The IMAGE path is REAL (round 8): PNG/JPEG payloads decode through
-  * the JDK's `javax.imageio` inside the per-partition batch boundary —
-  * no external library — yielding dimensions, channel count, and
-  * per-channel statistics ([[decodeImageStats]]), with encode available
-  * too ([[encodePng]]) so round-trip pipelines are testable end-to-end.
-  * Audio/video decode remains a deterministic stand-in ([[FakeCodec]]:
-  * no audio/video codecs exist in the JDK or this container) behind the
-  * same signature a JNI/FFI decoder would have — swapping one in
-  * changes one function.
+  * Round 8 made the media paths REAL wherever the JDK reaches, no
+  * external library anywhere:
+  *  - IMAGES: `javax.imageio` decode/encode/resize
+  *    ([[decodeImageStats]], [[encodePng]], [[resizeImages]]);
+  *  - AUDIO: `javax.sound.sampled` WAV decode/encode
+  *    ([[decodeWavStats]], [[encodeWavPcm16]]);
+  *  - VIDEO: pure-byte ISO BMFF container probing ([[probeMp4Meta]] —
+  *    brand/timescale/duration/tracks/dims, the metadata pass every
+  *    video pipeline runs before deciding what to decode).
+  * Only video FRAME DECODE — the one genuinely codec-bound step — uses
+  * the deterministic stand-in ([[FakeCodec]]) behind the same signature
+  * a JNI/FFI decoder would have; swapping one in changes one function.
   */
 object Multimodal {
 
@@ -295,6 +298,104 @@ object Multimodal {
     }).toDF("doc_id", "content")
   }
 
+  /** Probed MP4 container metadata — everything the box structure
+    * carries without touching a codec: major brand, movie timescale,
+    * duration (in timescale units), track count, and the first track's
+    * pixel dimensions (tkhd 16.16 fixed-point, integer part).
+    */
+  final case class VideoMeta(
+      brand: String, timescale: Long, duration: Long,
+      nTracks: Int, width: Int, height: Int)
+
+  /** REAL MP4 container probe — pure byte parsing of the ISO BMFF box
+    * tree (`ftyp` → `moov{mvhd, trak{tkhd}…}`), no codec library. This
+    * is the metadata pass every video pipeline runs BEFORE deciding
+    * what to decode (route by resolution/duration, drop corrupt files);
+    * frame DECODE remains behind [[FakeCodec]] — the one genuinely
+    * codec-bound step left. Returns None when the payload isn't ISO
+    * BMFF or the moov tree is malformed/truncated.
+    */
+  def probeMp4Meta(content: Array[Byte]): Option[VideoMeta] = {
+    val buf = java.nio.ByteBuffer.wrap(content)
+    def u32(off: Int): Long = buf.getInt(off) & 0xffffffffL
+    def tag(off: Int): String =
+      new String(content, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk sibling boxes in [from, until): returns (tag, payloadOff, size)
+    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = from
+        def hasNext: Boolean = off + 8 <= until && {
+          val sz = u32(off)
+          sz >= 8 && off + sz <= until
+        }
+        def next(): (String, Int, Int) = {
+          val sz = u32(off).toInt
+          val t = (tag(off + 4), off + 8, sz)
+          off += sz
+          t
+        }
+      }
+    try {
+      val n = content.length
+      if (n < 16 || tag(4) != "ftyp") return None
+      val brand = tag(8)
+      var timescale = 0L; var duration = 0L
+      var w = -1; var h = -1; var tracks = 0
+      boxes(0, n).foreach {
+        case ("moov", p, sz) =>
+          boxes(p, p - 8 + sz).foreach {
+            case ("mvhd", mp, _) =>
+              val v = content(mp) & 0xff
+              val base = if (v == 1) mp + 4 + 8 + 8 else mp + 4 + 4 + 4
+              timescale = u32(base)
+              duration =
+                if (v == 1) buf.getLong(base + 4) else u32(base + 4)
+            case ("trak", tp, tsz) =>
+              tracks += 1
+              boxes(tp, tp - 8 + tsz).foreach {
+                case ("tkhd", kp, _) if w < 0 =>
+                  val v = content(kp) & 0xff
+                  // after version/flags: creation+modification (4/8 ea),
+                  // track_id 4, reserved 4, duration (4/8), reserved 8,
+                  // layer/group/volume/reserved 8, matrix 36 → width
+                  val base = kp + 4 + (if (v == 1) 8 + 8 else 4 + 4) +
+                    4 + 4 + (if (v == 1) 8 else 4) + 8 + 8 + 36
+                  w = (u32(base) >> 16).toInt
+                  h = (u32(base + 4) >> 16).toInt
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (timescale == 0 && tracks == 0) None
+      else Some(VideoMeta(brand, timescale, duration, tracks,
+        math.max(w, 0), math.max(h, 0)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One probed MP4 row keyed by file name ([[videoMeta]]). */
+  final case class VideoFileMeta(
+      file_name: String, brand: String, timescale: Long, duration: Long,
+      n_tracks: Int, width: Int, height: Int)
+
+  /** Container metadata for a directory/glob of MP4 files — binaryFile
+    * scan → per-partition probe, non-BMFF files dropped (same contract
+    * as [[imageFeatures]]/[[audioFeatures]]).
+    */
+  def videoMeta(spark: SparkSession, pathGlob: String): Dataset[VideoFileMeta] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+              col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (name, bytes) =>
+        probeMp4Meta(bytes).map(m => VideoFileMeta(
+          name, m.brand, m.timescale, m.duration,
+          m.nTracks, m.width, m.height))
+      })
+  }
+
   // ==== real audio pipeline =============================================
 
   /** One decoded audio row keyed by file name ([[audioFeatures]]). */
@@ -473,6 +574,12 @@ object Multimodal {
               val n = math.max(1L, s.nFrames).toFloat
               Array(s.sampleRate.toFloat, s.channels.toFloat, s.bits.toFloat,
                 s.nFrames.toFloat, s.sumL / n, s.sumR / n, 0f, 1.0f)
+            case None => FakeCodec.decodeAndFeaturize(r.content)
+          }
+          case "video" => probeMp4Meta(r.content) match {
+            case Some(m) =>
+              Array(m.width.toFloat, m.height.toFloat, m.nTracks.toFloat,
+                m.timescale.toFloat, m.duration.toFloat, 0f, 0f, 1.0f)
             case None => FakeCodec.decodeAndFeaturize(r.content)
           }
           case _ => FakeCodec.decodeAndFeaturize(r.content)

@@ -271,6 +271,28 @@ object AdvancedSuite extends QuerySuite {
               (n // 2) * a + (n - n // 2) * b AS sum_r
             FROM m ORDER BY doc_id"""))
 
+  // ---- REAL MP4 container probe vs an independent encoder ------------
+  // Box trees hand-assembled by the python-stdlib writer
+  // (tools/make_video_fixtures.py, struct only): ftyp brands, v0 mvhd
+  // timescale/duration, multi-track moov, 16.16 tkhd dims, a free box
+  // to skip. Frame DECODE stays behind FakeCodec (the one codec-bound
+  // step); the metadata pass every video pipeline runs first is real.
+  private val videoDir = "/root/repo/src/test/resources/fixtures/video"
+  private val videoProbe = GraftQuery(
+    "q_video_probe",
+    (s, _) =>
+      Multimodal.videoMeta(s, s"$videoDir/*.mp4")
+        .toDF()
+        .orderBy(asc("file_name")),
+    Some(s"""SELECT file_name, brand,
+               CAST(timescale AS BIGINT) AS timescale,
+               CAST(duration AS BIGINT) AS duration,
+               CAST(n_tracks AS INTEGER) AS n_tracks,
+               CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height
+             FROM read_csv('$videoDir/video.csv', header=true)
+             ORDER BY file_name"""))
+
   // ---- stream-stream interval join vs batch oracle -------------------
   private val streamStreamJoin = GraftQuery(
     "q_stream_stream_join",
@@ -306,5 +328,6 @@ object AdvancedSuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(wktPointExpr, streamHourly, streamDedup, multimodal, frameSample,
         imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
+        videoProbe,
         streamStreamJoin, streamStaticJoin, statefulTotals)
 }

@@ -143,6 +143,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.features.take(6).toSeq == Seq(8000f, 1f, 16f, 4f, 100f, 100f))
   }
 
+  test("probeMp4Meta: junk and truncation rejected; fixture parses") {
+    assert(Multimodal.probeMp4Meta("nonsense bytes".getBytes).isEmpty)
+    assert(Multimodal.probeMp4Meta(Array[Byte](0, 0, 0, 8)).isEmpty)
+    val fixture = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/repo/src/test/resources/fixtures/video/v_isom_640.mp4"))
+    val m = Multimodal.probeMp4Meta(fixture).get
+    assert(m.brand == "isom" && m.timescale == 1000L && m.duration == 5000L)
+    assert(m.nTracks == 1 && m.width == 640 && m.height == 360)
+    // truncated mid-moov: the sibling-box walker must stop cleanly
+    assert(Multimodal.probeMp4Meta(fixture.take(fixture.length / 2)) match {
+      case None => true
+      case Some(p) => p.brand == "isom" // partial parse is fine, no throw
+    })
+  }
+
   test("feature vector is a normalized byte histogram (sums to ~1)") {
     val f = Multimodal
       .extractFeatures(spark, Multimodal.synthesizeMedia(docs.filter($"doc_id" === 0L)))
