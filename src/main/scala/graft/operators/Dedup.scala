@@ -590,17 +590,21 @@ object Dedup {
       .withColumn("est", signatureSimilarity(col("sa"), col("sb")))
       .filter(col("est") >= minJaccard - 0.15)
       .select(col("a"), col("b"))
-    // exact verify: corpus tokens only for surviving candidate ids (a
-    // broadcast semi-join keeps the corpus scan shuffle-free)
-    val candB = estimated.select(col("b")).distinct()
-    val cToks = corpus
-      .join(broadcast(candB), corpus(idCol) === candB("b"), "left_semi")
-      .select(col(idCol).as("b"),
-              TextFunctions.distinctTokens(col(textCol)).as("tb"))
+    // exact verify: batch tokens ride the broadcast, and corpus rows
+    // tokenize AFTER the broadcast candidate probe — only candidate
+    // corpus rows ever tokenize, the corpus is still never shuffled,
+    // and `estimated` is referenced exactly ONCE. (The earlier
+    // semi-join shape referenced it twice — for the id prune and the
+    // final join — and DataFrame plans are trees, not DAGs, so the
+    // whole candidate pipeline computed twice, measured in the plan.)
     val bToks = newBatch.select(
       col(idCol).as("a"),
       TextFunctions.distinctTokens(col(textCol)).as("ta"))
-    estimated.join(broadcast(bToks), "a").join(cToks, "b")
+    val withBatch = estimated.join(broadcast(bToks), "a")
+    corpus
+      .join(broadcast(withBatch), corpus(idCol) === withBatch("b"))
+      .select(col("a"), col("b"), col("ta"),
+              TextFunctions.distinctTokens(col(textCol)).as("tb"))
       .withColumn("jaccard", jaccardTokens(col("ta"), col("tb")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
