@@ -62,15 +62,23 @@ object ProfileScale {
       println(f"$label%-12s k=$k%-3d it$it ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    factors.foreach { k =>
-      // materialize the synthesized corpus before timing: the token
-      // tagging is fixture construction, not operator work — a real 10×
-      // corpus arrives from storage, it isn't re-derived inside every
-      // signature/verify pass
-      val corpus = corpusAt(k)
+    // materialize every synthesized corpus before timing: the token
+    // tagging is fixture construction, not operator work — a real 10×
+    // corpus arrives from storage, it isn't re-derived inside every
+    // signature/verify pass
+    val corpora = factors.map { k =>
+      val c = corpusAt(k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      println(s"k=$k corpus rows=${corpus.count()}")
-      (0 to reps).foreach { it => // it0 = warm-up, reported anyway
+      println(s"k=$k corpus rows=${c.count()}")
+      k -> c
+    }
+    // INTERLEAVED passes (like ProfileShardSkew): the host shows
+    // multi-second CPU-steal bursts, and running each factor's reps
+    // back-to-back lets one burst bias a whole arm — round-robin over
+    // factors puts every arm under the same noise distribution, so the
+    // min-per-(shape, k) ratios are comparable. it0 = warm-up.
+    (0 to reps).foreach { it =>
+      corpora.foreach { case (k, corpus) =>
         time("minhash", k, it)(
           Dedup.nearDuplicatePairs(corpus, minJaccard = 0.9)
             .agg(count(lit(1))))
@@ -81,8 +89,8 @@ object ProfileScale {
           Dedup.crossShardDedupClusters(corpus, minJaccard = 0.9,
             shardCols = Seq("source")).agg(countDistinct(col("cluster"))))
       }
-      corpus.unpersist(blocking = true)
     }
+    corpora.foreach(_._2.unpersist(blocking = false))
     spark.stop()
   }
 }
