@@ -232,7 +232,7 @@ object AdvancedSuite extends QuerySuite {
   private val audioDecode = GraftQuery(
     "q_audio_decode",
     (s, _) =>
-      Multimodal.audioFeatures(s, s"$audioDir/*.wav")
+      Multimodal.audioFeatures(s, s"$audioDir/*.{wav,aiff}")
         .toDF()
         .orderBy(asc("file_name")),
     Some(s"""SELECT file_name,

@@ -15,7 +15,12 @@ Default outDir: src/test/resources/fixtures/audio
 import os
 import struct
 import sys
+import warnings
 import wave
+
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore", DeprecationWarning)
+    import aifc
 
 
 def sample16(i, ch, seed):
@@ -35,22 +40,27 @@ def main(out_dir: str) -> None:
         ("s16_44k_333.wav", 2, 2, 44100, 333, 3),
         ("m8_8k_50.wav", 1, 1, 8000, 50, 4),
         ("m16_8k_1.wav", 1, 2, 8000, 1, 5),
+        # AIFF: big-endian PCM-16 — exercises the decoder's endian branch
+        ("a16_8k_80.aiff", 1, 2, 8000, 80, 6),
+        ("a16_22k_33.aiff", 2, 2, 22050, 33, 7),
     ]
     rows = ["file_name,sample_rate,channels,bits,n_frames,sum_l,sum_r"]
     for name, nch, width, rate, nframes, seed in specs:
+        aiff = name.endswith(".aiff")
         frames = bytearray()
         sums = [0] * nch
         for i in range(nframes):
             for c in range(nch):
                 if width == 2:
                     v = sample16(i, c, seed)
-                    frames += struct.pack("<h", v)
+                    frames += struct.pack(">h" if aiff else "<h", v)
                 else:
                     raw = sample8(i, seed)
                     frames.append(raw)
                     v = raw - 128  # decoder's signed view
                 sums[c] += v
-        with wave.open(os.path.join(out_dir, name), "wb") as w:
+        opener = aifc.open if aiff else wave.open
+        with opener(os.path.join(out_dir, name), "wb") as w:
             w.setnchannels(nch)
             w.setsampwidth(width)
             w.setframerate(rate)
