@@ -293,6 +293,46 @@ object AdvancedSuite extends QuerySuite {
              FROM read_csv('$videoDir/video.csv', header=true)
              ORDER BY file_name"""))
 
+  // ---- composed multimodal curation (decode in the loop) -------------
+  // The end-to-end shape a training-data pipeline runs: per-doc image
+  // and audio payloads REALLY encode and decode (ImageIO +
+  // javax.sound.sampled), decoded stats join the text-side token count,
+  // and a quality filter selects the kept set. Every number is an
+  // integer function of doc_id, so the whole composed pipeline —
+  // two codecs, two joins, filter, aggregate — checks against pure SQL
+  // arithmetic.
+  private val multimodalCuration = GraftQuery(
+    "q_multimodal_curation",
+    (s, d) => {
+      val docs = documents(s, d)
+      val imgF = Multimodal.imageFeaturesById(
+        s, Multimodal.synthesizeImages(s, docs)).toDF()
+        .select(col("doc_id"), col("width"), col("n_px"))
+      val audF = Multimodal.audioFeaturesById(
+        s, Multimodal.synthesizeAudio(s, docs)).toDF()
+        .select(col("doc_id"), col("n_frames"))
+      val toks = docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+      imgF.join(audF, "doc_id").join(toks, "doc_id")
+        .filter(col("width") >= 32 && col("n_frames") >= 120 &&
+                col("n_tokens") >= 30)
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("n_px")).as("total_px"),
+             sum(col("n_frames")).as("total_frames"))
+    },
+    Some("""WITH m AS (
+              SELECT doc_id,
+                (doc_id % 16) * 4 + 8 AS w,
+                (doc_id % 12) * 4 + 8 AS h,
+                (doc_id % 50) * 4 + 40 AS n,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '')) AS n_tokens
+              FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(w * h) AS BIGINT) AS total_px,
+                   CAST(SUM(n) AS BIGINT) AS total_frames
+            FROM m WHERE w >= 32 AND n >= 120 AND n_tokens >= 30"""))
+
   // ---- stream-stream interval join vs batch oracle -------------------
   private val streamStreamJoin = GraftQuery(
     "q_stream_stream_join",
@@ -328,6 +368,6 @@ object AdvancedSuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(wktPointExpr, streamHourly, streamDedup, multimodal, frameSample,
         imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
-        videoProbe,
+        videoProbe, multimodalCuration,
         streamStreamJoin, streamStaticJoin, statefulTotals)
 }
