@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Token-budget corpus packing: chunk an id-ordered corpus into
+  * consecutive PACKS of ≈`budget` tokens — the sharding step that turns
+  * a tokenized corpus into trainer work units (sequence-packing shards,
+  * per-worker files, curriculum windows).
+  *
+  * Semantics (deterministic, SQL-oracle-checkable): pack_id =
+  * ⌊exclusive-prefix-sum(n_tokens, ordered by id) / budget⌋ — docs are
+  * never split, consecutive ids share a pack, and a pack overflows the
+  * budget by at most one document's tokens (the standard streaming-fill
+  * contract; a doc larger than the budget gets a pack of its own).
+  *
+  * Scale shape — the whole point of this implementation: the naive form
+  * is `sum(n_tokens) over (order by id)`, a GLOBAL window that plans as
+  * a single-partition sort — one executor owns 100 TB. Here the prefix
+  * sum is distributed two-pass:
+  *
+  *  1. range-repartition by id (ascending ranges ⇔ ascending partition
+  *     ids, the RangePartitioner contract), local exclusive cumsum via a
+  *     window PARTITIONED by `spark_partition_id()` — every partition
+  *     sorts only its own slice;
+  *  2. per-partition token totals (one row per partition) get their own
+  *     exclusive prefix on the tiny totals frame, then broadcast-join
+  *     back: global_prefix = partition_prefix + local_cum.
+  *
+  * No driver-side collect, no global sort; the only single-partition
+  * work is the window over ≤`shuffle.partitions` total rows.
+  */
+object Packing {
+
+  /** Last [[packByTokenBudget]] counted-frame cache, evicted on the next
+    * call — same contract as the [[Dedup]] slots.
+    */
+  private var lastCountCache: Option[DataFrame] = None
+
+  def packByTokenBudget(docs: DataFrame, budget: Long,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    // the partitioned counted frame feeds BOTH the local-cumsum window
+    // and the per-partition totals — persist the (narrow: id, tokens,
+    // part) frame so the tokenize scan runs once, not once per consumer
+    // (plans are trees; an unpersisted shared subtree recomputes)
+    val parted = docs.select(
+        col(idCol).as("id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(col("id"))
+      .withColumn("part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Packing.synchronized {
+      lastCountCache.foreach(_.unpersist(blocking = false))
+      lastCountCache = Some(parted)
+    }
+    val localW = Window.partitionBy("part").orderBy("id")
+    val local = parted.withColumn("local_cum",
+      sum(col("n_tokens")).over(localW) - col("n_tokens"))
+    val totalsW = Window.orderBy("part")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = parted.groupBy("part")
+      .agg(sum(col("n_tokens")).as("ptotal"))
+      .withColumn("prefix", sum(col("ptotal")).over(totalsW) - col("ptotal"))
+      .select("part", "prefix")
+    // integer `div`, not `/`: the double division would lose exactness
+    // past 2^53 total tokens — a realistic corpus size
+    local.join(broadcast(prefixes), "part")
+      .select(col("id").as(idCol), col("n_tokens"),
+        expr(s"(prefix + local_cum) div ${budget}L").as("pack_id"))
+  }
+}

@@ -341,7 +341,34 @@ object CorpusOpsSuite extends QuerySuite {
               ROUND(sk, 6) AS sample_key
             FROM ranked WHERE rank <= 20 ORDER BY rank"""))
 
+  // ---- token-budget corpus packing (distributed prefix sum) ----------
+  // Chunk the id-ordered corpus into ≈2000-token packs — the sharding
+  // step that turns a tokenized corpus into trainer work units. The
+  // oracle is the straightforward global window cumsum; the Spark side
+  // must reproduce it WITHOUT a global single-partition sort (two-pass
+  // range-partitioned prefix sum — plan shape pinned in PackingSpec).
+  private val tokenPacking = GraftQuery(
+    "q_token_packing",
+    (s, d) =>
+      graft.operators.Packing.packByTokenBudget(documents(s, d), budget = 2000L)
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy(asc("pack_id")),
+    Some(s"""WITH t AS (
+               SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+             c AS (
+               SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_excl
+               FROM t)
+             SELECT CAST(cum_excl // 2000 AS BIGINT) AS pack_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+             FROM c GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter,
-        crossSourceDup, trainSplit, dqChecks, weightedSample)
+        crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking)
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c"),            // 3 tokens, cum_excl 0  → pack 0
+    (2L, "d e f g"),          // 4,        cum_excl 3  → pack 0
+    (3L, "h i"),              // 2,        cum_excl 7  → pack 1 (budget 5)
+    (4L, "j k l m n o p"),    // 7,        cum_excl 9  → pack 1 (overflow ok)
+    (5L, "q"),                // 1,        cum_excl 16 → pack 3
+    (6L, "")                  // 0,        cum_excl 17 → pack 3
+  ).toDF("doc_id", "text")
+
+  test("pack ids equal the exclusive-cumsum contract") {
+    val got = Packing.packByTokenBudget(docs, budget = 5L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0L), (2L, 4L, 0L), (3L, 2L, 1L),
+                      (4L, 7L, 1L), (5L, 1L, 3L), (6L, 0L, 3L)))
+  }
+
+  test("distributed result equals the single-partition reference at scale") {
+    // 5k docs with varied token counts across many partitions must
+    // reproduce the naive global-window cumsum exactly
+    val many = (1L to 5000L).map(i =>
+      (i, Seq.fill((i % 17 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(16)
+    val got = Packing.packByTokenBudget(many, budget = 1000L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = many.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("pack_ref",
+        expr("coalesce(sum(n) over (order by doc_id rows between unbounded preceding and 1 preceding), 0) div 1000"))
+    val mismatches = got.join(ref, "doc_id")
+      .filter(col("pack_id") =!= col("pack_ref")).count()
+    assert(mismatches == 0L)
+  }
+
+  test("plan shape: range-partitioned, never a global single-partition sort") {
+    val plan = Packing.packByTokenBudget(docs, budget = 5L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+    // the doc-level window must partition by the physical partition id —
+    // a global `Window [.. ORDER BY id]` with no partition spec would be
+    // the 100 TB killer this operator exists to avoid
+    assert(plan.toLowerCase.contains("spark_partition_id"),
+      s"expected partition-id-scoped window in:\n$plan")
+    // the only SinglePartition exchange allowed is the per-partition
+    // TOTALS frame (≤ shuffle.partitions rows); the doc-level window
+    // must not funnel the corpus through one partition
+    val docWindow = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("id#"))
+    assert(docWindow.exists(_.contains("part#")),
+      s"doc-level window not partition-scoped:\n$plan")
+  }
+}
