@@ -92,6 +92,31 @@ class CacheEvictionSpec extends AnyFunSuite {
       "crossShardDedupClusters must evict the previous call's two label " +
       "frames and leave exactly the latest call's pair live")
 
+    // incrementalNearDupPairs persists BOTH sides' signatures (batch in
+    // the shared signature slot — evicting the nearDuplicatePairs entry
+    // from above, by contract — corpus in its own slot): two calls must
+    // leave exactly the latest call's pair live (6 − 1 + 2 = 7).
+    Dedup.incrementalNearDupPairs(corpus("x"), corpus("a")).count()
+    Dedup.incrementalNearDupPairs(corpus("y"), corpus("b")).count()
+    assert(cacheEntries == 7,
+      "incrementalNearDupPairs must evict the previous call's batch and " +
+      "corpus signature caches")
+
+    // caller-provided corpus signatures are NOT registered for eviction
+    // (their storage is the caller's): the corpus slot EMPTIES (previous
+    // call's corpus cache evicted, nothing replaces it) and the batch
+    // slot turns over → 7 − 1 = 6
+    val stored = Dedup.signatures(corpus("b"), "doc_id", "text", 5, 64)
+    Dedup.incrementalNearDupPairs(corpus("z"), corpus("b"),
+      corpusSigs = Some(stored)).count()
+    assert(cacheEntries == 6,
+      "caller-owned corpus signatures must not enter the eviction slot")
+
+    Packing.packByTokenBudget(corpus("a"), budget = 5L).count()
+    Packing.packByTokenBudget(corpus("b"), budget = 5L).count()
+    assert(cacheEntries == 7,
+      "packByTokenBudget must evict the previous call's counted frame")
+
     // hygiene: leave nothing behind for other suites
     spark.sharedState.cacheManager.clearCache()
   }

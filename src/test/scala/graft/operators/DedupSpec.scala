@@ -174,6 +174,13 @@ class DedupSpec extends AnyFunSuite {
     val plan = Dedup.incrementalNearDupPairs(batch, corpus)
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    // the candidate pipeline must be planned ONCE: exactly two probe
+    // sites (the skew-guard count + the guarded stream, both over the
+    // cached signatures). Four would mean an intermediate is referenced
+    // twice and the whole pipeline recomputes — the regression this
+    // round's verify-tail rewrite removed.
+    val probes = "might_contain".r.findAllIn(plan).size
+    assert(probes == 2, s"expected 2 bloom probe sites, found $probes")
   }
 
   test("signatureSimilarity is 1.0 for identical texts") {
