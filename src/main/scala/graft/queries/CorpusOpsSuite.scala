@@ -366,7 +366,8 @@ object CorpusOpsSuite extends QuerySuite {
              SELECT CAST(cum_excl // 2000 AS BIGINT) AS pack_id,
                     CAST(COUNT(*) AS BIGINT) AS n_docs,
                     CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
-             FROM c GROUP BY 1 ORDER BY 1"""))
+             FROM c GROUP BY 1 ORDER BY 1"""),
+    headline = true)
 
   override val queries: Seq[GraftQuery] =
     Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter,
