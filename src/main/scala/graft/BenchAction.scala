@@ -19,7 +19,7 @@ object BenchAction {
     * count (callers use it to catch silently-empty results).
     */
   def consumeAll(df: DataFrame): Long = {
-    val cols = df.schema.fields.map { f =>
+    val cols = df.schema.fields.toIndexedSeq.map { f =>
       f.dataType match {
         // xxhash64 rejects MapType (unordered); entries are hashable.
         case _: MapType => map_entries(col(f.name))

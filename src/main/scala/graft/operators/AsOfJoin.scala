@@ -50,7 +50,7 @@ object AsOfJoin {
         .map(c => col(c).as(s"__l_$c")): _*)
 
     val unioned = taggedRight
-      .select(taggedLeft.columns.map(c =>
+      .select(taggedLeft.columns.toIndexedSeq.map(c =>
         if (taggedRight.columns.contains(c)) col(c)
         else lit(null).cast(taggedLeft.schema(c).dataType).as(c)): _*)
       .unionByName(taggedLeft)
