@@ -36,6 +36,14 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("gate names are globally unique across suites") {
+    // queries is a toMap over all suites — a duplicate name would
+    // silently DROP one of the two gates from the driver's view
+    val names = SparkEntry.suites.flatMap(_.queries).map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys.toSeq
+    assert(dups.isEmpty, s"duplicate gate names: $dups")
+  }
+
   test("every oracle key refers to a registered query") {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet.diff(qs)
