@@ -90,13 +90,13 @@ object SourcesSuite extends QuerySuite {
   private val datedXlsx = s"$dir/dated.xlsx"
   private val datedCsv = s"$dir/dated.csv"
   private val datedCols = Seq("Event ID", "Name", "Registration Date",
-    "Last Seen", "Duration", "Score")
+    "Last Seen", "Duration", "Score", "Elapsed")
 
   private val datedRawSql =
     s"""SELECT "Event ID" AS event_id, "Name" AS name,
               "Registration Date" AS registration_date,
               "Last Seen" AS last_seen, "Duration" AS duration,
-              "Score" AS score
+              "Score" AS score, "Elapsed" AS elapsed
        FROM read_csv('$datedCsv', header=true, all_varchar=true)"""
 
   /** Date-bearing workbook under `typedDates=true`: every serial styled

@@ -254,7 +254,7 @@ def dtserial(dt):
 
 
 DATED_HEADER = ["Event ID", "Name", "Registration Date", "Last Seen",
-                "Duration", "Score"]
+                "Duration", "Score", "Elapsed"]
 
 # (id, name, reg_date, last_seen, duration_secs, score); regular rows use
 # real dates, edge rows inject raw serials directly (see below)
@@ -293,14 +293,16 @@ DATED_STYLES = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
     '<styleSheet xmlns="http://schemas.openxmlformats.org/'
     'spreadsheetml/2006/main">'
-    '<numFmts count="1">'
+    '<numFmts count="2">'
     '<numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd hh:mm:ss"/>'
+    '<numFmt numFmtId="165" formatCode="[h]:mm:ss"/>'
     '</numFmts>'
-    '<cellXfs count="4">'
+    '<cellXfs count="5">'
     '<xf numFmtId="0"/>'
     '<xf numFmtId="14" applyNumberFormat="1"/>'
     '<xf numFmtId="164" applyNumberFormat="1"/>'
     '<xf numFmtId="21" applyNumberFormat="1"/>'
+    '<xf numFmtId="165" applyNumberFormat="1"/>'
     '</cellXfs></styleSheet>')
 
 
@@ -364,6 +366,11 @@ def hms(secs):
     return f"{secs // 3600:02d}:{(secs // 60) % 60:02d}:{secs % 60:02d}"
 
 
+def elapsed_hms(secs):
+    # [h]-style duration rendering: TOTAL hours (no zero-pad, no mod-24)
+    return f"{secs // 3600}:{(secs // 60) % 60:02d}:{secs % 60:02d}"
+
+
 def main_dated():
     rows_xml = []
     csv_rows = []
@@ -374,28 +381,34 @@ def main_dated():
     rix += 1
     hdr = "".join(dated_cell(rix, c, v) for c, v in enumerate(DATED_HEADER))
     rows_xml.append(f'<row r="{rix}">{hdr}</row>')
-    for eid, name, d, ts, dur, score in DATED_ROWS:
+    for i, (eid, name, d, ts, dur, score) in enumerate(DATED_ROWS):
         rix += 1
+        # elapsed durations deliberately exceed 24h on most rows — the
+        # [h]:mm:ss column must render totals, never wrap (i=0 stays
+        # sub-24h to pin the boundary-free case too)
+        el = (i * 90137) % 200000
         cells = (dated_cell(rix, 0, eid) + dated_cell(rix, 1, name) +
                  dated_cell(rix, 2, dserial(d), style=1) +
                  dated_cell(rix, 3, dtserial(ts), style=2) +
                  dated_cell(rix, 4, dur / 86400.0, style=3) +
-                 dated_cell(rix, 5, score))
+                 dated_cell(rix, 5, score) +
+                 dated_cell(rix, 6, el / 86400.0, style=4))
         rows_xml.append(f'<row r="{rix}">{cells}</row>')
         csv_rows.append([eid, name, d.isoformat(),
-                         ts.strftime("%Y-%m-%d %H:%M:%S"), hms(dur), score])
+                         ts.strftime("%Y-%m-%d %H:%M:%S"), hms(dur), score,
+                         elapsed_hms(el)])
     for eid, name, serial, iso in EDGE_SERIALS:
         rix += 1
         cells = (dated_cell(rix, 0, eid) + dated_cell(rix, 1, name) +
                  dated_cell(rix, 2, serial, style=1))
         rows_xml.append(f'<row r="{rix}">{cells}</row>')
-        csv_rows.append([eid, name, iso, "", "", ""])
+        csv_rows.append([eid, name, iso, "", "", "", ""])
     # a date that arrives as TEXT must pass through untouched
     rix += 1
     cells = (dated_cell(rix, 0, "E903") + dated_cell(rix, 1, "textdate") +
              dated_cell(rix, 2, "2020-05-05"))
     rows_xml.append(f'<row r="{rix}">{cells}</row>')
-    csv_rows.append(["E903", "textdate", "2020-05-05", "", "", ""])
+    csv_rows.append(["E903", "textdate", "2020-05-05", "", "", "", ""])
 
     write_dated_workbook(os.path.join(OUT, "dated.xlsx"), rows_xml)
     with open(os.path.join(OUT, "dated.csv"), "w", newline="") as f:
