@@ -7,18 +7,20 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads plus typed metadata, with batch-shaped
   * feature extraction over partitions.
   *
-  * Round 8 made the media paths REAL wherever the JDK reaches, no
-  * external library anywhere:
+  * Every media path is REAL and JDK-only, no external library anywhere:
   *  - IMAGES: `javax.imageio` decode/encode/resize
   *    ([[decodeImageStats]], [[encodePng]], [[resizeImages]]);
   *  - AUDIO: `javax.sound.sampled` WAV decode/encode
   *    ([[decodeWavStats]], [[encodeWavPcm16]]);
-  *  - VIDEO: pure-byte ISO BMFF container probing ([[probeMp4Meta]] —
-  *    brand/timescale/duration/tracks/dims, the metadata pass every
-  *    video pipeline runs before deciding what to decode).
-  * Only video FRAME DECODE — the one genuinely codec-bound step — uses
-  * the deterministic stand-in ([[FakeCodec]]) behind the same signature
-  * a JNI/FFI decoder would have; swapping one in changes one function.
+  *  - VIDEO: pure-byte ISO BMFF container probing ([[probeMp4Meta]])
+  *    plus REAL frame decode for Motion-JPEG streams
+  *    ([[decodeVideoFrames]]) — concatenated JPEG frames, raw or inside
+  *    an MP4 `mdat` box, split by a marker-aware JPEG segment walk and
+  *    decoded per frame through ImageIO. (Inter-frame codecs like H.264
+  *    would need a JNI decoder; the MJPEG path exercises the identical
+  *    container → frame-split → decode → per-frame-stats pipeline.)
+  * Payloads no decoder accepts fall back to [[byteHistogramFeatures]] —
+  * an explicit junk-row content signature, not a simulated codec.
   */
 object Multimodal {
 
@@ -183,37 +185,41 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** ==== STUBBED CODEC (audio/video only — images are real above) ====
-    * Deterministic stand-in for an audio/video decoder (none exists in
-    * the JDK). Real implementation would decode `content` (WAV/MP4...)
-    * and produce sample tensors; this fake derives a fixed-dimension
-    * feature vector from the raw bytes so the full pipeline is testable
-    * end-to-end with reproducible outputs.
+  /** Feature-vector width shared by every [[extractFeatures]] path —
+    * real decodes and the junk fallback emit the same fixed dimension
+    * so the output column is tensor-shaped regardless of row fate.
     */
-  object FakeCodec {
-    val featureDim = 8
+  val featureDim = 8
 
-    def decodeAndFeaturize(content: Array[Byte]): Array[Float] = {
-      // "resize + pool": bucket byte histogram into featureDim bins.
-      val bins = new Array[Float](featureDim)
-      var i = 0
-      while (i < content.length) {
-        bins((content(i) & 0xff) % featureDim) += 1.0f
-        i += 1
-      }
-      val n = math.max(1, content.length).toFloat
-      bins.map(_ / n)
+  /** Fallback featurizer for payloads NO decoder accepts (the junk rows
+    * every crawled corpus carries): a normalized byte histogram pooled
+    * into [[featureDim]] bins. This is an explicit content signature
+    * for undecodable rows — cheap, deterministic, and honest about
+    * being byte-level — not a stand-in for a codec; every decodable
+    * payload takes a real decode path above.
+    */
+  def byteHistogramFeatures(content: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](featureDim)
+    var i = 0
+    while (i < content.length) {
+      bins((content(i) & 0xff) % featureDim) += 1.0f
+      i += 1
     }
+    val n = math.max(1, content.length).toFloat
+    bins.map(_ / n)
+  }
 
-    def checksum(content: Array[Byte]): Long = {
-      var h = 0L
-      var i = 0
-      while (i < content.length) {
-        h = h * 31 + (content(i) & 0xff)
-        i += 1
-      }
-      h
+  /** Order-sensitive payload checksum (31-polynomial over bytes) — the
+    * row-identity column [[extractFeatures]] emits alongside features.
+    */
+  def payloadChecksum(content: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < content.length) {
+      h = h * 31 + (content(i) & 0xff)
+      i += 1
     }
+    h
   }
 
   // ==== real image pipeline =============================================
@@ -307,52 +313,78 @@ object Multimodal {
       brand: String, timescale: Long, duration: Long,
       nTracks: Int, width: Int, height: Int)
 
+  /** Walk sibling ISO BMFF boxes in `[from, until)`: yields
+    * `(tag, payloadStart, payloadEnd)`. Handles the two non-plain size
+    * encodings of ISO 14496-12 §4.2 a real corpus contains: `size == 1`
+    * reads the 64-bit largesize that follows the tag (>4 GB boxes), and
+    * `size == 0` means the box extends to the end of the enclosing
+    * range (the classic to-EOF `mdat` written by streaming muxers).
+    * Malformed or truncated headers end iteration cleanly.
+    */
+  private def bmffBoxes(content: Array[Byte], from: Int,
+                        until: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private val buf = java.nio.ByteBuffer.wrap(content)
+      private def u32(off: Int): Long = buf.getInt(off) & 0xffffffffL
+      private var off = from
+      private var nxt: (String, Int, Int) = _
+      private def tryAdvance(): Unit = {
+        nxt = null
+        if (off + 8 <= until) {
+          val sz = u32(off)
+          val t = new String(content, off + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          if (sz == 0) {                       // to end of enclosing range
+            nxt = (t, off + 8, until); off = until
+          } else if (sz == 1) {                // 64-bit largesize
+            if (off + 16 <= until) {
+              val big = buf.getLong(off + 8)
+              if (big >= 16 && big <= (until - off).toLong) {
+                nxt = (t, off + 16, off + big.toInt); off += big.toInt
+              }
+            }
+          } else if (sz >= 8 && off + sz <= until) {
+            nxt = (t, off + 8, (off + sz).toInt); off += sz.toInt
+          }
+        }
+      }
+      tryAdvance()
+      def hasNext: Boolean = nxt != null
+      def next(): (String, Int, Int) = {
+        val t = nxt; tryAdvance(); t
+      }
+    }
+
   /** REAL MP4 container probe — pure byte parsing of the ISO BMFF box
     * tree (`ftyp` → `moov{mvhd, trak{tkhd}…}`), no codec library. This
     * is the metadata pass every video pipeline runs BEFORE deciding
     * what to decode (route by resolution/duration, drop corrupt files);
-    * frame DECODE remains behind [[FakeCodec]] — the one genuinely
-    * codec-bound step left. Returns None when the payload isn't ISO
-    * BMFF or the moov tree is malformed/truncated.
+    * frame decode itself is [[decodeVideoFrames]]. Returns None when
+    * the payload isn't ISO BMFF or the moov tree is malformed/truncated.
     */
   def probeMp4Meta(content: Array[Byte]): Option[VideoMeta] = {
     val buf = java.nio.ByteBuffer.wrap(content)
     def u32(off: Int): Long = buf.getInt(off) & 0xffffffffL
     def tag(off: Int): String =
       new String(content, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // walk sibling boxes in [from, until): returns (tag, payloadOff, size)
-    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
-      new Iterator[(String, Int, Int)] {
-        private var off = from
-        def hasNext: Boolean = off + 8 <= until && {
-          val sz = u32(off)
-          sz >= 8 && off + sz <= until
-        }
-        def next(): (String, Int, Int) = {
-          val sz = u32(off).toInt
-          val t = (tag(off + 4), off + 8, sz)
-          off += sz
-          t
-        }
-      }
     try {
       val n = content.length
       if (n < 16 || tag(4) != "ftyp") return None
       val brand = tag(8)
       var timescale = 0L; var duration = 0L
       var w = -1; var h = -1; var tracks = 0
-      boxes(0, n).foreach {
-        case ("moov", p, sz) =>
-          boxes(p, p - 8 + sz).foreach {
+      bmffBoxes(content, 0, n).foreach {
+        case ("moov", p, e) =>
+          bmffBoxes(content, p, e).foreach {
             case ("mvhd", mp, _) =>
               val v = content(mp) & 0xff
               val base = if (v == 1) mp + 4 + 8 + 8 else mp + 4 + 4 + 4
               timescale = u32(base)
               duration =
                 if (v == 1) buf.getLong(base + 4) else u32(base + 4)
-            case ("trak", tp, tsz) =>
+            case ("trak", tp, te) =>
               tracks += 1
-              boxes(tp, tp - 8 + tsz).foreach {
+              bmffBoxes(content, tp, te).foreach {
                 case ("tkhd", kp, _) if w < 0 =>
                   val v = content(kp) & 0xff
                   // after version/flags: creation+modification (4/8 ea),
@@ -394,6 +426,187 @@ object Multimodal {
           name, m.brand, m.timescale, m.duration,
           m.nTracks, m.width, m.height))
       })
+  }
+
+  // ==== real video frame decode (Motion-JPEG) ===========================
+
+  /** Split a concatenated-JPEG (Motion-JPEG) byte range into frame
+    * slices `(start, end)` by walking the JPEG marker structure — NOT a
+    * naive `FFD9` scan: length-prefixed segments (DQT/DHT/COM/APPn …)
+    * may contain any byte, so each segment is skipped by its declared
+    * length, and entropy-coded scan data is skipped honoring byte
+    * stuffing (`FF00`) and restart markers (`FFD0`–`FFD7`), which are
+    * the only ways `FF` may appear inside it. A malformed or truncated
+    * tail ends the walk cleanly with the frames found so far.
+    */
+  def splitJpegFrames(bytes: Array[Byte], from: Int, until: Int): Seq[(Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var pos = from
+    var streamOk = true
+    while (streamOk && pos + 4 <= until && u8(pos) == 0xff && u8(pos + 1) == 0xd8) {
+      val start = pos
+      var p = pos + 2
+      var end = -1
+      var walking = true
+      while (walking) {
+        if (p + 2 > until || u8(p) != 0xff) walking = false // truncated/malformed
+        else u8(p + 1) match {
+          case 0xd9 => end = p + 2; walking = false         // EOI
+          case 0xff => p += 1                               // fill byte
+          case m if m == 0xd8 || m == 0x01 ||
+                    (m >= 0xd0 && m <= 0xd7) => p += 2      // parameterless
+          case 0xda =>                                      // SOS → entropy data
+            if (p + 4 > until) walking = false
+            else {
+              var q = p + 2 + ((u8(p + 2) << 8) | u8(p + 3))
+              var scanning = true
+              while (scanning) {
+                if (q + 1 >= until) { scanning = false; walking = false }
+                else if (u8(q) != 0xff) q += 1
+                else {
+                  val n = u8(q + 1)
+                  if (n == 0x00 || (n >= 0xd0 && n <= 0xd7)) q += 2
+                  else { p = q; scanning = false }          // real marker
+                }
+              }
+            }
+          case _ =>                                         // length-prefixed
+            if (p + 4 > until) walking = false
+            else p += 2 + ((u8(p + 2) << 8) | u8(p + 3))
+        }
+      }
+      if (end > 0) { out += ((start, end)); pos = end } else streamOk = false
+    }
+    out.toSeq
+  }
+
+  /** Frame slices of a video payload: an ISO BMFF container yields the
+    * JPEG frames inside its `mdat` box(es) (MJPEG-in-MP4, the shape a
+    * streaming muxer writes); anything else is treated as a raw MJPEG
+    * elementary stream (concatenated JPEGs). Non-MJPEG payloads yield
+    * no frames — the caller decides the fallback, same contract as
+    * [[decodeImageStats]].
+    */
+  def mjpegFrameRanges(content: Array[Byte]): Seq[(Int, Int)] = {
+    val isBmff = content.length >= 12 &&
+      new String(content, 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII) == "ftyp"
+    if (isBmff)
+      bmffBoxes(content, 0, content.length).flatMap {
+        case ("mdat", p, e) => splitJpegFrames(content, p, e)
+        case _ => Nil
+      }.toSeq
+    else splitJpegFrames(content, 0, content.length)
+  }
+
+  /** REAL video frame decode: split the payload into JPEG frames
+    * ([[mjpegFrameRanges]]) and decode each through ImageIO — the same
+    * per-frame statistics contract as the image path, keyed by frame
+    * index. Undecodable frames are skipped but keep their index, so a
+    * partly-corrupt stream still yields its good frames.
+    */
+  def decodeVideoFrames(content: Array[Byte]): Seq[(Int, ImageStats)] =
+    mjpegFrameRanges(content).zipWithIndex.flatMap { case ((s, e), i) =>
+      decodeImageStats(java.util.Arrays.copyOfRange(content, s, e)).map(i -> _)
+    }
+
+  /** JPEG encode at quality 1.0 (quantization tables all ones). For the
+    * flat-gray frames [[synthesizeVideos]] emits, this round-trips
+    * EXACTLY through ImageIO: a flat 8×8 block has only a DC
+    * coefficient, which survives quant=1 and the IDCT losslessly —
+    * verified over all 256 gray values and odd dimensions. That is what
+    * lets a SQL oracle check a real lossy-codec decode with integer
+    * arithmetic.
+    */
+  def encodeJpegGray(w: Int, h: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** One decoded video frame keyed by file name ([[videoFrames]]). */
+  final case class VideoFrameFileRow(
+      file_name: String, frame_no: Int, width: Int, height: Int,
+      channels: Int, n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** One decoded video frame keyed by doc id ([[videoFramesById]]). */
+  final case class VideoFrameDocRow(
+      doc_id: Long, frame_no: Int, width: Int, height: Int,
+      channels: Int, n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Per-frame decode stats for a directory/glob of MJPEG payloads
+    * (raw `.mjpeg` streams or MJPEG-in-MP4): binaryFile scan →
+    * per-partition frame split + ImageIO decode, one row per decodable
+    * frame. Files with no decodable frames are dropped — the same
+    * junk-tolerant contract as [[imageFeatures]].
+    */
+  def videoFrames(spark: SparkSession, pathGlob: String): Dataset[VideoFrameFileRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+              col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (name, bytes) =>
+        decodeVideoFrames(bytes).map { case (i, s) =>
+          VideoFrameFileRow(name, i, s.width, s.height, s.channels,
+            s.nPx, s.sumR, s.sumG, s.sumB)
+        }
+      })
+  }
+
+  /** Per-frame decode stats for an in-pipeline (id, content) frame. */
+  def videoFramesById(spark: SparkSession, media: DataFrame,
+                      idCol: String = "doc_id",
+                      contentCol: String = "content"): Dataset[VideoFrameDocRow] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeVideoFrames(bytes).map { case (i, s) =>
+          VideoFrameDocRow(id, i, s.width, s.height, s.channels,
+            s.nPx, s.sumR, s.sumG, s.sumB)
+        }
+      })
+  }
+
+  /** Synthesize a REAL MJPEG corpus from the documents table: one raw
+    * Motion-JPEG stream per doc — frame count, dimensions, and each
+    * frame's flat gray value integer functions of `doc_id`, every frame
+    * a real ImageIO JPEG encode ([[encodeJpegGray]]) — so every decoded
+    * frame statistic is exact integer arithmetic for the SQL oracle
+    * (sum = w·h·v_i), the video twin of [[synthesizeImages]].
+    */
+  def synthesizeVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = ((id % 10) * 4 + 12).toInt
+      val h = ((id % 7) * 4 + 12).toInt
+      val nF = (id % 5 + 2).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < nF) {
+        bos.write(encodeJpegGray(w, h, ((id * 37 + i * 11) % 256).toInt))
+        i += 1
+      }
+      (id, bos.toByteArray)
+    }).toDF("doc_id", "content")
   }
 
   // ==== real audio pipeline =============================================
@@ -457,7 +670,28 @@ object Multimodal {
     }).toDF("doc_id", "content")
   }
 
-  /** ==== STUBBED TRANSFORMS over the real plumbing ==== */
+  /** REAL video frame sampling: every `step`-th JPEG frame of an MJPEG
+    * payload re-emitted as a standalone image payload (a JPEG frame IS
+    * a complete JPEG — extraction is a byte slice, no re-encode). This
+    * is the decode-free frame-sample a 100 TB video pipeline wants:
+    * container walk + marker walk only, the expensive pixel decode
+    * deferred to whatever consumes the sampled frames. One distributed
+    * pass, no shuffle; non-MJPEG payloads yield no rows.
+    */
+  def sampleVideoFrames(spark: SparkSession, media: DataFrame, step: Int,
+                        idCol: String = "doc_id",
+                        contentCol: String = "content"): DataFrame = {
+    import spark.implicits._
+    require(step >= 1, s"step must be >= 1, got $step")
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        mjpegFrameRanges(bytes).zipWithIndex.collect {
+          case ((s, e), i) if i % step == 0 =>
+            (id, i, java.util.Arrays.copyOfRange(bytes, s, e))
+        }
+      }).toDF(idCol, "frame_no", contentCol)
+  }
 
   /** REAL image resize: decode → Graphics2D bilinear scale → PNG
     * re-encode, per partition (the decode/encode batch boundary — same
@@ -491,26 +725,27 @@ object Multimodal {
       }).toDF(idCol, contentCol, "resized")
   }
 
-  /** "Resize": deterministic fake of an image resize — metadata updated,
-    * payload re-sampled to a target byte budget proportional to the new
-    * area (real image payloads should use [[resizeImages]]; this
-    * projection form remains for the synthetic audio/video stand-ins).
-    * Runs as a codegen-friendly projection; no shuffle.
+  /** Byte-budget "resize": metadata updated, payload truncated to a
+    * budget proportional to the new area. A payload-slicing utility for
+    * opaque (non-image) payloads where only the storage footprint is
+    * being shaped — real image payloads use [[resizeImages]]. Runs as a
+    * codegen-friendly projection; no shuffle.
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val budget = math.max(1, (w * h) / 64)
     media
       .withColumn("width", lit(w))
       .withColumn("height", lit(h))
-      // STUB: real implementation decodes + resamples pixels here
       .withColumn("content",
         expr(s"substring(content, 1, $budget)"))
   }
 
-  /** Frame sampling for `video` rows: each video becomes `nFrames` rows
-    * with a frame index and a per-frame payload slice (STUB for real
-    * frame extraction). posexplode keeps it one distributed pass;
-    * non-video rows pass through with frame 0.
+  /** Byte-slice frame sampling for `video` rows: each video becomes
+    * `nFrames` rows with a frame index and an equal payload slice — the
+    * partitioning utility for opaque payloads whose internal structure
+    * is unknown (real MJPEG payloads use [[sampleVideoFrames]], which
+    * slices on actual frame boundaries). posexplode keeps it one
+    * distributed pass; non-video rows pass through with frame 0.
     */
   def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
     val videos = media.filter(col("media_type") === "video")
@@ -547,9 +782,12 @@ object Multimodal {
     * Image rows take the REAL decode ([[decodeImageStats]]): features =
     * [width, height, channels, mean_r, mean_g, mean_b, luma_mean, 1].
     * Audio rows likewise ([[decodeWavStats]]): [sample_rate, channels,
-    * bits, n_frames, mean_l, mean_r, 0, 1]. Rows whose payload doesn't
-    * decode — and all video — fall back to [[FakeCodec]] (last slot 0
-    * marks the fake path), so a mixed or partly-corrupt corpus still
+    * bits, n_frames, mean_l, mean_r, 0, 1]. Video rows decode REAL
+    * MJPEG frames ([[decodeVideoFrames]]): [width, height, n_frames,
+    * mean_luma, 0, 0, 0, 1], falling back to the container probe
+    * ([[probeMp4Meta]]) for metadata-only payloads. Rows whose payload
+    * nothing decodes fall back to [[byteHistogramFeatures]] (last slot
+    * 0 marks the fallback), so a mixed or partly-corrupt corpus still
     * features end-to-end.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
@@ -567,28 +805,39 @@ object Multimodal {
               val mr = s.sumR / n; val mg = s.sumG / n; val mb = s.sumB / n
               Array(s.width.toFloat, s.height.toFloat, s.channels.toFloat,
                 mr, mg, mb, 0.299f * mr + 0.587f * mg + 0.114f * mb, 1.0f)
-            case None => FakeCodec.decodeAndFeaturize(r.content)
+            case None => byteHistogramFeatures(r.content)
           }
           case "audio" => decodeWavStats(r.content) match {
             case Some(s) =>
               val n = math.max(1L, s.nFrames).toFloat
               Array(s.sampleRate.toFloat, s.channels.toFloat, s.bits.toFloat,
                 s.nFrames.toFloat, s.sumL / n, s.sumR / n, 0f, 1.0f)
-            case None => FakeCodec.decodeAndFeaturize(r.content)
+            case None => byteHistogramFeatures(r.content)
           }
-          case "video" => probeMp4Meta(r.content) match {
-            case Some(m) =>
-              Array(m.width.toFloat, m.height.toFloat, m.nTracks.toFloat,
-                m.timescale.toFloat, m.duration.toFloat, 0f, 0f, 1.0f)
-            case None => FakeCodec.decodeAndFeaturize(r.content)
-          }
-          case _ => FakeCodec.decodeAndFeaturize(r.content)
+          case "video" =>
+            val frames = decodeVideoFrames(r.content)
+            if (frames.nonEmpty) {
+              val s0 = frames.head._2
+              var px = 0L; var luma = 0.0
+              frames.foreach { case (_, s) =>
+                px += s.nPx
+                luma += 0.299 * s.sumR + 0.587 * s.sumG + 0.114 * s.sumB
+              }
+              Array(s0.width.toFloat, s0.height.toFloat, frames.size.toFloat,
+                (luma / math.max(1L, px)).toFloat, 0f, 0f, 0f, 1.0f)
+            } else probeMp4Meta(r.content) match {
+              case Some(m) =>
+                Array(m.width.toFloat, m.height.toFloat, m.nTracks.toFloat,
+                  m.timescale.toFloat, m.duration.toFloat, 0f, 0f, 1.0f)
+              case None => byteHistogramFeatures(r.content)
+            }
+          case _ => byteHistogramFeatures(r.content)
         }
         MediaFeatures(
           doc_id = r.doc_id,
           media_type = r.media_type,
           n_bytes = r.content.length,
-          checksum = FakeCodec.checksum(r.content),
+          checksum = payloadChecksum(r.content),
           features = feats)
       }
     }

@@ -275,8 +275,8 @@ object AdvancedSuite extends QuerySuite {
   // Box trees hand-assembled by the python-stdlib writer
   // (tools/make_video_fixtures.py, struct only): ftyp brands, v0 mvhd
   // timescale/duration, multi-track moov, 16.16 tkhd dims, a free box
-  // to skip. Frame DECODE stays behind FakeCodec (the one codec-bound
-  // step); the metadata pass every video pipeline runs first is real.
+  // to skip. The metadata pass every video pipeline runs before
+  // deciding what to decode; frame decode itself is q_video_frames.
   private val videoDir = "/root/repo/src/test/resources/fixtures/video"
   private val videoProbe = GraftQuery(
     "q_video_probe",
@@ -292,6 +292,69 @@ object AdvancedSuite extends QuerySuite {
                CAST(height AS INTEGER) AS height
              FROM read_csv('$videoDir/video.csv', header=true)
              ORDER BY file_name"""))
+
+  // ---- REAL video frame decode vs an independent encoder -------------
+  // Motion-JPEG streams (raw and MJPEG-in-MP4) hand-encoded by the
+  // python-stdlib writer (tools/make_video_frame_fixtures.py, struct
+  // only — baseline JPEG with all-ones quant tables, flat-gray frames
+  // whose DC-only blocks round-trip EXACTLY); ImageIO must decode every
+  // frame to the same dims and exact pixel sums. Covers raw streams,
+  // plain/largesize/to-EOF mdat encodings, odd dims, a 12-frame stream,
+  // a junk file (dropped) and a truncated tail (good frames kept).
+  private val vframesDir = "/root/repo/src/test/resources/fixtures/video_frames"
+  private val videoFramesQ = GraftQuery(
+    "q_video_frames",
+    (s, _) =>
+      Multimodal.videoFrames(s, s"$vframesDir/*.{mjpeg,mp4}")
+        .toDF()
+        .orderBy(asc("file_name"), asc("frame_no")),
+    Some(s"""SELECT file_name,
+               CAST(frame_no AS INTEGER) AS frame_no,
+               CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height,
+               CAST(channels AS INTEGER) AS channels,
+               CAST(n_px AS BIGINT) AS n_px,
+               CAST(sum_r AS BIGINT) AS sum_r,
+               CAST(sum_g AS BIGINT) AS sum_g,
+               CAST(sum_b AS BIGINT) AS sum_b
+             FROM read_csv('$vframesDir/frames.csv', header=true)
+             ORDER BY file_name, frame_no"""))
+
+  // ---- in-pipeline video round-trip (encode → decode, SQL oracle) ----
+  // One raw MJPEG stream per document — frame count, dims, and each
+  // frame's flat gray value integer functions of doc_id, every frame a
+  // REAL ImageIO JPEG encode at quality 1.0 (all-ones quant tables ⇒
+  // flat blocks round-trip exactly) — the video twin of
+  // q_image_features: both codec directions plus the frame-split walk,
+  // checked by pure SQL arithmetic.
+  private val videoFeaturesQ = GraftQuery(
+    "q_video_features",
+    (s, d) =>
+      Multimodal.videoFramesById(
+          s, Multimodal.synthesizeVideos(s, documents(s, d)))
+        .toDF()
+        .orderBy(asc("doc_id"), asc("frame_no")),
+    Some("""WITH m AS (
+              SELECT doc_id,
+                CAST((doc_id % 10) * 4 + 12 AS INTEGER) AS w,
+                CAST((doc_id % 7) * 4 + 12 AS INTEGER) AS h,
+                CAST(doc_id % 5 + 2 AS INTEGER) AS nf
+              FROM documents),
+            f AS (
+              SELECT doc_id, w, h,
+                CAST(unnest(generate_series(0, nf - 1)) AS INTEGER)
+                  AS frame_no
+              FROM m)
+            SELECT doc_id, frame_no, w AS width, h AS height,
+              CAST(1 AS INTEGER) AS channels,
+              CAST(w AS BIGINT) * h AS n_px,
+              CAST(w AS BIGINT) * h * ((doc_id * 37 + frame_no * 11) % 256)
+                AS sum_r,
+              CAST(w AS BIGINT) * h * ((doc_id * 37 + frame_no * 11) % 256)
+                AS sum_g,
+              CAST(w AS BIGINT) * h * ((doc_id * 37 + frame_no * 11) % 256)
+                AS sum_b
+            FROM f ORDER BY doc_id, frame_no"""))
 
   // ---- composed multimodal curation (decode in the loop) -------------
   // The end-to-end shape a training-data pipeline runs: per-doc image
@@ -368,6 +431,6 @@ object AdvancedSuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(wktPointExpr, streamHourly, streamDedup, multimodal, frameSample,
         imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
-        videoProbe, multimodalCuration,
+        videoProbe, videoFramesQ, videoFeaturesQ, multimodalCuration,
         streamStreamJoin, streamStaticJoin, statefulTotals)
 }

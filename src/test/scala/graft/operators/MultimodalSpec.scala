@@ -28,7 +28,7 @@ class MultimodalSpec extends AnyFunSuite {
       .extractFeatures(spark, Multimodal.synthesizeMedia(docs), partitions = 2)
       .collect().sortBy(_.doc_id)
     assert(feats.map(_.n_bytes).toSeq == Seq(11, 3, 0))
-    assert(feats.forall(_.features.length == Multimodal.FakeCodec.featureDim))
+    assert(feats.forall(_.features.length == Multimodal.featureDim))
     // deterministic across runs
     val again = Multimodal
       .extractFeatures(spark, Multimodal.synthesizeMedia(docs), partitions = 3)
@@ -156,6 +156,79 @@ class MultimodalSpec extends AnyFunSuite {
       case None => true
       case Some(p) => p.brand == "isom" // partial parse is fine, no throw
     })
+  }
+
+  test("splitJpegFrames is marker-aware, not a naive FFD9 scan") {
+    val f1 = Multimodal.encodeJpegGray(16, 8, 100)
+    val f2 = Multimodal.encodeJpegGray(16, 8, 200)
+    // plant a COM segment whose PAYLOAD contains the EOI byte pair
+    // FF D9 right after SOI — a naive byte scan would split there; the
+    // segment walk must skip it by declared length
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0x00, 0x04,
+      0xff.toByte, 0xd9.toByte)
+    val poisoned = f1.take(2) ++ com ++ f1.drop(2)
+    val stream = poisoned ++ f2
+    val ranges = Multimodal.splitJpegFrames(stream, 0, stream.length)
+    assert(ranges.size == 2)
+    assert(ranges(0) == (0, poisoned.length))
+    assert(ranges(1) == (poisoned.length, stream.length))
+    // and the poisoned frame still really decodes
+    val s = Multimodal.decodeImageStats(poisoned).get
+    assert(s.width == 16 && s.height == 8 && s.sumR == 16L * 8 * 100)
+  }
+
+  test("decodeVideoFrames: synthesized MJPEG round-trips exactly") {
+    val docs = Seq(3L, 17L).toDF("doc_id")
+    val rows = Multimodal.videoFramesById(
+      spark, Multimodal.synthesizeVideos(spark, docs)).collect()
+    for (id <- Seq(3L, 17L)) {
+      val w = ((id % 10) * 4 + 12).toInt
+      val h = ((id % 7) * 4 + 12).toInt
+      val nF = (id % 5 + 2).toInt
+      val mine = rows.filter(_.doc_id == id).sortBy(_.frame_no)
+      assert(mine.length == nF)
+      mine.zipWithIndex.foreach { case (r, i) =>
+        assert(r.frame_no == i && r.width == w && r.height == h)
+        val v = (id * 37 + i * 11) % 256
+        assert(r.sum_r == w.toLong * h * v && r.sum_g == r.sum_r)
+      }
+    }
+  }
+
+  test("decodeVideoFrames: largesize and to-EOF mdat encodings") {
+    val dir = "/root/repo/src/test/resources/fixtures/video_frames"
+    def frames(name: String) = Multimodal.decodeVideoFrames(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/$name")))
+    val large = frames("v_largesize_mdat.mp4")
+    assert(large.map(_._1) == Seq(0, 1))
+    assert(large.head._2.sumR == 24L * 24 * 250)
+    val eof = frames("v_eof_mdat.mp4")
+    assert(eof.map(_._1) == Seq(0, 1))
+    assert(eof.head._2.width == 40 && eof.head._2.sumR == 40L * 8 * 123)
+    assert(Multimodal.decodeVideoFrames("junk bytes".getBytes).isEmpty)
+  }
+
+  test("sampleVideoFrames: every step-th frame re-emitted as a real JPEG") {
+    val media = Multimodal.synthesizeVideos(spark, Seq(4L).toDF("doc_id"))
+    // doc 4: 6 frames of 28x28 — step 2 keeps frames 0, 2, 4
+    val sampled = Multimodal.sampleVideoFrames(spark, media, step = 2).collect()
+    assert(sampled.map(_.getAs[Int]("frame_no")).sorted.toSeq == Seq(0, 2, 4))
+    sampled.foreach { r =>
+      val s = Multimodal.decodeImageStats(r.getAs[Array[Byte]]("content")).get
+      val v = (4L * 37 + r.getAs[Int]("frame_no") * 11) % 256
+      assert(s.width == 28 && s.height == 28 && s.sumR == 28L * 28 * v)
+    }
+  }
+
+  test("extractFeatures: real frame decode on video rows (mjpeg payload)") {
+    val stream = Multimodal.encodeJpegGray(12, 12, 50) ++
+      Multimodal.encodeJpegGray(12, 12, 150)
+    val media = Seq((0L, "video", 12, 12, stream))
+      .toDF("doc_id", "media_type", "width", "height", "content")
+    val f = Multimodal.extractFeatures(spark, media).head()
+    assert(f.features(7) == 1.0f, "mjpeg payload must take the real path")
+    assert(f.features.take(3).toSeq == Seq(12f, 12f, 2f))
+    assert(math.abs(f.features(3) - 100f) < 0.5f)  // mean luma of 50/150
   }
 
   test("feature vector is a normalized byte histogram (sums to ~1)") {
