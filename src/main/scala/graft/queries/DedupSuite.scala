@@ -101,16 +101,33 @@ object DedupSuite extends QuerySuite {
   //      non-1 jaccard on any exact pair means a broken verify. The
   //      xxhash LSH geometry itself (which NEAR pairs surface) stays
   //      pinned by unit tests.
+  //      ELIGIBILITY (round 9, mirrored on both sides so the guarantee
+  //      is a contract, not a fixture property): contents whose planted
+  //      copy count exceeds the operator's maxBucket are dropped BY
+  //      DESIGN (the skew guard — q_dedup_skewguard pins that trade
+  //      where it binds), and empty-token contents fail exact verify by
+  //      convention (jaccard(∅,∅) = 0). Both sides count only contents
+  //      with 1 ≤ tokens and k ≤ maxBucket; today's corpora have no
+  //      ineligible content, so the restriction is numerically a no-op
+  //      — it exists so the gate cannot false-fail on a corpus with
+  //      heavy exact duplication or empty docs. (1..k-1-token docs DO
+  //      pair: shingling falls back to one whole-array hash.)
   private val minhashPairs = GraftQuery(
     "q_dedup_minhash",
     (s, d) => {
       val p = planted(s, d)
       val fps = p.select(col("doc_id"),
-        graft.functions.TextFunctions.exactFingerprint(col("text")).as("fp"))
+        graft.functions.TextFunctions.exactFingerprint(col("text")).as("fp"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("ntok"))
+      val eligible = fps.groupBy("fp")
+        .agg(count(lit(1)).as("k"), min(col("ntok")).as("mintok"))
+        .filter(col("k") <= 200 && col("mintok") >= 1)
+        .select(col("fp"))
       Dedup.nearDuplicatePairs(p, minJaccard = 0.9)
         .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
         .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
         .filter(col("fa") === col("fb"))
+        .join(eligible.select(col("fp").as("fa")), "fa")
         .agg(count(lit(1)).as("n_exact_pairs"),
              (min(col("jaccard")) === 1.0).as("exact_jac_ok"))
     },
@@ -119,12 +136,82 @@ object DedupSuite extends QuerySuite {
                UNION ALL
                SELECT doc_id + 1000000, text FROM documents),
              per_content AS (
-               SELECT md5(array_to_string($toksSql, ' ')) AS h, COUNT(*) AS k
+               SELECT md5(array_to_string($toksSql, ' ')) AS h, COUNT(*) AS k,
+                      MIN(len($toksSql)) AS mintok
                FROM corpus GROUP BY h)
              SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_exact_pairs,
                     TRUE AS exact_jac_ok
-             FROM per_content"""),
+             FROM per_content WHERE k <= 200 AND mintok >= 1"""),
     headline = true)
+
+  // ---- maxBucket skew guard, measured WHERE IT BINDS (round 9) -------
+  //      The guard (Dedup.lshCandidatePairsFromSigs) is the engine's
+  //      single most load-bearing 100 TB claim: buckets larger than
+  //      maxBucket — pathological boilerplate — are dropped rather than
+  //      joined, bounding worst-case pair count at buckets·maxBucket².
+  //      Every other gate keeps buckets under the cap, so this one
+  //      plants a corpus where the cap OBSERVABLY binds: every doc gets
+  //      a boilerplate companion with ONE fixed text, a group of |docs|
+  //      ≫ maxBucket=20 identical copies whose every band bucket is
+  //      oversized. Both sides of the documented trade are oracled:
+  //      (a) recall loss is EXACTLY the oversized groups — contents
+  //      with k > maxBucket yield zero pairs (n_dropped_pairs = 0
+  //      pairs survive from them), and n_dropped_groups ≥ 1 proves the
+  //      cap engaged; (b) nothing else is lost — contents with
+  //      k ≤ maxBucket keep their full C(k,2), exactly as if the guard
+  //      did not exist. Both sides are pure per-content counting, so
+  //      the whole trade is SQL-decidable.
+  private val skewGuard = GraftQuery(
+    "q_dedup_skewguard",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val off = documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val boiler = "all rights reserved this page is provided subject to " +
+        "the standard terms of service and the privacy policy please " +
+        "review both documents carefully before continuing to use this " +
+        "website content may change at any time without prior notice"
+      val corpus = docs
+        .unionByName(docs.select((col("doc_id") + off).as("doc_id"),
+          col("text")))
+        .unionByName(docs.select((col("doc_id") + 2L * off).as("doc_id"),
+          lit(boiler).as("text")))
+      val fps = corpus.select(col("doc_id"),
+        graft.functions.TextFunctions.exactFingerprint(col("text")).as("fp"))
+      val perContent = fps.groupBy("fp").agg(count(lit(1)).as("k"))
+      val pairStats = Dedup.nearDuplicatePairs(corpus, minJaccard = 0.9,
+          maxBucket = 20)
+        .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
+        .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
+        .filter(col("fa") === col("fb"))
+        .join(perContent.select(col("fp").as("fa"), col("k")), "fa")
+        .agg(
+          sum(when(col("k") <= 20, 1L).otherwise(0L)).as("n_kept_pairs"),
+          sum(when(col("k") > 20, 1L).otherwise(0L)).as("n_dropped_pairs"))
+      val groupStats = perContent.agg(
+        sum(when(col("k") > 20, 1L).otherwise(0L)).as("n_dropped_groups"))
+      pairStats.crossJoin(groupStats).select(
+        col("n_kept_pairs"), col("n_dropped_pairs"), col("n_dropped_groups"),
+        (col("n_dropped_groups") >= 1L).as("cap_binds"))
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+               FROM documents
+               UNION ALL
+               SELECT doc_id + 2 * (SELECT MAX(doc_id) + 1 FROM documents),
+                 'all rights reserved this page is provided subject to the standard terms of service and the privacy policy please review both documents carefully before continuing to use this website content may change at any time without prior notice'
+               FROM documents),
+             per_content AS (
+               SELECT md5(array_to_string($toksSql, ' ')) AS h, COUNT(*) AS k
+               FROM corpus GROUP BY h)
+             SELECT CAST(SUM(CASE WHEN k <= 20 THEN k * (k - 1) / 2
+                               ELSE 0 END) AS BIGINT) AS n_kept_pairs,
+                    CAST(0 AS BIGINT) AS n_dropped_pairs,
+                    CAST(SUM(CASE WHEN k > 20 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_dropped_groups,
+                    TRUE AS cap_binds
+             FROM per_content"""))
 
   // ---- windowed (per-shard) minhash: the scale path for corpora that
   //      exceed one LSH pass. Planted corpus carries `source` as the
@@ -378,16 +465,26 @@ object DedupSuite extends QuerySuite {
   // fingerprints must equal the planted C(k,2) sum, with hamming 0 on
   // every such pair. The near-pair geometry (hamming 1–3 survivors)
   // stays pinned by unit tests.
+  //      Same round-9 eligibility restriction as q_dedup_minhash, at
+  //      the simhash operator's own cap (maxBucket = 2000) — and
+  //      empty-token contents excluded (their simhash is the zero
+  //      vector by convention, but exact verify rejects them).
   private val simhashPairs = GraftQuery(
     "q_dedup_simhash",
     (s, d) => {
       val p = planted(s, d)
       val fps = p.select(col("doc_id"),
-        graft.functions.TextFunctions.exactFingerprint(col("text")).as("fp"))
+        graft.functions.TextFunctions.exactFingerprint(col("text")).as("fp"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("ntok"))
+      val eligible = fps.groupBy("fp")
+        .agg(count(lit(1)).as("k"), min(col("ntok")).as("mintok"))
+        .filter(col("k") <= 2000 && col("mintok") >= 1)
+        .select(col("fp"))
       Dedup.simhashNearPairs(p, maxHamming = 3)
         .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
         .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
         .filter(col("fa") === col("fb"))
+        .join(eligible.select(col("fp").as("fa")), "fa")
         .agg(count(lit(1)).as("n_exact_pairs"),
              max(col("hamming")).as("max_exact_hamming"))
     },
@@ -396,14 +493,15 @@ object DedupSuite extends QuerySuite {
                UNION ALL
                SELECT doc_id + 1000000, text FROM documents),
              per_content AS (
-               SELECT md5(array_to_string($toksSql, ' ')) AS h, COUNT(*) AS k
+               SELECT md5(array_to_string($toksSql, ' ')) AS h, COUNT(*) AS k,
+                      MIN(len($toksSql)) AS mintok
                FROM corpus GROUP BY h)
              SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_exact_pairs,
                     CAST(0 AS INTEGER) AS max_exact_hamming
-             FROM per_content"""))
+             FROM per_content WHERE k <= 2000 AND mintok >= 1"""))
 
   override val queries: Seq[GraftQuery] = Seq(
-    dedupExact, dedupDrop, ngramJaccard, minhashPairs, minhashSharded,
-    crossShard, crossShardNear, incrementalDedup, incrementalNearDup,
-    simhashSignatures, simhashPairs)
+    dedupExact, dedupDrop, ngramJaccard, minhashPairs, skewGuard,
+    minhashSharded, crossShard, crossShardNear, incrementalDedup,
+    incrementalNearDup, simhashSignatures, simhashPairs)
 }
