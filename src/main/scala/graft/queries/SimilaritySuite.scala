@@ -81,26 +81,65 @@ object SimilaritySuite extends QuerySuite {
                 ON b.vec_id > a.vec_id AND b.vec_id - a.vec_id <= 5)
             SELECT a, b, cos FROM pairs WHERE cos > 0.2 ORDER BY a, b"""))
 
-  // ---- hyperplane-LSH bucketed top-k (approximate; no SQL oracle) ----
+  // ---- ANN operating points: planted-recovery oracles (round 9) ------
+  // The operating points (nPlanes = 6 single/multi-probe, nProbe = 4 of
+  // 16 cells) were rows-only through round 8 — approximate output has
+  // no SQL twin. But RECOVERY of a planted exact clone is a GUARANTEE
+  // at these settings, not a probability: an identical vector has
+  // identical hyperplane signs (same LSH bucket, always probed) and the
+  // same nearest centroid (its cell is in the query's probe list by
+  // the shared assignment ordering), and scores cosine 1 — no real
+  // corpus vector outranks it. So: plant one exact clone per query,
+  // run the operator AT THE GATE'S OWN OPERATING POINT, and assert
+  // every clone is recovered in the top-k — the SQL-decidable recall
+  // lower bound. The which-approximate-neighbors-surface geometry
+  // stays pinned by SimilaritySpec against the exact path.
+  private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.unionByName(
+      e.filter(col("vec_id") < 3).select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  /** Per-query clone-recovery summary of an ANN top-k result: the
+    * planted clone of query q has id q + 1,000,000 and cosine 1.
+    */
+  private def cloneRecovery(s: SparkSession, d: String,
+                            topk: DataFrame): DataFrame = {
+    val nQ = embeddings(s, d).filter(col("vec_id") < 3)
+      .agg(count(lit(1)).as("n_queries"))
+    val rec = topk
+      .filter(col("neighbor_id") === col("query_id") + 1000000L &&
+              col("cos") > 0.999999)
+      .agg(countDistinct(col("query_id")).as("n_recovered"))
+    nQ.crossJoin(rec).select(
+      col("n_queries"), col("n_recovered"),
+      (col("n_queries") === col("n_recovered")).as("all_recovered"))
+  }
+
+  private val cloneRecoveryOracle =
+    """SELECT COUNT(*) AS n_queries, COUNT(*) AS n_recovered,
+         TRUE AS all_recovered
+       FROM embeddings WHERE vec_id < 3"""
+
   private val lshTopK = GraftQuery(
     "q_embedding_lsh",
-    (s, d) =>
+    (s, d) => cloneRecovery(s, d,
       Similarity.lshTopK(
-        embeddings(s, d), queryVectors(s, d), k = 3, nPlanes = 6)
-        .orderBy(asc("query_id"), asc("rank")),
-    None)
+        plantedCorpus(s, d), queryVectors(s, d), k = 3, nPlanes = 6)),
+    Some(cloneRecoveryOracle))
 
   // multi-probe variant: queries also probe the nPlanes one-bit-flip
   // buckets (recall knob without extra tables; recall ≥ single-probe
-  // pinned in SimilaritySpec)
+  // pinned in SimilaritySpec). The exact bucket is always probed, so
+  // clone recovery stays a guarantee under multi-probe.
   private val lshTopKMp = GraftQuery(
     "q_embedding_lsh_mp",
-    (s, d) =>
+    (s, d) => cloneRecovery(s, d,
       Similarity.lshTopK(
-        embeddings(s, d), queryVectors(s, d), k = 3, nPlanes = 6,
-        probeHamming = 1)
-        .orderBy(asc("query_id"), asc("rank")),
-    None)
+        plantedCorpus(s, d), queryVectors(s, d), k = 3, nPlanes = 6,
+        probeHamming = 1)),
+    Some(cloneRecoveryOracle))
 
   // ---- embedding near-dup detection on planted clones ----------------
   // COUNT oracle (round 8): each planted clone is an EXACT copy, so it
@@ -171,15 +210,16 @@ object SimilaritySuite extends QuerySuite {
             FROM embeddings"""),
     headline = true)
 
-  // ---- IVF coarse-quantized ANN (approximate; recall vs exact path
-  //      pinned in unit tests) ----------------------------------------
+  // ---- IVF coarse-quantized ANN at its operating point (nProbe = 4 of
+  //      16): same planted-recovery oracle — the clone's cell is the
+  //      query's own nearest cell, always first in the probe list ------
   private val ivfTopK = GraftQuery(
     "q_embedding_ivf",
-    (s, d) =>
+    (s, d) => cloneRecovery(s, d,
       Similarity.ivfTopK(
-        embeddings(s, d), queryVectors(s, d), k = 3, nCells = 16, nProbe = 4)
-        .orderBy(asc("query_id"), asc("rank")),
-    None)
+        plantedCorpus(s, d), queryVectors(s, d), k = 3, nCells = 16,
+        nProbe = 4)),
+    Some(cloneRecoveryOracle))
 
   // ---- IVF at FULL probe == exact brute force (guarantee oracle) -----
   // With nProbe == nCells every cell is probed, so the IVF machinery
