@@ -140,6 +140,50 @@ object Dedup {
     v.bitwiseXOR(shiftrightunsigned(v, 32))
   }
 
+  /** Version of the per-seed minhash family behind [[signatures]] /
+    * [[minhashSignature]]. Signatures are only comparable WITHIN one
+    * family: the round-8 switch from double hashing (v1) to per-seed
+    * affine-xorshift permutations (v2) silently invalidated every
+    * signature built before it — a stale stored table yields near-zero
+    * recall with no error. Bump this whenever [[seedPerm]]'s math or
+    * constants change, and persist it alongside stored signature tables
+    * ([[signatureTable]]) so consumers fail LOUDLY instead
+    * ([[checkSigFamily]]).
+    */
+  val signatureFamilyVersion: Int = 2
+
+  /** The production signature-table shape: [[signatures]] plus a
+    * `sig_family` column recording [[signatureFamilyVersion]]. Stored
+    * corpus signature tables should be built (and re-built after any
+    * family bump) through this — operators that accept `corpusSigs`
+    * verify the recorded family and reject a stale table.
+    */
+  def signatureTable(docs: DataFrame, idCol: String, textCol: String,
+                     shingleK: Int, numHashes: Int,
+                     carryCols: Seq[String] = Nil): DataFrame =
+    signatures(docs, idCol, textCol, shingleK, numHashes, carryCols)
+      .withColumn("sig_family", lit(signatureFamilyVersion))
+
+  /** Validate a caller-provided signature frame's recorded family (one
+    * single-row fetch — never a corpus scan) and strip the marker
+    * column. Tables without the column are accepted as-is for
+    * compatibility with plain [[signatures]] output — the version
+    * contract then rests on the caller, as documented at `corpusSigs`.
+    */
+  private def checkSigFamily(sigs: DataFrame): DataFrame =
+    if (!sigs.columns.contains("sig_family")) sigs
+    else {
+      sigs.select("sig_family").take(1).foreach { r =>
+        val v = r.getInt(0)
+        require(v == signatureFamilyVersion,
+          s"stored signature table was built with minhash family v$v, " +
+          s"but this build uses v$signatureFamilyVersion — signatures are " +
+          "not comparable across families (a stale table silently loses " +
+          s"recall); rebuild the table with Dedup.signatureTable")
+      }
+      sigs.drop("sig_family")
+    }
+
   /** MinHash signature from a shingle-hash array ([[shingleHashes]]):
     * element s = min over shingles of the seed-s permutation
     * ([[seedPerm]] family). Pure per-row expression — no explode, no
@@ -391,6 +435,16 @@ object Dedup {
     * i.e. exact clones in different shards are GUARANTEED to share a
     * cluster (identical text ⇒ identical signature ⇒ same rep-pass
     * bucket), which is the oracle contract of `q_dedup_cross_shard`.
+    *
+    * @param corpusSigs precomputed signature frame (`id`, `sig`, plus
+    *   the `shardCols` columns) — the same stored-signature-table shape
+    *   [[incrementalNearDupPairs]] accepts, so ONE maintained table
+    *   serves both the ingest-time and the full-corpus operator. A
+    *   [[signatureTable]]-built frame carries its family version and is
+    *   rejected loudly if stale; must have been built with the same
+    *   shingleK/numHashes. Used as-is (not persisted here — its storage
+    *   is the caller's); both LSH passes then skip the corpus signature
+    *   pass, the dominant corpus-side cost.
     */
   def crossShardDedupClusters(
       docs: DataFrame,
@@ -400,13 +454,16 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 64,
       shardCols: Seq[String] = Nil,
-      maxBucket: Int = 200): DataFrame = {
+      maxBucket: Int = 200,
+      corpusSigs: Option[DataFrame] = None): DataFrame = {
     require(shardCols.nonEmpty,
       "crossShardDedupClusters needs shardCols; for a single-window corpus " +
       "use nearDuplicatePairs + connectedComponents directly")
-    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes,
-        carryCols = shardCols)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ownSigs = corpusSigs.isEmpty
+    val sigs = corpusSigs.map(checkSigFamily).getOrElse(
+      signatures(docs, idCol, textCol, shingleK, numHashes,
+          carryCols = shardCols)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // toks joins into BOTH verify passes on BOTH pair sides (a and b,
     // different join keys — no exchange reuse), so without a cache the
     // corpus tokenizes four times. Persisted for the operator's
@@ -439,8 +496,9 @@ object Dedup {
     val repLabels = connectedComponents(reps, repPairs,
       registerCache = false)
     // both passes have materialized through the signature and token
-    // caches by now (connectedComponents rounds are eager actions)
-    sigs.unpersist(blocking = false)
+    // caches by now (connectedComponents rounds are eager actions);
+    // a caller-provided signature table is the caller's to manage
+    if (ownSigs) sigs.unpersist(blocking = false)
     toks.unpersist(blocking = false)
     // the two label frames feed the lazy stitch join the caller consumes;
     // evict the previous call's pair so repeated invocations can't
@@ -532,8 +590,12 @@ object Dedup {
     *   — the production shape: a stored signature table maintained at
     *   ingest means repeated batches skip the corpus signature pass
     *   entirely (the dominant corpus-side cost). Must have been built
-    *   with the same shingleK/numHashes. When provided it is used as-is
-    *   (not persisted here — its storage is the caller's).
+    *   with the same shingleK/numHashes AND the same minhash family — a
+    *   [[signatureTable]]-built frame carries its family version and a
+    *   stale one is rejected loudly ([[checkSigFamily]]); a bare
+    *   [[signatures]] frame is accepted with the contract on the
+    *   caller. Used as-is (not persisted here — its storage is the
+    *   caller's).
     */
   def incrementalNearDupPairs(
       newBatch: DataFrame, corpus: DataFrame,
@@ -549,7 +611,7 @@ object Dedup {
     val rowsPerBand = numHashes / numBands
     val bSigs = signatures(newBatch, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cSigs = corpusSigs.getOrElse(
+    val cSigs = corpusSigs.map(checkSigFamily).getOrElse(
       signatures(corpus, idCol, textCol, shingleK, numHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     Dedup.synchronized {

@@ -168,6 +168,47 @@ class DedupSpec extends AnyFunSuite {
     assert(viaStored == recomputed && viaStored.map(p => (p._1, p._2)) == Seq((10L, 1L)))
   }
 
+  test("crossShardDedupClusters: stored signature table gives identical clusters") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "s1"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "s2"),
+      (3L, "completely different content about spark query engines at scale", "s1"),
+      (4L, "entirely novel text with no relation to anything else here ok", "s2"))
+      .toDF("doc_id", "text", "source")
+    // the SAME maintained table shape incrementalNearDupPairs accepts:
+    // signatureTable with the shard key carried
+    val stored = Dedup.signatureTable(corpus, "doc_id", "text", 5, 64,
+      carryCols = Seq("source"))
+    val viaStored = Dedup.crossShardDedupClusters(corpus, minJaccard = 0.9,
+        shardCols = Seq("source"), corpusSigs = Some(stored))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val recomputed = Dedup.crossShardDedupClusters(corpus, minJaccard = 0.9,
+        shardCols = Seq("source"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(viaStored == recomputed)
+    // and the cross-shard clone group really clustered
+    assert(viaStored.filter(_._1 <= 2L).map(_._2).distinct == Seq(1L))
+  }
+
+  test("stale signature-family version is rejected loudly") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val stale = Dedup.signatureTable(corpus, "doc_id", "text", 5, 64)
+      .withColumn("sig_family", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(batch, corpus,
+        corpusSigs = Some(stale)).count()
+    }
+    assert(e.getMessage.contains("family"))
+    // current-version table passes the check and pairs the clone
+    val fresh = Dedup.signatureTable(corpus, "doc_id", "text", 5, 64)
+    val pairs = Dedup.incrementalNearDupPairs(batch, corpus,
+      corpusSigs = Some(fresh)).as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((10L, 1L)))
+  }
+
   test("incrementalNearDupPairs plan: bloom prunes the corpus band stream") {
     val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val batch = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
