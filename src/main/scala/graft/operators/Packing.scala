@@ -60,6 +60,14 @@ object Packing {
     val localW = Window.partitionBy("part").orderBy("id")
     val local = parted.withColumn("local_cum",
       sum(col("n_tokens")).over(localW) - col("n_tokens"))
+    // This unpartitioned window is what logs `WindowExec: No Partition
+    // Defined ... may cause serious performance degradation` in every
+    // bench run. It is INTENTIONAL and scale-safe: its input is the
+    // per-partition TOTALS frame — one row per shuffle partition, i.e.
+    // ≤ spark.sql.shuffle.partitions rows regardless of corpus size —
+    // which is exactly the tiny serial step of a two-pass distributed
+    // prefix sum. PackingSpec pins this shape (the unpartitioned window
+    // must sit over the aggregated totals, never over doc rows).
     val totalsW = Window.orderBy("part")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prefixes = parted.groupBy("part")

@@ -60,4 +60,32 @@ class PackingSpec extends AnyFunSuite {
     assert(docWindow.exists(_.contains("part#")),
       s"doc-level window not partition-scoped:\n$plan")
   }
+
+  test("the one unpartitioned window runs over the totals frame only") {
+    // Bench logs flag `WindowExec: No Partition Defined` on this plan;
+    // this pins WHY that warning is benign: the only window without a
+    // partition spec consumes the per-partition totals aggregate (one
+    // row per shuffle partition, `ptotal`), never doc-level rows — so
+    // the serial step of the prefix sum is bounded by
+    // spark.sql.shuffle.partitions no matter the corpus size.
+    val plan = Packing.packByTokenBudget(docs, budget = 5L)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, s"no window nodes in:\n$plan")
+    // a PARTITIONED spec lists the partition column before the order
+    // column: windowspecdefinition(part#N, id#M ASC ...); the
+    // unpartitioned totals spec starts directly with its order column:
+    // windowspecdefinition(part#N ASC ...)
+    val unpartitioned =
+      windows.filter(_.matches(""".*windowspecdefinition\(part#\d+ ASC.*"""))
+    assert(unpartitioned.size == 1,
+      s"expected exactly one unpartitioned window:\n${windows.mkString("\n")}")
+    assert(unpartitioned.head.contains("ptotal"),
+      s"unpartitioned window must consume the totals frame, got:\n" +
+        unpartitioned.head)
+    assert(windows.filterNot(unpartitioned.contains).forall(
+        _.matches(""".*windowspecdefinition\(part#\d+, id#\d+.*""")),
+      s"every doc-level window must be partition-scoped:\n" +
+        windows.mkString("\n"))
+  }
 }
