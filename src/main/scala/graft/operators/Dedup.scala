@@ -480,21 +480,27 @@ object Dedup {
       lshCandidatePairsFromSigs(sigs, numHashes, maxBucket = maxBucket,
         shardCols = shardCols),
       sigs, toks, minJaccard)
+    // node counts for the CC dense-graph probe come from frames this
+    // operator materializes anyway (one signature row per doc, labels
+    // cached by CC) — never a fresh corpus scan (ADVICE r8): counting
+    // `sigs` triggers the signature computation both passes reuse.
+    val nDocs = sigs.count()
     val shardLabels = connectedComponents(
       docs.select(col(idCol).as("id")), withinPairs,
-      registerCache = false)
+      registerCache = false, nodesCount = Some(nDocs))
     // representatives: the min-id doc of each within-shard cluster is
     // exactly the doc whose id == its label (singletons represent
     // themselves)
     val reps = shardLabels.filter(col("id") === col("label")).select("id")
     val repSigs = sigs.join(reps, Seq("id"), "left_semi")
     // pass 2: GLOBAL pairs over representatives (no shard key in the
-    // bucket join) → rep-level clusters
+    // bucket join) → rep-level clusters; the rep count scans the cached
+    // label frame only
     val repPairs = verifyCandidates(
       lshCandidatePairsFromSigs(repSigs, numHashes, maxBucket = maxBucket),
       repSigs, toks, minJaccard)
     val repLabels = connectedComponents(reps, repPairs,
-      registerCache = false)
+      registerCache = false, nodesCount = Some(reps.count()))
     // both passes have materialized through the signature and token
     // caches by now (connectedComponents rounds are eager actions);
     // a caller-provided signature table is the caller's to manage
@@ -690,11 +696,21 @@ object Dedup {
     *   returned persisted frame's eviction (used by multi-CC operators
     *   like [[crossShardDedupClusters]], where the default slot would
     *   evict a frame the composed plan still needs).
+    * @param nodesCount known node count, enabling the dense-graph probe
+    *   WITHOUT a corpus-sized action: callers that already hold the
+    *   count (e.g. from a cached signature frame) pass it and dense
+    *   graphs skip the sparse path's rejoin pass. When None the
+    *   operator does NOT count the corpus just to probe — it takes the
+    *   sparse path, correct (and optimal) for the real-corpus case
+    *   where duplicates are a few percent; a dup-dense caller that
+    *   doesn't know its size pays only the (cheap, cached-frame)
+    *   rejoin it always paid before the adaptive probe existed.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 30,
                           usePersist: Boolean = true,
-                          registerCache: Boolean = true): DataFrame = {
+                          registerCache: Boolean = true,
+                          nodesCount: Option[Long] = None): DataFrame = {
     // Iterative plans MUST truncate lineage each round (localCheckpoint,
     // eager): chaining round N's plan into round N+1 doubles the logical
     // plan per round — exponential planning cost that OOMs the driver
@@ -730,19 +746,21 @@ object Dedup {
     // rows that are already at their fixpoint. On a real corpus
     // duplicates are sparse — CC must scale with the DUP GRAPH, not the
     // corpus (100 TB of docs vs the few percent that pair). The
-    // restriction is ADAPTIVE (round 8): on a DENSE graph (≥ half the
-    // nodes touch an edge — planted test corpora, heavily duplicated
-    // crawls) restricting buys nothing while paying an eager rejoin
-    // pass, so the probe routes dense graphs down the full-node path.
-    // The probe itself is two counts over frames the sparse path needs
-    // anyway; both caches are filled by the counts. The semi-join keeps
-    // the current semantics for edges naming unknown ids (they
-    // influence nothing, as before).
+    // restriction is ADAPTIVE (round 8, gated round 9): on a DENSE
+    // graph (≥ half the nodes touch an edge — planted test corpora,
+    // heavily duplicated crawls) restricting buys nothing while paying
+    // an eager rejoin pass, so the probe routes dense graphs down the
+    // full-node path — but ONLY when the caller supplied `nodesCount`:
+    // probing blind would mean a corpus-sized nodes.count() action on
+    // every call, against this operator's own scaling rationale
+    // (ADVICE r8). The participant count is NOT extra work — the sparse
+    // path needs the frame anyway and the count fills its cache. The
+    // semi-join keeps the current semantics for edges naming unknown
+    // ids (they influence nothing, as before).
     val participants = materialize(sym.select(col("a").as("id")).distinct()
       .join(nodes.select(col("id")), Seq("id"), "left_semi"))
     val nParts = participants.count()
-    val nNodes = nodes.count()
-    val dense = nParts * 2 >= nNodes && nNodes > 0
+    val dense = nodesCount.exists(n => nParts * 2 >= n && n > 0)
     var labels = materialize(
       (if (dense) nodes.select(col("id")) else participants)
         .select(col("id"), col("id").as("label")))

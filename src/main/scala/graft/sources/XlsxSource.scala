@@ -164,10 +164,19 @@ object XlsxSource {
     * typed decode. NotDate = raw serial text (the default contract).
     * ElapsedH/M/S are the `[h]` / `[mm]` / `[ss]` duration formats:
     * totals, NOT modulo-24/60 clock parts (26.5h renders "26:30:00").
+    *
+    * An elapsed kind additionally packs (high bits) how many FINER
+    * clock parts follow the bracket in the format code, so rendering
+    * follows the code instead of a hardcoded tail (ADVICE r8): `[h]`
+    * renders "26", `[hh]:mm` "26:30", `[h]:mm:ss` "26:30:00".
     */
   private[sources] object StyleKind {
     val NotDate = 0; val Date = 1; val DateTime = 2; val Time = 3
     val ElapsedH = 4; val ElapsedM = 5; val ElapsedS = 6
+    /** Packed elapsed kind: unit base + the trailing-part count. */
+    def elapsed(base: Int, parts: Int): Int = base + 8 * parts
+    def elapsedBase(kind: Int): Int = kind & 7
+    def elapsedParts(kind: Int): Int = kind >> 3
   }
 
   /** Built-in numFmtId classification (ECMA-376 §18.8.30): 14–17 and the
@@ -189,11 +198,15 @@ object XlsxSource {
     * stay NotDate. An ELAPSED bracket (`[h]`/`[mm]`/`[ss]` — a bracket
     * holding only h/m/s letters) wins outright: those are duration
     * formats, rendered as totals rather than clock parts (the first
-    * elapsed bracket's letter picks the unit, as in Excel).
+    * elapsed bracket's letter picks the unit, as in Excel) — and the
+    * finer clock parts that FOLLOW the bracket in the same format
+    * section decide the rendered tail ([[StyleKind.elapsed]] packing),
+    * so `[hh]:mm` renders hours:minutes and bare `[h]` just the total.
     */
   private[sources] def customKind(fmt: String): Int = {
     val sb = new StringBuilder
     var elapsed = StyleKind.NotDate
+    var elapsedMark = -1 // sb position where the elapsed bracket closed
     var i = 0
     while (i < fmt.length) fmt.charAt(i) match {
       case '"' =>
@@ -206,17 +219,30 @@ object XlsxSource {
         while (i < fmt.length && fmt.charAt(i) != ']') i += 1
         val content = fmt.substring(start, math.min(i, fmt.length)).toLowerCase
         if (elapsed == StyleKind.NotDate && content.nonEmpty &&
-            content.forall(c => c == 'h' || c == 'm' || c == 's'))
+            content.forall(c => c == 'h' || c == 'm' || c == 's')) {
           elapsed = content.head match {
             case 'h' => StyleKind.ElapsedH
             case 'm' => StyleKind.ElapsedM
             case _   => StyleKind.ElapsedS
           }
+          elapsedMark = sb.length
+        }
         i += 1
       case '\\' => i += 2
       case ch   => sb.append(ch); i += 1
     }
-    if (elapsed != StyleKind.NotDate) return elapsed
+    if (elapsed != StyleKind.NotDate) {
+      // visible chars after the bracket, first format section only
+      // (';' starts the negative/zero sections)
+      val tail = sb.substring(elapsedMark).takeWhile(_ != ';').toLowerCase
+      val parts = elapsed match {
+        case StyleKind.ElapsedH =>
+          (if (tail.contains('m')) 1 else 0) + (if (tail.contains('s')) 1 else 0)
+        case StyleKind.ElapsedM => if (tail.contains('s')) 1 else 0
+        case _                  => 0
+      }
+      return StyleKind.elapsed(elapsed, parts)
+    }
     val s = sb.toString.toLowerCase
       .replace("am/pm", "").replace("a/p", "")
     val hasDate = s.exists(c => c == 'y' || c == 'd')
@@ -294,15 +320,27 @@ object XlsxSource {
     val serial = raw.trim.toDouble
     if (!date1904 && serial < 0) return raw
     // elapsed formats: the serial is a DURATION in days — render totals
-    // (26.5h → "26:30:00"), never modulo-24/60 clock parts
+    // (26.5h → "26:30:00"), never modulo-24/60 clock parts. The tail
+    // follows the format code's own parts (packed in the kind), and a
+    // negative 1904-system duration (legal in Excel) renders as the
+    // abs rendering with one leading '-' — never '%02d' on negative
+    // remainders (ADVICE r8; the 1900 system already returned raw above).
     if (kind >= StyleKind.ElapsedH) {
-      val total = math.round(serial * 86400.0)
-      return kind match {
-        case StyleKind.ElapsedH =>
-          "%d:%02d:%02d".format(total / 3600, (total / 60) % 60, total % 60)
+      val parts = StyleKind.elapsedParts(kind)
+      val signed = math.round(serial * 86400.0)
+      val sign = if (signed < 0) "-" else ""
+      val total = math.abs(signed)
+      return StyleKind.elapsedBase(kind) match {
+        case StyleKind.ElapsedH => parts match {
+          case 0 => sign + (total / 3600)
+          case 1 => sign + "%d:%02d".format(total / 3600, (total / 60) % 60)
+          case _ => sign + "%d:%02d:%02d".format(
+            total / 3600, (total / 60) % 60, total % 60)
+        }
         case StyleKind.ElapsedM =>
-          "%d:%02d".format(total / 60, total % 60)
-        case _ => total.toString
+          if (parts == 0) sign + (total / 60)
+          else sign + "%d:%02d".format(total / 60, total % 60)
+        case _ => sign + total.toString
       }
     }
     var days = math.floor(serial).toLong

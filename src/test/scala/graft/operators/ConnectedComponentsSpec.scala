@@ -39,15 +39,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 
   test("dense route: isolated node and unknown-id edges still resolve") {
-    // 3 of 4 nodes touch an edge → the adaptive probe takes the
-    // full-node path (no rejoin pass). The isolated node must still be
-    // identity (it rides the loop at its fixpoint), and an edge naming
-    // an unknown id must still influence nothing.
+    // 3 of 4 nodes touch an edge AND the caller supplied the node count
+    // → the adaptive probe takes the full-node path (no rejoin pass).
+    // The isolated node must still be identity (it rides the loop at
+    // its fixpoint), and an edge naming an unknown id must still
+    // influence nothing.
     val nodes = Seq(1L, 2L, 3L, 9L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 77L)).toDF("a", "b")
-    val got = Dedup.connectedComponents(nodes, edges)
+    val got = Dedup.connectedComponents(nodes, edges, nodesCount = Some(4L))
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    // without a supplied count the probe must NOT pay a corpus-sized
+    // nodes.count(): the sparse path runs and resolves identically
+    val sparse = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(sparse == got)
   }
 
   test("edges naming unknown ids influence nothing") {

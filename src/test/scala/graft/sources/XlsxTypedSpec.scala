@@ -46,14 +46,29 @@ class XlsxTypedSpec extends AnyFunSuite {
 
   test("serialToIso: elapsed formats render totals past 24h/60m") {
     def e(s: String, k: Int) = XlsxSource.serialToIso(s, k, date1904 = false)
+    val hms = StyleKind.elapsed(StyleKind.ElapsedH, 2)
+    val hm = StyleKind.elapsed(StyleKind.ElapsedH, 1)
+    val ms = StyleKind.elapsed(StyleKind.ElapsedM, 1)
     // 1.104166... days = 26h30m — [h] must NOT wrap at 24
-    assert(e("1.1041666666666667", StyleKind.ElapsedH) === "26:30:00")
-    assert(e("0.5", StyleKind.ElapsedH) === "12:00:00")
+    assert(e("1.1041666666666667", hms) === "26:30:00")
+    assert(e("0.5", hms) === "12:00:00")
+    // the tail follows the format code, not a hardcoded pattern:
+    // [hh]:mm renders hours:minutes, bare [h] just the total hours
+    assert(e("1.1041666666666667", hm) === "26:30")
+    assert(e("1.1041666666666667", StyleKind.ElapsedH) === "26")
     // 0.06... days = 90 minutes — [mm] must NOT wrap at 60
-    assert(e("0.0625", StyleKind.ElapsedM) === "90:00")
+    assert(e("0.0625", ms) === "90:00")
+    assert(e("0.0625", StyleKind.ElapsedM) === "90")
     assert(e("0.0625", StyleKind.ElapsedS) === "5400")
-    // negative serials stay raw, same as the date kinds
-    assert(e("-1.5", StyleKind.ElapsedH) === "-1.5")
+    // 1900 system: negative serials stay raw, same as the date kinds
+    assert(e("-1.5", hms) === "-1.5")
+    // 1904 system allows negative durations: abs rendering with one
+    // leading '-', never %02d on negative remainders
+    def e4(s: String, k: Int) = XlsxSource.serialToIso(s, k, date1904 = true)
+    assert(e4("-0.052083333333333336", hms) === "-1:15:00") // −75 min
+    assert(e4("-0.052083333333333336", hm) === "-1:15")
+    assert(e4("-0.052083333333333336", ms) === "-75:00")
+    assert(e4("-0.052083333333333336", StyleKind.ElapsedS) === "-4500")
   }
 
   test("customKind classifies format codes like POI's heuristic") {
@@ -66,13 +81,20 @@ class XlsxTypedSpec extends AnyFunSuite {
     assert(customKind("mm:ss") === StyleKind.Time)
     assert(customKind("h:mm AM/PM") === StyleKind.Time)
     // elapsed brackets are DURATION formats (round 8): totals, not
-    // modulo-24/60 clock parts; the first elapsed bracket picks the unit
-    assert(customKind("[h]:mm:ss") === StyleKind.ElapsedH)
-    assert(customKind("[hh]:mm") === StyleKind.ElapsedH)
-    assert(customKind("[mm]:ss") === StyleKind.ElapsedM)
+    // modulo-24/60 clock parts; the first elapsed bracket picks the
+    // unit, and the parts AFTER it pick the rendered tail (round 9)
+    assert(customKind("[h]:mm:ss") === StyleKind.elapsed(StyleKind.ElapsedH, 2))
+    assert(customKind("[hh]:mm") === StyleKind.elapsed(StyleKind.ElapsedH, 1))
+    assert(customKind("[h]") === StyleKind.ElapsedH)
+    assert(customKind("[mm]:ss") === StyleKind.elapsed(StyleKind.ElapsedM, 1))
+    assert(customKind("[mm]") === StyleKind.ElapsedM)
     assert(customKind("[ss]") === StyleKind.ElapsedS)
+    // the second format section (negatives) must not add parts
+    assert(customKind("[h];[h]:mm:ss") === StyleKind.ElapsedH)
+    // quoted literals after the bracket must not add parts either
+    assert(customKind("[h] \"ms\"") === StyleKind.ElapsedH)
     // color/condition brackets still strip without classifying
-    assert(customKind("[Red][h]:mm") === StyleKind.ElapsedH)
+    assert(customKind("[Red][h]:mm") === StyleKind.elapsed(StyleKind.ElapsedH, 1))
     // non-dates: literals in quotes/brackets/escapes must not classify
     assert(customKind("General") === StyleKind.NotDate)
     assert(customKind("#,##0.00") === StyleKind.NotDate)
