@@ -2,11 +2,13 @@
 # Run a graft main class directly against the compiled classes + Spark jars,
 # bypassing sbt (no target-lock contention, no sbt JVM overhead).
 # Usage: tools/run.sh <MainClass> [args...]   e.g. tools/run.sh graft.Bench
+# GRAFT_XMX overrides the heap (default 96g) — the lever for the
+# constrained-heap spill runs.
 set -euo pipefail
 CLS="$1"; shift || true
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 CP="$REPO/target/scala-2.13/classes:/opt/spark/jars/*"
-exec java -Xmx96g \
+exec java -Xmx"${GRAFT_XMX:-96g}" \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
