@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   *    ([[decodeImageStats]], [[encodePng]], [[resizeImages]]);
   *  - AUDIO: `javax.sound.sampled` WAV decode/encode
   *    ([[decodeWavStats]], [[encodeWavPcm16]]);
-  *  - VIDEO: pure-byte ISO BMFF container probing ([[probeMp4Meta]])
-  *    plus REAL frame decode for Motion-JPEG streams
-  *    ([[decodeVideoFrames]]) — concatenated JPEG frames, raw or inside
-  *    an MP4 `mdat` box, split by a marker-aware JPEG segment walk and
+  *  - VIDEO: pure-byte ISO BMFF and RIFF/AVI container probing
+  *    ([[probeMp4Meta]], [[probeAviMeta]]) plus REAL frame decode for
+  *    Motion-JPEG streams ([[decodeVideoFrames]]) — concatenated JPEG
+  *    frames, raw, inside an MP4 `mdat` box, or in AVI `movi` data
+  *    chunks, split by a marker-aware JPEG segment walk and
   *    decoded per frame through ImageIO. (Inter-frame codecs like H.264
   *    would need a JNI decoder; the MJPEG path exercises the identical
   *    container → frame-split → decode → per-frame-stats pipeline.)
@@ -304,10 +305,14 @@ object Multimodal {
     }).toDF("doc_id", "content")
   }
 
-  /** Probed MP4 container metadata — everything the box structure
-    * carries without touching a codec: major brand, movie timescale,
-    * duration (in timescale units), track count, and the first track's
-    * pixel dimensions (tkhd 16.16 fixed-point, integer part).
+  /** Probed video container metadata — everything the container
+    * structure carries without touching a codec. For ISO BMFF
+    * ([[probeMp4Meta]]): major brand, movie timescale, duration (in
+    * timescale units), track count, and the first track's pixel
+    * dimensions (tkhd 16.16 fixed-point, integer part). For RIFF/AVI
+    * ([[probeAviMeta]]): brand "AVI ", timescale = `dwMicroSecPerFrame`
+    * (µs per frame — AVI's native clock unit), duration =
+    * `dwTotalFrames`, track count = `dwStreams`, dims from `avih`.
     */
   final case class VideoMeta(
       brand: String, timescale: Long, duration: Long,
@@ -354,6 +359,51 @@ object Multimodal {
         val t = nxt; tryAdvance(); t
       }
     }
+
+  /** Walk sibling RIFF chunks in `[from, until)`: yields
+    * `(fourcc, payloadStart, payloadEnd)`. RIFF (the AVI container) is
+    * the little-endian dual of the BMFF walk above: fourcc + u32le size
+    * + payload, padded to EVEN offsets (the pad byte is outside the
+    * declared size — skipping it is what keeps a walker aligned after
+    * any odd-length JPEG frame). `LIST` chunks carry a 4-byte list type
+    * at payloadStart followed by subchunks; callers recurse. Malformed
+    * or truncated headers end iteration cleanly.
+    */
+  private def riffChunks(content: Array[Byte], from: Int,
+                         until: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private val buf = java.nio.ByteBuffer.wrap(content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      private def u32(off: Int): Long = buf.getInt(off) & 0xffffffffL
+      private var off = from
+      private var nxt: (String, Int, Int) = _
+      private def tryAdvance(): Unit = {
+        nxt = null
+        if (off + 8 <= until) {
+          val sz = u32(off + 4)
+          val t = new String(content, off, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          if (sz <= (until - off - 8).toLong) {
+            nxt = (t, off + 8, off + 8 + sz.toInt)
+            off += 8 + sz.toInt + (sz & 1L).toInt // pad to even
+          }
+        }
+      }
+      tryAdvance()
+      def hasNext: Boolean = nxt != null
+      def next(): (String, Int, Int) = {
+        val t = nxt; tryAdvance(); t
+      }
+    }
+
+  private def fourcc(content: Array[Byte], off: Int): String =
+    if (off + 4 <= content.length)
+      new String(content, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    else ""
+
+  private def isRiffAvi(content: Array[Byte]): Boolean =
+    content.length >= 12 && fourcc(content, 0) == "RIFF" &&
+      fourcc(content, 8) == "AVI "
 
   /** REAL MP4 container probe — pure byte parsing of the ISO BMFF box
     * tree (`ftyp` → `moov{mvhd, trak{tkhd}…}`), no codec library. This
@@ -406,14 +456,59 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** REAL AVI container probe — pure byte parsing of the RIFF chunk
+    * tree (`RIFF('AVI ') → LIST hdrl → avih`), no codec library; the
+    * RIFF dual of [[probeMp4Meta]]. The `avih` main header carries
+    * everything the routing pass needs: `dwMicroSecPerFrame` (reported
+    * as `timescale` — AVI's clock is µs per frame), `dwTotalFrames`
+    * (as `duration`), `dwStreams` (as `nTracks`), and the frame dims.
+    * Returns None when the payload isn't RIFF/AVI or `hdrl`/`avih` is
+    * missing or truncated.
+    */
+  def probeAviMeta(content: Array[Byte]): Option[VideoMeta] = {
+    val buf = java.nio.ByteBuffer.wrap(content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def u32(off: Int): Long = buf.getInt(off) & 0xffffffffL
+    try {
+      if (!isRiffAvi(content)) return None
+      var meta: Option[VideoMeta] = None
+      riffChunks(content, 12, content.length).foreach {
+        case ("LIST", p, e) if fourcc(content, p) == "hdrl" =>
+          riffChunks(content, p + 4, e).foreach {
+            // avih layout (AVIMAINHEADER, all u32le): MicroSecPerFrame,
+            // MaxBytesPerSec, PaddingGranularity, Flags, TotalFrames,
+            // InitialFrames, Streams, SuggestedBufferSize, Width, Height
+            case ("avih", ap, ae) if ae - ap >= 40 && meta.isEmpty =>
+              meta = Some(VideoMeta("AVI ",
+                timescale = u32(ap),
+                duration = u32(ap + 16),
+                nTracks = u32(ap + 24).toInt,
+                width = u32(ap + 32).toInt,
+                height = u32(ap + 36).toInt))
+            case _ => ()
+          }
+        case _ => ()
+      }
+      meta
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Container probe across the dialects the engine reads: ISO BMFF
+    * first (magic `ftyp`), then RIFF/AVI — one routing call for a mixed
+    * video corpus.
+    */
+  def probeVideoMeta(content: Array[Byte]): Option[VideoMeta] =
+    probeMp4Meta(content).orElse(probeAviMeta(content))
+
   /** One probed MP4 row keyed by file name ([[videoMeta]]). */
   final case class VideoFileMeta(
       file_name: String, brand: String, timescale: Long, duration: Long,
       n_tracks: Int, width: Int, height: Int)
 
-  /** Container metadata for a directory/glob of MP4 files — binaryFile
-    * scan → per-partition probe, non-BMFF files dropped (same contract
-    * as [[imageFeatures]]/[[audioFeatures]]).
+  /** Container metadata for a directory/glob of MP4/AVI files —
+    * binaryFile scan → per-partition probe ([[probeVideoMeta]]),
+    * unrecognized files dropped (same contract as
+    * [[imageFeatures]]/[[audioFeatures]]).
     */
   def videoMeta(spark: SparkSession, pathGlob: String): Dataset[VideoFileMeta] = {
     import spark.implicits._
@@ -422,7 +517,7 @@ object Multimodal {
               col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (name, bytes) =>
-        probeMp4Meta(bytes).map(m => VideoFileMeta(
+        probeVideoMeta(bytes).map(m => VideoFileMeta(
           name, m.brand, m.timescale, m.duration,
           m.nTracks, m.width, m.height))
       })
@@ -483,7 +578,10 @@ object Multimodal {
 
   /** Frame slices of a video payload: an ISO BMFF container yields the
     * JPEG frames inside its `mdat` box(es) (MJPEG-in-MP4, the shape a
-    * streaming muxer writes); anything else is treated as a raw MJPEG
+    * streaming muxer writes); a RIFF/AVI container yields the JPEG
+    * frames inside the `movi` list's video data chunks (`##dc`/`##db`,
+    * including OpenDML `rec ` record groups — the classic MJPEG-AVI a
+    * capture card writes); anything else is treated as a raw MJPEG
     * elementary stream (concatenated JPEGs). Non-MJPEG payloads yield
     * no frames — the caller decides the fallback, same contract as
     * [[decodeImageStats]].
@@ -492,10 +590,33 @@ object Multimodal {
     val isBmff = content.length >= 12 &&
       new String(content, 4, 4,
         java.nio.charset.StandardCharsets.US_ASCII) == "ftyp"
+    // Video data chunks within movi: ##dc/##db (stream NN, compressed/
+    // uncompressed video); audio (##wb), index, and unknown chunks are
+    // skipped. `rec ` LISTs group interleaved chunks — recurse one level
+    // per nesting, same walk.
+    def aviVideoChunks(from: Int, until: Int): Iterator[(Int, Int)] =
+      riffChunks(content, from, until).flatMap {
+        case ("LIST", p, e) if fourcc(content, p) == "rec " =>
+          aviVideoChunks(p + 4, e)
+        case (cc, p, e)
+            if cc.length == 4 && cc(2) == 'd' &&
+              (cc(3) == 'c' || cc(3) == 'b') =>
+          Iterator((p, e))
+        case _ => Iterator.empty
+      }
     if (isBmff)
       bmffBoxes(content, 0, content.length).flatMap {
         case ("mdat", p, e) => splitJpegFrames(content, p, e)
         case _ => Nil
+      }.toSeq
+    else if (isRiffAvi(content))
+      riffChunks(content, 12, content.length).flatMap {
+        case ("LIST", p, e) if fourcc(content, p) == "movi" =>
+          // each chunk carries one JPEG; the marker walk trims any
+          // writer slack around it, same robustness as the mdat path
+          aviVideoChunks(p + 4, e)
+            .flatMap { case (s, e2) => splitJpegFrames(content, s, e2) }
+        case _ => Iterator.empty
       }.toSeq
     else splitJpegFrames(content, 0, content.length)
   }
@@ -785,7 +906,7 @@ object Multimodal {
     * bits, n_frames, mean_l, mean_r, 0, 1]. Video rows decode REAL
     * MJPEG frames ([[decodeVideoFrames]]): [width, height, n_frames,
     * mean_luma, 0, 0, 0, 1], falling back to the container probe
-    * ([[probeMp4Meta]]) for metadata-only payloads. Rows whose payload
+    * ([[probeVideoMeta]]) for metadata-only payloads. Rows whose payload
     * nothing decodes fall back to [[byteHistogramFeatures]] (last slot
     * 0 marks the fallback), so a mixed or partly-corrupt corpus still
     * features end-to-end.
@@ -825,7 +946,7 @@ object Multimodal {
               }
               Array(s0.width.toFloat, s0.height.toFloat, frames.size.toFloat,
                 (luma / math.max(1L, px)).toFloat, 0f, 0f, 0f, 1.0f)
-            } else probeMp4Meta(r.content) match {
+            } else probeVideoMeta(r.content) match {
               case Some(m) =>
                 Array(m.width.toFloat, m.height.toFloat, m.nTracks.toFloat,
                   m.timescale.toFloat, m.duration.toFloat, 0f, 0f, 1.0f)

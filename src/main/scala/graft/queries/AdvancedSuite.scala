@@ -271,17 +271,19 @@ object AdvancedSuite extends QuerySuite {
               (n // 2) * a + (n - n // 2) * b AS sum_r
             FROM m ORDER BY doc_id"""))
 
-  // ---- REAL MP4 container probe vs an independent encoder ------------
-  // Box trees hand-assembled by the python-stdlib writer
+  // ---- REAL video container probe vs an independent encoder ----------
+  // Box/chunk trees hand-assembled by the python-stdlib writer
   // (tools/make_video_fixtures.py, struct only): ftyp brands, v0 mvhd
   // timescale/duration, multi-track moov, 16.16 tkhd dims, a free box
-  // to skip. The metadata pass every video pipeline runs before
-  // deciding what to decode; frame decode itself is q_video_frames.
+  // to skip — plus RIFF/AVI avih headers (brand "AVI ", µs-per-frame
+  // clock, total frames, stream count) with a JUNK chunk to skip. The
+  // metadata pass every video pipeline runs before deciding what to
+  // decode; frame decode itself is q_video_frames.
   private val videoDir = "/root/repo/src/test/resources/fixtures/video"
   private val videoProbe = GraftQuery(
     "q_video_probe",
     (s, _) =>
-      Multimodal.videoMeta(s, s"$videoDir/*.mp4")
+      Multimodal.videoMeta(s, s"$videoDir/*.{mp4,avi}")
         .toDF()
         .orderBy(asc("file_name")),
     Some(s"""SELECT file_name, brand,
@@ -294,18 +296,21 @@ object AdvancedSuite extends QuerySuite {
              ORDER BY file_name"""))
 
   // ---- REAL video frame decode vs an independent encoder -------------
-  // Motion-JPEG streams (raw and MJPEG-in-MP4) hand-encoded by the
-  // python-stdlib writer (tools/make_video_frame_fixtures.py, struct
-  // only — baseline JPEG with all-ones quant tables, flat-gray frames
-  // whose DC-only blocks round-trip EXACTLY); ImageIO must decode every
-  // frame to the same dims and exact pixel sums. Covers raw streams,
-  // plain/largesize/to-EOF mdat encodings, odd dims, a 12-frame stream,
-  // a junk file (dropped) and a truncated tail (good frames kept).
+  // Motion-JPEG streams (raw, MJPEG-in-MP4, and MJPEG-in-AVI)
+  // hand-encoded by the python-stdlib writer
+  // (tools/make_video_frame_fixtures.py, struct only — baseline JPEG
+  // with all-ones quant tables, flat-gray frames whose DC-only blocks
+  // round-trip EXACTLY); ImageIO must decode every frame to the same
+  // dims and exact pixel sums. Covers raw streams, plain/largesize/
+  // to-EOF mdat encodings, AVI movi chunks (plain and OpenDML
+  // rec-grouped with interleaved audio chunks + odd-size RIFF padding),
+  // odd dims, a 12-frame stream, a junk file (dropped) and a truncated
+  // tail (good frames kept).
   private val vframesDir = "/root/repo/src/test/resources/fixtures/video_frames"
   private val videoFramesQ = GraftQuery(
     "q_video_frames",
     (s, _) =>
-      Multimodal.videoFrames(s, s"$vframesDir/*.{mjpeg,mp4}")
+      Multimodal.videoFrames(s, s"$vframesDir/*.{mjpeg,mp4,avi}")
         .toDF()
         .orderBy(asc("file_name"), asc("frame_no")),
     Some(s"""SELECT file_name,

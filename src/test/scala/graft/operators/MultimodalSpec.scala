@@ -208,6 +208,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeVideoFrames("junk bytes".getBytes).isEmpty)
   }
 
+  test("decodeVideoFrames: AVI movi chunks, plain and rec-grouped") {
+    val dir = "/root/repo/src/test/resources/fixtures/video_frames"
+    def frames(name: String) = Multimodal.decodeVideoFrames(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/$name")))
+    val basic = frames("a_basic.avi")
+    assert(basic.map(_._1) == Seq(0, 1, 2))
+    assert(basic.map(_._2.sumR) == Seq(32L * 24 * 50, 32L * 24 * 150, 32L * 24 * 250))
+    // rec-grouped chunks with interleaved odd-size audio chunks: the
+    // walker must skip 01wb and stay aligned across RIFF pad bytes
+    // (odd 13x11 JPEGs make every frame chunk odd-length)
+    val rec = frames("a_rec_audio.avi")
+    assert(rec.map(_._1) == Seq(0, 1, 2))
+    assert(rec.map(_._2.sumR) == Seq(13L * 11 * 33, 13L * 11 * 77, 13L * 11 * 222))
+    rec.foreach(f => assert(f._2.width == 13 && f._2.height == 11))
+  }
+
+  test("probeAviMeta: avih fields recovered; junk and BMFF rejected") {
+    val dir = "/root/repo/src/test/resources/fixtures/video"
+    def bytesOf(name: String) =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/$name"))
+    val m = Multimodal.probeAviMeta(bytesOf("a_cam_30fps.avi")).get
+    assert(m.brand == "AVI " && m.timescale == 33333 && m.duration == 900)
+    assert(m.nTracks == 2 && m.width == 640 && m.height == 480)
+    assert(Multimodal.probeAviMeta("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.probeAviMeta(bytesOf("v_tiny.mp4")).isEmpty)
+    // the combined router picks the right dialect per payload
+    assert(Multimodal.probeVideoMeta(bytesOf("v_tiny.mp4")).get.brand == "isom")
+    assert(Multimodal.probeVideoMeta(bytesOf("a_odd_junk.avi")).get.timescale == 40000)
+  }
+
   test("sampleVideoFrames: every step-th frame re-emitted as a real JPEG") {
     val media = Multimodal.synthesizeVideos(spark, Seq(4L).toDF("doc_id"))
     // doc 4: 6 frames of 28x28 — step 2 keeps frames 0, 2, 4

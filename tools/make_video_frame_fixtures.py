@@ -138,6 +138,54 @@ def box_to_eof(tag, payload):
     return struct.pack(">I", 0) + tag + payload
 
 
+# ---- minimal RIFF/AVI wrapper (little-endian, even-padded chunks) ----
+
+def riff_chunk(cc, payload):
+    data = cc + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        data += b"\x00"                    # pad byte OUTSIDE declared size
+    return data
+
+
+def riff_list(list_type, payload):
+    return riff_chunk(b"LIST", list_type + payload)
+
+
+def avih(micro_per_frame, total_frames, streams, w, h):
+    """AVIMAINHEADER: MicroSecPerFrame, MaxBytesPerSec, PaddingGranularity,
+    Flags, TotalFrames, InitialFrames, Streams, SuggestedBufferSize,
+    Width, Height, Reserved[4] — all u32le."""
+    p = struct.pack("<10I", micro_per_frame, 0, 0, 0, total_frames, 0,
+                    streams, 0, w, h) + b"\x00" * 16
+    return riff_chunk(b"avih", p)
+
+
+def strl_vids(w, h, n_frames):
+    """One MJPG video stream header list (AVISTREAMHEADER + BITMAPINFOHEADER)."""
+    strh = riff_chunk(b"strh", b"vids" + b"MJPG" +
+                      struct.pack("<10I", 0, 0, 0, 0, 1, 30, 0, n_frames, 0, 0) +
+                      struct.pack("<4h", 0, 0, w, h))
+    strf = riff_chunk(b"strf", struct.pack("<IiiHH4sIiiII",
+                      40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0))
+    return riff_list(b"strl", strh + strf)
+
+
+def avi(frames, w, h, rec_groups=False, audio_chunks=False):
+    """RIFF('AVI '){LIST hdrl{avih, LIST strl}, LIST movi{00dc...}}.
+    rec_groups wraps each frame chunk in an OpenDML 'rec ' record LIST;
+    audio_chunks interleaves '01wb' chunks the frame walk must skip."""
+    movi = b""
+    for i, f in enumerate(frames):
+        c = riff_chunk(b"00dc", f)
+        if audio_chunks:
+            c += riff_chunk(b"01wb", bytes([i]) * 7)   # odd size: pad path
+        movi = movi + (riff_list(b"rec ", c) if rec_groups else c)
+    hdrl = riff_list(b"hdrl", avih(33333, len(frames), 1, w, h) +
+                     strl_vids(w, h, len(frames)))
+    body = b"AVI " + hdrl + riff_list(b"movi", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def ftyp(brand):
     return box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mp41")
 
@@ -188,6 +236,10 @@ def main(out_dir):
         ("v_plain_mdat.mp4", [(32, 24, 10), (32, 24, 20), (32, 24, 30)], "mp4"),
         ("v_largesize_mdat.mp4", [(24, 24, 250), (24, 24, 5)], "mp4_largesize"),
         ("v_eof_mdat.mp4", [(40, 8, 123), (40, 8, 7)], "mp4_eof"),
+        # MJPEG-in-AVI: plain movi chunks, and OpenDML rec-grouped chunks
+        # interleaved with audio chunks (odd sizes exercise RIFF padding)
+        ("a_basic.avi", [(32, 24, 50), (32, 24, 150), (32, 24, 250)], "avi"),
+        ("a_rec_audio.avi", [(13, 11, 33), (13, 11, 77), (13, 11, 222)], "avi_rec"),
     ]
     rows = ["file_name,frame_no,width,height,channels,n_px,sum_r,sum_g,sum_b"]
     for name, frames, wrapper in specs:
@@ -199,6 +251,11 @@ def main(out_dir):
             data = ftyp(b"isom") + moov(1000, 100 * len(frames), w0, h0) + box(b"mdat", stream)
         elif wrapper == "mp4_largesize":
             data = ftyp(b"isom") + moov(1000, 100 * len(frames), w0, h0) + box_largesize(b"mdat", stream)
+        elif wrapper == "avi":
+            data = avi([encode_flat_gray(w, h, v) for w, h, v in frames], w0, h0)
+        elif wrapper == "avi_rec":
+            data = avi([encode_flat_gray(w, h, v) for w, h, v in frames], w0, h0,
+                       rec_groups=True, audio_chunks=True)
         else:  # mp4_eof: size==0 mdat must be last; moov precedes it
             data = ftyp(b"isom") + moov(1000, 100 * len(frames), w0, h0) + box_to_eof(b"mdat", stream)
         with open(os.path.join(out_dir, name), "wb") as f:
