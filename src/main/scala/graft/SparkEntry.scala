@@ -16,7 +16,8 @@ object SparkEntry {
     Seq(RelationalSuite, EtlSuite, TextSuite, DedupSuite, SimilaritySuite,
         AdvancedSuite, AggExtSuite, CurationSuite, AnalyticsExtSuite,
         JoinExtSuite, BehaviorSuite, TextMiningSuite, ReshapeStatsSuite,
-        WarehouseSuite, CorpusOpsSuite, StatsExtSuite, SourcesSuite)
+        WarehouseSuite, CorpusOpsSuite, StatsExtSuite, SourcesSuite,
+        CurationExtSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.queries)
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{RollingFingerprint, VectorOps, WktPoint}
+import graft.functions.{FoldText, RollingFingerprint, VectorOps, WktPoint}
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * custom codegen'd expressions so they are first-class in both the
@@ -18,7 +18,8 @@ import graft.functions.{RollingFingerprint, VectorOps, WktPoint}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    (Seq(WktPoint.registration, RollingFingerprint.registration) ++
+    (Seq(WktPoint.registration, RollingFingerprint.registration,
+         FoldText.registration) ++
         VectorOps.registrations).foreach {
       case (name, info, builder) =>
         e.injectFunction((FunctionIdentifier(name), info, builder))
@@ -34,7 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    (Seq(WktPoint.registration, RollingFingerprint.registration) ++
+    (Seq(WktPoint.registration, RollingFingerprint.registration,
+         FoldText.registration) ++
         VectorOps.registrations).foreach {
       case (name, _, builder) =>
         spark.sessionState.functionRegistry

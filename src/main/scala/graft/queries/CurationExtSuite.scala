@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions
+import graft.operators.{LineDedup, NgramLm, SpanDedup}
+import graft.functions.FoldText
+import graft.plans.GraftFunctions
+
+/** Second curation wave: line-level boilerplate dedup (CCNet's first
+  * pass) and bigram-LM quality scoring (CCNet's perplexity axis) — both
+  * DuckDB-oracled end-to-end.
+  *
+  * The testdata documents are single-line word streams, so the line
+  * gate builds a multi-line corpus deterministically IN-QUERY (the same
+  * plant-structure pattern the dedup gates use): 10-token chunks as
+  * content lines, plus a corpus-wide header line and a per-source
+  * footer line as known boilerplate. Both engines run the identical
+  * construction, so the oracle pins the full trade: boilerplate lines
+  * (df ≥ threshold) dropped everywhere, content lines untouched.
+  */
+object CurationExtSuite extends QuerySuite {
+
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+
+  // ---- line-level exact dedup (boilerplate removal) ------------------
+  private val lineDedup = GraftQuery(
+    "q_line_dedup",
+    (s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), col("source"),
+                TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val nChunks = ceil(size(col("toks")).cast("double") / 10.0).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        g => concat_ws(" ", slice(col("toks"), g * 10 + 1, lit(10))))
+      val built = t.select(col("doc_id"),
+        array_join(
+          concat(
+            array(lit("shared boilerplate header")),
+            chunks,
+            array(concat(lit("footer for "), col("source")))),
+          "\n").as("text"))
+      LineDedup.dropCommonLines(built, "doc_id", "text", minDocFreq = 5L)
+        .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+                md5(col("clean_text")).as("clean_fp"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, source, $toksSql AS toks FROM documents
+               WHERE len($toksSql) >= 1),
+             built AS (
+               SELECT doc_id,
+                 'shared boilerplate header' || chr(10) ||
+                 array_to_string(list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+                   g -> array_to_string(
+                          list_slice(toks, g * 10 + 1, g * 10 + 10), ' ')),
+                   chr(10)) ||
+                 chr(10) || 'footer for ' || source AS text
+               FROM t),
+             sp AS (
+               SELECT doc_id, string_split(text, chr(10)) AS ls FROM built),
+             lines AS (
+               SELECT doc_id, i AS pos, ls[i] AS line
+               FROM sp, unnest(generate_series(1, len(ls))) AS u(i)),
+             freq AS (
+               SELECT md5(line) AS k, COUNT(DISTINCT doc_id) AS line_df
+               FROM lines GROUP BY 1),
+             flagged AS (
+               SELECT l.doc_id, l.pos, l.line,
+                 CASE WHEN f.line_df >= 5 THEN 1 ELSE 0 END AS dropped
+               FROM lines l JOIN freq f ON md5(l.line) = f.k)
+             SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+               md5(COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                 FILTER (WHERE dropped = 0), '')) AS clean_fp
+             FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---- bigram-LM quality scoring -------------------------------------
+  private val lmScore = GraftQuery(
+    "q_lm_score",
+    (s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      NgramLm.scoreBigramLm(t, "doc_id", "toks")
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE len($toksSql) >= 2),
+             bg AS (
+               SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+               FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+             c2 AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY 1, 2),
+             c1 AS (SELECT w1, COUNT(*) AS c_w1 FROM bg GROUP BY 1),
+             v AS (SELECT COUNT(DISTINCT tok) AS v
+                   FROM (SELECT unnest(toks) AS tok FROM t)),
+             scored AS (
+               SELECT b.doc_id,
+                 ln((c2.c_bg + 1.0) / (c1.c_w1 + v.v)) AS lp
+               FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+               CROSS JOIN v)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(lp), 6) AS avg_logprob,
+               ROUND(EXP(-AVG(lp)), 6) AS ppl
+             FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---- duplicated-substring span coverage ----------------------------
+  // Suffix-array-dedup proxy (Lee et al. 2021): fraction of each doc's
+  // tokens inside an 8-gram shared verbatim with another doc. The base
+  // corpus has no natural 8-gram collisions (tiny vocab, random
+  // streams), so a 12-token passage is planted onto every 10th doc —
+  // the oracle then pins both sides: planted docs cover exactly the
+  // passage, everything else reads 0.
+  private val plantedPassage = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12"
+
+  private val spanCoverage = GraftQuery(
+    "q_dup_span_coverage",
+    (s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" " + plantedPassage)))
+          .otherwise(col("text")).as("text"))
+      val t = planted.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      SpanDedup.dupSpanCoverage(t, "doc_id", "toks", k = 8)
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH planted AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN text || ' $plantedPassage'
+                      ELSE text END AS text
+               FROM documents),
+             t AS (
+               SELECT doc_id, $toksSql AS toks FROM planted
+               WHERE len($toksSql) >= 8),
+             grams AS (
+               SELECT doc_id, i AS pos,
+                 md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gk
+               FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+             dup AS (
+               SELECT gk FROM grams GROUP BY gk
+               HAVING COUNT(DISTINCT doc_id) >= 2),
+             cov AS (
+               SELECT g.doc_id, COUNT(DISTINCT ci) AS covered_tokens
+               FROM grams g JOIN dup USING (gk),
+                 unnest(generate_series(g.pos, g.pos + 7)) AS c(ci)
+               GROUP BY g.doc_id),
+             base AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+             SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+               ROUND(CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) /
+                 b.n_tokens, 6) AS coverage
+             FROM base b LEFT JOIN cov c USING (doc_id)
+             ORDER BY b.doc_id"""))
+
+  // ---- unicode case/diacritic folding (custom codegen expression) ----
+  // The corpus is pure lowercase ASCII (fold = identity there), so the
+  // gate plants accented/uppercase strings on every 50th doc; the
+  // DuckDB contract is strip_accents(nfc_normalize(lower(x))), pinned
+  // byte-for-byte via md5. 'İ' exercises the lower→combining-dot→strip
+  // path; 'straße'/'ĐÔNG' pin the non-mark letters folding must NOT
+  // touch.
+  private val accented =
+    "Café NAÏVE Zürich São ÉLÈVE " +
+    "niño İstanbul ĐÔNG straße"
+
+  private val textFold = GraftQuery(
+    "q_text_fold",
+    (s, d) => {
+      GraftFunctions.register(s)
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" " + accented)))
+          .otherwise(col("text")).as("text"))
+      planted
+        .select(col("doc_id"), FoldText.fold_text(col("text")).as("folded"))
+        .select(col("doc_id"),
+          length(col("folded")).cast("long").as("n_chars_folded"),
+          md5(col("folded")).as("fold_fp"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH planted AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 0 THEN text || ' $accented'
+                      ELSE text END AS text
+               FROM documents),
+             f AS (
+               SELECT doc_id,
+                 strip_accents(nfc_normalize(lower(text))) AS folded
+               FROM planted)
+             SELECT doc_id,
+               CAST(length(folded) AS BIGINT) AS n_chars_folded,
+               md5(folded) AS fold_fp
+             FROM f ORDER BY doc_id"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(lineDedup, lmScore, spanCoverage, textFold)
+}
