@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions
-import graft.operators.{LineDedup, NgramLm, SpanDedup}
+import graft.operators.{LineDedup, NbClassifier, NgramLm, SpanDedup}
 import graft.functions.FoldText
 import graft.plans.GraftFunctions
 
@@ -199,6 +199,65 @@ object CurationExtSuite extends QuerySuite {
                md5(folded) AS fold_fp
              FROM f ORDER BY doc_id"""))
 
+  // ---- Naive-Bayes quality classifier (train = aggregate) ------------
+  // The fastText-style keep/drop classifier axis, in its deterministic
+  // NB form. Labels and class markers are planted in-query (y = doc_id
+  // mod 2, marker token appended twice), both engines train on the same
+  // corpus, and the oracle re-states the full add-one model — priors,
+  // word-class counts, smoothing — so log-odds match to 6 dp and the
+  // predicted label derives from the ROUNDED value in both engines.
+  private val nbClassify = GraftQuery(
+    "q_nb_classify",
+    (s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 2).cast("int").as("y"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" mk0 mk0"))
+            .otherwise(lit(" mk1 mk1"))).as("text"))
+      val t = planted.select(col("doc_id"), col("y"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      NbClassifier.trainScoreBinary(t, "doc_id", "toks", "y")
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH planted AS (
+               SELECT doc_id, CAST(doc_id % 2 AS INT) AS y,
+                 text || CASE WHEN doc_id % 2 = 0 THEN ' mk0 mk0'
+                              ELSE ' mk1 mk1' END AS text
+               FROM documents),
+             t AS (
+               SELECT doc_id, y, $toksSql AS toks FROM planted
+               WHERE len($toksSql) >= 1),
+             tok AS (SELECT doc_id, y, unnest(toks) AS tok FROM t),
+             wc AS (
+               SELECT tok,
+                 COUNT(*) FILTER (WHERE y = 0) AS c0,
+                 COUNT(*) FILTER (WHERE y = 1) AS c1
+               FROM tok GROUP BY tok),
+             tot AS (
+               SELECT COUNT(*) FILTER (WHERE y = 0) AS n0,
+                 COUNT(*) FILTER (WHERE y = 1) AS n1,
+                 COUNT(DISTINCT tok) AS v
+               FROM tok),
+             dc AS (
+               SELECT COUNT(*) FILTER (WHERE y = 0) AS d0,
+                 COUNT(*) FILTER (WHERE y = 1) AS d1
+               FROM t),
+             sc AS (
+               SELECT k.doc_id, k.y, COUNT(*) AS n_tokens,
+                 SUM(ln((wc.c0 + 1.0) / (tot.n0 + tot.v))) AS s0,
+                 SUM(ln((wc.c1 + 1.0) / (tot.n1 + tot.v))) AS s1
+               FROM tok k JOIN wc USING (tok) CROSS JOIN tot
+               GROUP BY 1, 2)
+             SELECT sc.doc_id, sc.y,
+               CAST(sc.n_tokens AS BIGINT) AS n_tokens,
+               ROUND(ln(CAST(dc.d1 AS DOUBLE) / dc.d0) + s1 - s0, 6)
+                 AS log_odds,
+               CASE WHEN ROUND(ln(CAST(dc.d1 AS DOUBLE) / dc.d0)
+                      + s1 - s0, 6) > 0
+                    THEN 1 ELSE 0 END AS pred_label
+             FROM sc CROSS JOIN dc ORDER BY sc.doc_id"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(lineDedup, lmScore, spanCoverage, textFold)
+    Seq(lineDedup, lmScore, spanCoverage, textFold, nbClassify)
 }
