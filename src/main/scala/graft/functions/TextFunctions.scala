@@ -92,6 +92,33 @@ object TextFunctions {
     }
   }
 
+  /** Shannon entropy (bits per character) of the character
+    * distribution — the repetitive-garbage axis the token-level
+    * repetition filter can miss (a doc of "ababab…" has full-length
+    * token runs but ~1 bit/char). Computed as
+    * `log2(n) - Σ k·log2(k) / n` over per-character counts `k`, the
+    * algebraic form both engines can evaluate with identical
+    * operation order.
+    */
+  def charEntropy(text: Column): Column =
+    charEntropyChars(filter(split(text, ""), c => c =!= ""))
+
+  /** [[charEntropy]] over a MATERIALIZED char-array column. In-row
+    * cost is O(|alphabet| × len) comparisons (one filter pass per
+    * distinct character) — fine for natural-language alphabets;
+    * callers scoring the same doc repeatedly should materialize the
+    * array once, same contract as [[qualityScoreTokens]].
+    */
+  def charEntropyChars(chars: Column): Column = {
+    val n = size(chars).cast("double")
+    val s = aggregate(array_distinct(chars), lit(0.0), (acc, ch) => {
+      val k = size(filter(chars, c => c === ch)).cast("double")
+      acc + k * log(2.0, k)
+    })
+    when(size(chars) === 0, lit(0.0))
+      .otherwise(log(2.0, n) - s / n)
+  }
+
   /** Order-insensitive content fingerprint: md5 over the sorted distinct
     * token set. Rows with identical vocabulary collide — the cheap
     * first-pass signal for near-dedup cascades.

@@ -258,6 +258,170 @@ object CurationExtSuite extends QuerySuite {
                     THEN 1 ELSE 0 END AS pred_label
              FROM sc CROSS JOIN dc ORDER BY sc.doc_id"""))
 
+  // ---- character-level Shannon entropy (repetitive-garbage axis) -----
+  // Low char entropy flags "ababab…" degenerate docs the TOKEN-level
+  // repetition filter can miss. Every 200th doc is overridden with a
+  // planted degenerate string (entropy exactly 1.0) so the gate pins
+  // both the natural spread and the low end.
+  private val charEntropyQ = GraftQuery(
+    "q_char_entropy",
+    (s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 200 === 0, repeat(lit("ab"), 100))
+          .otherwise(col("text")).as("text"))
+      planted.filter(length(col("text")) >= 1)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(TextFunctions.charEntropy(col("text")), 6)
+            .as("char_entropy"))
+        .orderBy(asc("doc_id"))
+    },
+    Some("""WITH planted AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 200 = 0 THEN repeat('ab', 100)
+                     ELSE text END AS text
+              FROM documents),
+            ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM planted WHERE length(text) >= 1),
+            cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, SUM(k) AS n, SUM(k * log2(k)) AS s
+              FROM cc GROUP BY 1)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+              ROUND(log2(n) - s / n, 6) AS char_entropy
+            FROM agg ORDER BY doc_id"""))
+
+  // ---- fold_text feeding exact dedup (the integration the expression
+  // exists for): accented/uppercased twins collapse onto their source
+  // doc's dedup key. Twin construction is in-query (doc_id+1000000,
+  // vowels accented + uppercased), so the oracle pins that every twin
+  // group has n_copies ≥ 2 with the ORIGINAL doc as keeper.
+  private val foldDedup = GraftQuery(
+    "q_fold_dedup",
+    (s, d) => {
+      GraftFunctions.register(s)
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val twins = documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(upper(col("text")), "AEIOU", "ÁÉÍÓÚ").as("text"))
+      base.unionByName(twins)
+        .select(col("doc_id"), md5(FoldText.fold_text(col("text"))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(asc("keeper"))
+    },
+    Some("""WITH twins AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                translate(upper(text), 'AEIOU', 'ÁÉÍÓÚ') AS text
+              FROM documents WHERE doc_id % 10 = 0),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM twins),
+            f AS (
+              SELECT doc_id,
+                md5(strip_accents(nfc_normalize(lower(text)))) AS fp
+              FROM corpus)
+            SELECT fp, MIN(doc_id) AS keeper,
+              CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM f GROUP BY fp ORDER BY keeper"""))
+
+  // ---- streaming ingest-time curation vs batch oracle ----------------
+  // The documents table streamed through quality-gate + language-ID +
+  // exact-dup drop in one availableNow pass; which doc survives a dup
+  // group is arrival-order-dependent, so the gate aggregates only
+  // text-derived columns (identical across a group) — the oracle is
+  // exact despite the nondeterministic survivor choice.
+  //
+  // The natural corpus language-IDs almost entirely 'en', so three
+  // stopword-pure docs are planted in-query (10 identical copies each
+  // at doc_id mod 50 ∈ {1,2,3}): each group survives the quality bar,
+  // predicts its language, and COLLAPSES TO ONE SURVIVOR through the
+  // fingerprint dedup — the multi-language buckets double as the
+  // dup-drop assertion.
+  private val esPlant = "el la los las de que y en un una "
+  private val frPlant = "le la les de des et un une est que "
+  private val dePlant = "der die das und ist ein eine nicht mit zu "
+
+  private val streamCuration = GraftQuery(
+    "q_stream_curation",
+    (s, d) => {
+      val stream = graft.streaming.EventsStream.readTable(s, d, "documents")
+      val planted = stream.select(col("doc_id"),
+        when(col("doc_id") % 50 === 1, repeat(lit(esPlant), 12))
+          .when(col("doc_id") % 50 === 2, repeat(lit(frPlant), 12))
+          .when(col("doc_id") % 50 === 3, repeat(lit(dePlant), 12))
+          .otherwise(col("text")).as("text"))
+      val curated = graft.streaming.CurationStream.curate(planted)
+      graft.streaming.EventsStream.runToCompletion(s, curated,
+          outputMode = "append")
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          round(sum(col("quality")), 6).as("sum_quality"))
+        .orderBy(asc("predicted"))
+    },
+    Some(s"""WITH planted AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 1 THEN repeat('$esPlant', 12)
+                      WHEN doc_id % 50 = 2 THEN repeat('$frPlant', 12)
+                      WHEN doc_id % 50 = 3 THEN repeat('$dePlant', 12)
+                      ELSE text END AS text
+               FROM documents),
+             t AS (
+               SELECT doc_id, text, $toksSql AS toks FROM planted),
+             m AS (
+               SELECT doc_id, text, toks, len(toks) AS n,
+                 len(list_filter(toks, x -> x IN
+                   ('the','a','an','and','of','to','in','is','it','that')))
+                   AS en_hits,
+                 len(list_filter(toks, x -> x IN
+                   ('el','la','los','las','de','que','y','en','un','una')))
+                   AS es_hits,
+                 len(list_filter(toks, x -> x IN
+                   ('le','la','les','de','des','et','un','une','est','que')))
+                   AS fr_hits,
+                 len(list_filter(toks, x -> x IN
+                   ('der','die','das','und','ist','ein','eine','nicht','mit','zu')))
+                   AS de_hits,
+                 length(text) AS total,
+                 length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                   AS punct
+               FROM t),
+             sc AS (
+               SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,
+                 CAST(n AS BIGINT) AS n_tokens,
+                 greatest(0.0,
+                   least(1.0, CAST(n AS DOUBLE) / 100.0) * 0.5
+                   + least(1.0, (CASE WHEN n = 0 THEN 0.0
+                       ELSE CAST(en_hits AS DOUBLE) / CAST(n AS DOUBLE) END)
+                       * 5.0) * 0.5
+                   - (CASE WHEN total = 0 THEN 0.0
+                       ELSE CAST(punct AS DOUBLE) / CAST(total AS DOUBLE) END))
+                   AS quality,
+                 CASE
+                   WHEN de_hits > 0 AND de_hits >= en_hits
+                     AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                   WHEN en_hits > 0 AND en_hits >= es_hits
+                     AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                   WHEN es_hits > 0 AND es_hits >= fr_hits
+                     AND es_hits >= de_hits AND es_hits >= en_hits THEN 'es'
+                   WHEN fr_hits > 0 AND fr_hits >= es_hits
+                     AND fr_hits >= de_hits AND fr_hits >= en_hits THEN 'fr'
+                   ELSE 'und'
+                 END AS predicted
+               FROM m),
+             q AS (SELECT * FROM sc WHERE quality >= 0.35),
+             sv AS (
+               SELECT fp, MIN(predicted) AS predicted,
+                 MIN(n_tokens) AS n_tokens, MIN(quality) AS quality
+               FROM q GROUP BY fp)
+             SELECT predicted, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               ROUND(SUM(quality), 6) AS sum_quality
+             FROM sv GROUP BY predicted ORDER BY predicted"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(lineDedup, lmScore, spanCoverage, textFold, nbClassify)
+    Seq(lineDedup, lmScore, spanCoverage, textFold, nbClassify,
+        charEntropyQ, foldDedup, streamCuration)
 }

@@ -25,25 +25,33 @@ object EventsStream {
     * java.io.tmpdir (read-only view, nothing copied).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = readTable(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** File-source stream over any testdata table's parquet (same
+    * symlink-directory staging as the events reader; no table-specific
+    * column normalization).
+    */
+  def readTable(spark: SparkSession, dir: String, table: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val src = Paths.get(s"$dir/$table.parquet").toAbsolutePath
     val sourceDir =
       if (Files.isDirectory(src)) src
       else {
         val stage = Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft_stream_src_${Integer.toHexString(src.toString.hashCode)}")
         Files.createDirectories(stage)
-        val link = stage.resolve("events.parquet")
+        val link = stage.resolve(s"$table.parquet")
         if (!Files.exists(link)) Files.createSymbolicLink(link, src)
         stage
       }
     val batchSchema = spark.read.parquet(src.toString).schema
-    val raw = spark.readStream
+    spark.readStream
       .schema(batchSchema)
       .parquet(sourceDir.toString)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
   }
 
   /** Hourly tumbling-window counts per event type with a 2-hour

@@ -62,4 +62,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(0) > got(1), "prose should outscore junk")
     assert(got(0) > got(2), "prose should outscore punctuation soup")
   }
+
+  test("charEntropy: hand-computed distributions") {
+    // "aabb": two symbols at p=1/2 → exactly 1 bit/char
+    // "abcd": four at p=1/4 → exactly 2; "aaaa": one symbol → 0
+    // "aab": log2(3) - (2·log2 2 + 1·0)/3 = log2 3 - 2/3
+    val got = Seq("aabb", "abcd", "aaaa", "aab", "")
+      .toDF("t").select(TextFunctions.charEntropy($"t")).as[Double].collect()
+    assert(got(0) == 1.0 && got(1) == 2.0 && got(2) == 0.0)
+    assert(math.abs(got(3) - (math.log(3) / math.log(2) - 2.0 / 3.0)) < 1e-12)
+    assert(got(4) == 0.0)
+  }
+
+  test("charEntropy flags ababab-degenerate docs prose-level repetition misses") {
+    val got = Seq("ab" * 100, "the quick brown fox jumps over the lazy dog")
+      .toDF("t").select(TextFunctions.charEntropy($"t")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) > 3.0, s"natural prose should exceed 3 bits/char, got ${got(1)}")
+  }
 }
