@@ -382,7 +382,57 @@ object SimilaritySuite extends QuerySuite {
                 p -> abs(p[1] - p[2] * scale))), 6) AS max_err
             FROM s2 ORDER BY vec_id"""))
 
+  // ---- SemDeDup: semantic dedup within coarse cells ------------------
+  // Exact float clones of every 20th vector are planted in-query
+  // (vec_id + 100000): each clone shares its source's sign cell and has
+  // cosine exactly 1, so it MUST drop (the lower-id source kept); the
+  // oracle restates cells, the maxCell guard, and the rounded-cosine
+  // threshold, so any natural ≥ tau pair is pinned too.
+  private val semanticDedup = GraftQuery(
+    "q_semantic_dedup",
+    (s, d) => {
+      val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val clones = embeddings(s, d).filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.operators.SemDedup.semanticDedup(
+          base.unionByName(clones), "vec_id", "embedding",
+          signBits = 4, tau = 0.95)
+        .orderBy(asc("vec_id"))
+    },
+    Some("""WITH corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 20 = 0),
+            t AS (
+              SELECT vec_id, v,
+                (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS cell
+              FROM corpus),
+            sizes AS (SELECT cell, COUNT(*) AS cn FROM t GROUP BY 1),
+            e AS (
+              SELECT t.* FROM t JOIN sizes USING (cell)
+              WHERE cn <= 10000),
+            drops AS (
+              SELECT DISTINCT b.vec_id
+              FROM e a JOIN e b USING (cell)
+              WHERE a.vec_id < b.vec_id
+                AND ROUND(
+                  list_sum(list_transform(list_zip(a.v, b.v),
+                    x -> x[1] * x[2])) /
+                  sqrt(list_sum(list_transform(a.v, x -> x * x)) *
+                       list_sum(list_transform(b.v, x -> x * x))),
+                  6) >= 0.95)
+            SELECT t.vec_id, t.cell,
+              (t.vec_id IN (SELECT vec_id FROM drops)) AS dropped
+            FROM t ORDER BY t.vec_id"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
-        ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize)
+        ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize,
+        semanticDedup)
 }
