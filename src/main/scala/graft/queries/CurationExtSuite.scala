@@ -77,7 +77,8 @@ object CurationExtSuite extends QuerySuite {
                CAST(SUM(dropped) AS BIGINT) AS n_dropped,
                md5(COALESCE(string_agg(line, chr(10) ORDER BY pos)
                  FILTER (WHERE dropped = 0), '')) AS clean_fp
-             FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
+             FROM flagged GROUP BY doc_id ORDER BY doc_id"""),
+    headline = true)
 
   // ---- bigram-LM quality scoring -------------------------------------
   private val lmScore = GraftQuery(
@@ -256,7 +257,8 @@ object CurationExtSuite extends QuerySuite {
                CASE WHEN ROUND(ln(CAST(dc.d1 AS DOUBLE) / dc.d0)
                       + s1 - s0, 6) > 0
                     THEN 1 ELSE 0 END AS pred_label
-             FROM sc CROSS JOIN dc ORDER BY sc.doc_id"""))
+             FROM sc CROSS JOIN dc ORDER BY sc.doc_id"""),
+    headline = true)
 
   // ---- character-level Shannon entropy (repetitive-garbage axis) -----
   // Low char entropy flags "ababab…" degenerate docs the TOKEN-level

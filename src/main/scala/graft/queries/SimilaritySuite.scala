@@ -429,7 +429,8 @@ object SimilaritySuite extends QuerySuite {
                   6) >= 0.95)
             SELECT t.vec_id, t.cell,
               (t.vec_id IN (SELECT vec_id FROM drops)) AS dropped
-            FROM t ORDER BY t.vec_id"""))
+            FROM t ORDER BY t.vec_id"""),
+    headline = true)
 
   override val queries: Seq[GraftQuery] =
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
