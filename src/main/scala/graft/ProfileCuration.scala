@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{LineDedup, NbClassifier, NgramLm}
+
+/** Data-dominated scaling instrument for the curation family
+  * (line-dedup / NB classifier / bigram-LM), the ProfileScale protocol
+  * applied to the round-9 operators: k content-disjoint tagged copies
+  * of the corpus (constant structure, vocab grows ×k — the worst case
+  * for the vocab-bounded count tables), corpora materialized before
+  * timing, reps interleaved round-robin across factors so steal bursts
+  * hit every arm alike. `runMain graft.ProfileCuration <sfDir> [reps]
+  * [factors]`.
+  */
+object ProfileCuration {
+  def main(args: Array[String]): Unit = {
+    val d = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val factors = (if (args.length > 2) args(2) else "1,10")
+      .split(',').map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("source"))
+
+    // ProfileScale's construction: copy j shifts ids into their own 10M
+    // window and tags every token _j (content-disjoint copies, ×k
+    // vocab), tripled within-copy so dup structure is preserved.
+    def copyAt(j: Int): DataFrame = {
+      val tagged = docs.select(
+        (col("doc_id") + lit(j * 10000000L)).as("doc_id"),
+        array_join(transform(
+          filter(split(trim(col("text")), "\\s+"), t => t =!= ""),
+          t => concat(t, lit(s"_$j"))), " ").as("text"),
+        concat(col("source"), lit(s"_$j")).as("source"))
+      tagged
+        .unionByName(tagged.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text"), col("source")))
+        .unionByName(tagged.select((col("doc_id") + 2000000L).as("doc_id"),
+          col("text"), concat(lit(s"offsite_$j")).as("source")))
+    }
+
+    def corpusAt(k: Int): DataFrame =
+      (0 until k).map(copyAt).reduce(_.unionByName(_))
+
+    def time(label: String, k: Int, it: Int)(mk: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = BenchAction.consumeAll(mk)
+      println(f"$label%-12s k=$k%-3d it$it ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val corpora = factors.map { k =>
+      val c = corpusAt(k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"k=$k corpus rows=${c.count()}")
+      k -> c
+    }
+
+    (0 to reps).foreach { it =>
+      corpora.foreach { case (k, corpus) =>
+        time("line_dedup", k, it) {
+          // the gate's multi-line construction: 10-token chunk lines +
+          // a corpus-wide header + per-source footer boilerplate
+          val t = corpus.select(col("doc_id"), col("source"),
+              TextFunctions.tokens(col("text")).as("toks"))
+            .filter(size(col("toks")) >= 1)
+          val nChunks =
+            ceil(size(col("toks")).cast("double") / 10.0).cast("int")
+          val chunks = transform(sequence(lit(0), nChunks - 1),
+            g => concat_ws(" ", slice(col("toks"), g * 10 + 1, lit(10))))
+          val built = t.select(col("doc_id"),
+            array_join(concat(
+              array(lit("shared boilerplate header")), chunks,
+              array(concat(lit("footer for "), col("source")))),
+              "\n").as("text"))
+          LineDedup.dropCommonLines(built, "doc_id", "text", 5L)
+            .agg(sum(col("n_dropped")), count(lit(1)))
+        }
+        time("nb_classify", k, it) {
+          val t = corpus.select(col("doc_id"),
+              (col("doc_id") % 2).cast("int").as("y"),
+              TextFunctions.tokens(concat(col("text"),
+                when(col("doc_id") % 2 === 0, lit(" mk0 mk0"))
+                  .otherwise(lit(" mk1 mk1")))).as("toks"))
+            .filter(size(col("toks")) >= 1)
+          NbClassifier.trainScoreBinary(t, "doc_id", "toks", "y")
+            .agg(sum(col("pred_label")), count(lit(1)))
+        }
+        time("lm_score", k, it) {
+          val t = corpus.select(col("doc_id"),
+              TextFunctions.tokens(col("text")).as("toks"))
+            .filter(size(col("toks")) >= 2)
+          NgramLm.scoreBigramLm(t, "doc_id", "toks")
+            .agg(count(lit(1)))
+        }
+      }
+    }
+    corpora.foreach(_._2.unpersist(blocking = false))
+    spark.stop()
+  }
+}

@@ -39,15 +39,29 @@ object SemDedup {
       .reduce(_ + _)
 
   /** Per-item verdict: `idCol, cell, dropped` — dropped=true iff a
-    * lower-id same-cell item has rounded cosine ≥ `tau`.
+    * lower-id same-cell item has rounded cosine ≥ `tau`. Sign-bit
+    * cells (deterministic, oracle-replicable).
     */
   def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
                     signBits: Int = 4, tau: Double = 0.95,
-                    maxCell: Long = 10000L): DataFrame = {
-    val t = embs.select(col(idCol),
-        Similarity.asDouble(col(vecCol)).as("v"))
-      .withColumn("cell", signCell(col("v"), signBits))
-    // 2^signBits rows (or |k-means cells|) — broadcast by construction.
+                    maxCell: Long = 10000L): DataFrame =
+    semanticDedupInCells(
+      embs.select(col(idCol), Similarity.asDouble(col(vecCol)).as("v"))
+        .withColumn("cell", signCell(col("v"), signBits)),
+      idCol, "v", "cell", tau, maxCell)
+
+  /** [[semanticDedup]] over PRECOMPUTED cells — the production path:
+    * feed [[Similarity.ivfAssign]] (k-means coarse quantization, the
+    * paper's own construction) so per-cell quadratic cost is bounded
+    * by (n/cells)². The vector column must already be array<double>.
+    */
+  def semanticDedupInCells(embs: DataFrame, idCol: String, vecCol: String,
+                           cellCol: String, tau: Double,
+                           maxCell: Long): DataFrame = {
+    val t = embs.select(col(idCol), col(vecCol).as("v"),
+      col(cellCol).as("cell"))
+    // |cells| rows (2^signBits or the k-means k) — broadcast by
+    // construction.
     val okCells = t.groupBy("cell").agg(count(lit(1)).as("cell_n"))
       .filter(col("cell_n") <= maxCell)
       .select(col("cell"))

@@ -37,6 +37,24 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got.map(_._3) == Seq(false, false))
   }
 
+  test("production path: ivfAssign k-means cells feed semanticDedupInCells") {
+    // real embeddings + a planted exact clone; the clone lands in its
+    // source's IVF cell by construction (identical vector → identical
+    // nearest centroid) and must drop
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val clone = base.filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .select(org.apache.spark.sql.functions.lit(999999L).as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cells = Similarity.ivfAssign(base.unionByName(clone), nCells = 8)
+    val got = SemDedup.semanticDedupInCells(
+        cells, "ivf_id", "ivf_v", "cell", tau = 0.95, maxCell = 10000L)
+      .as[(Long, Long, Boolean)].collect().map { case (id, _, d) => (id, d) }.toMap
+    assert(got(999999L) == true, "planted clone must drop in its IVF cell")
+    assert(got(7L) == false, "lower-id source must be kept")
+  }
+
   test("maxCell guard binds conservative: oversized cell keeps everything") {
     val rows = (1L to 5L).map(i => (i, Seq(1.0, 1.0, 0.0, 0.0)))
     val strict = SemDedup.semanticDedup(frame(rows: _*),
