@@ -17,7 +17,7 @@ object SparkEntry {
         AdvancedSuite, AggExtSuite, CurationSuite, AnalyticsExtSuite,
         JoinExtSuite, BehaviorSuite, TextMiningSuite, ReshapeStatsSuite,
         WarehouseSuite, CorpusOpsSuite, StatsExtSuite, SourcesSuite,
-        CurationExtSuite)
+        CurationExtSuite, SelectionSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.queries)
 

@@ -181,6 +181,21 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("PartitionFilters"), s"scan has no partition filters:\n$s")
   }
 
+  test("q_dsir_weights: llr table broadcast to the feature stream; partial agg") {
+    // the ONLY corpus-sized shuffles allowed are the bucket-count agg
+    // and the per-doc weight reduce — the scoring join must broadcast
+    // the ≤ numBuckets llr table, never shuffle the feature stream
+    val s = planNoExec("q_dsir_weights")
+    assert(s.contains("BroadcastHashJoin"), s"llr table not broadcast:\n$s")
+    assert(s.contains("partial_count") || s.contains("partial_sum"),
+      s"no map-side partial aggregation:\n$s")
+  }
+
+  test("q_dsir_select: gumbel top-k is TakeOrdered, not a global sort") {
+    val s = planNoExec("q_dsir_select")
+    assert(s.contains("TakeOrderedAndProject"), s"no top-k operator:\n$s")
+  }
+
   test("q_sample_mod: deterministic sample is a pure scan-side filter") {
     val s = plan("q_sample_mod")
     // pmod isn't a parquet-pushable predicate, but it must stay a plain
