@@ -103,6 +103,18 @@ object ProfileCuration {
           NgramLm.scoreBigramLm(t, "doc_id", "toks")
             .agg(count(lit(1)))
         }
+        time("dsir", k, it) {
+          // the gate's target slice (src0/src1) under the tagged-copy
+          // renames: src0_j / src1_j (prefix match excludes src1x_j)
+          val t = corpus.select(col("doc_id"), col("source"),
+              TextFunctions.tokens(col("text")).as("toks"))
+            .filter(size(col("toks")) >= 1)
+          graft.operators.Dsir.importanceWeights(
+              t, t.filter(col("source").startsWith("src0_") ||
+                          col("source").startsWith("src1_")),
+              "doc_id", "toks", numBuckets = 1024)
+            .agg(round(sum(col("log_weight")), 2), count(lit(1)))
+        }
       }
     }
     corpora.foreach(_._2.unpersist(blocking = false))
