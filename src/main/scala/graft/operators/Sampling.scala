@@ -53,6 +53,43 @@ object Sampling {
     pow(u, lit(1.0) / weightCol.cast("double"))
   }
 
+  /** Temperature-based mixture resampling (the mT5/XLM-R multilingual
+    * recipe): sampling rates ∝ p_s^α flatten a skewed stratum
+    * distribution toward uniform as α→0. For stratum s with n_s rows,
+    * the target share is n_s^α / Σ_t n_t^α and the per-row keep rate
+    * is `min(1, budget · share / n_s)`.
+    *
+    * Returns the ≤ |strata| rows `strataCol, n_rows, rate` — broadcast
+    * by construction; [[temperatureSample]] applies it. Deterministic:
+    * rates are pure arithmetic over counts, the row filter is the md5
+    * uniform (content-keyed, retry-stable, oracle-replicable) — no RNG.
+    */
+  def temperatureMixRates(df: DataFrame, strataCol: String,
+                          alpha: Double, budget: Long): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n_rows"))
+      .withColumn("w", pow(col("n_rows").cast("double"), lit(alpha)))
+    val total = counts.agg(sum(col("w")).as("sw"))
+    counts.crossJoin(broadcast(total)) // one-row scalar
+      .select(col(strataCol), col("n_rows"),
+        round(least(lit(1.0),
+          lit(budget.toDouble) * col("w") / col("sw") /
+            col("n_rows").cast("double")), 6).as("rate"))
+  }
+
+  /** Apply [[temperatureMixRates]]: keep rows whose md5-uniform (keyed
+    * on `keyCol`) clears the stratum's rate. The rates frame is
+    * ≤ |strata| rows — the join broadcasts; the corpus never shuffles.
+    */
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+                        rates: DataFrame, salt: String = "tmix"): DataFrame = {
+    val hex8 = substring(
+      md5(concat(col(keyCol).cast("string"), lit(":" + salt))), 1, 8)
+    val u = (conv(hex8, 16, 10).cast("double") + 0.5) / 4294967296.0
+    df.join(broadcast(rates.select(col(strataCol), col("rate"))),
+        Seq(strataCol))
+      .filter(u < col("rate"))
+  }
+
   /** Stratified sample: per-stratum fractions via content hash — the
     * deterministic analogue of `df.stat.sampleBy`. Strata absent from
     * `fractions` are dropped.

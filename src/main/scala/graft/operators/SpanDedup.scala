@@ -40,6 +40,60 @@ object SpanDedup {
           .as("g"))
       .select(col(idCol), col("g.pos").as("pos"), col("g.gk").as("gk"))
 
+  /** Exact-substring dedup by EXCISION — the full Lee et al. operation
+    * [[dupSpanCoverage]] only measures: every duplicated k-token window
+    * keeps its globally-first occurrence (minimal `idCol` among the
+    * docs containing the gram) and is cut everywhere else.
+    *
+    * Contract: a token position is removed iff some dup gram whose
+    * keeper is ANOTHER doc covers it. Overlapping spans union by
+    * construction (position-set semantics, no interval merge); the
+    * keeper doc keeps its text byte-identical; docs with < k tokens
+    * have no window and pass through unchanged. Cutting at gram
+    * granularity over-removes up to k−1 boundary tokens vs a true
+    * suffix-array span — the standard trade for a shuffle-bounded
+    * distributed pass.
+    *
+    * Output: `idCol, n_tokens, n_removed, clean_text` (space-joined
+    * surviving tokens in original order).
+    *
+    * Scale: the removal set is proportional to the DUPLICATED mass
+    * (dup grams × k), not the corpus; reassembly is one doc-keyed agg
+    * (collect → in-row sort → join, the [[LineDedup]] shape — no
+    * corpus-sized window).
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, toksCol: String,
+                     k: Int): DataFrame = {
+    val grams = positionedGrams(docs, idCol, toksCol, k)
+    val dup = grams.groupBy("gk")
+      .agg(countDistinct(col(idCol)).as("gram_df"),
+           min(col(idCol)).as("keeper"))
+      .filter(col("gram_df") >= 2)
+      .select("gk", "keeper")
+    // distinct (id, position) removal set — overlaps union here
+    val rm = grams.join(dup, Seq("gk"))
+      .filter(col(idCol) =!= col("keeper"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("ci"))
+      .distinct()
+    val rmN = rm.groupBy(col(idCol)).agg(count(lit(1)).as("n_removed"))
+    // 1-based positions to match positionedGrams
+    val toks = docs.select(col(idCol),
+        posexplode(col(toksCol)).as(Seq("i", "tok")))
+      .select(col(idCol), (col("i") + 1).as("ci"), col("tok"))
+    val clean = toks.join(rm, Seq(idCol, "ci"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ci"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"))
+    docs.select(col(idCol), size(col(toksCol)).cast("long").as("n_tokens"))
+      .join(rmN, Seq(idCol), "left")
+      .join(clean, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-document duplicated-span coverage: `idCol, n_tokens,
     * covered_tokens, coverage` (round 6). Documents with < k tokens
     * carry no window and are excluded (the caller's contract).

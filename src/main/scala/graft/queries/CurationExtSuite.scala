@@ -160,6 +160,67 @@ object CurationExtSuite extends QuerySuite {
              FROM base b LEFT JOIN cov c USING (doc_id)
              ORDER BY b.doc_id"""))
 
+  // ---- exact-substring dedup by excision (full Lee et al. op) -------
+  // Same planted construction as q_dup_span_coverage; the keeper doc
+  // (minimal planted doc_id) keeps its passage byte-identical, every
+  // other planted doc loses exactly the passage positions. The oracle
+  // pins counts AND the reassembled-text md5 per doc.
+  private val spanRemoval = GraftQuery(
+    "q_span_removal",
+    (s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" " + plantedPassage)))
+          .otherwise(col("text")).as("text"))
+      val t = planted.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      SpanDedup.removeDupSpans(t, "doc_id", "toks", k = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+                md5(col("clean_text")).as("clean_fp"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH planted AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN text || ' $plantedPassage'
+                      ELSE text END AS text
+               FROM documents),
+             t AS (
+               SELECT doc_id, $toksSql AS toks FROM planted
+               WHERE len($toksSql) >= 1),
+             grams AS (
+               SELECT doc_id, i AS pos,
+                 md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gk
+               FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+               WHERE len(toks) >= 8),
+             dup AS (
+               SELECT gk, MIN(doc_id) AS keeper FROM grams GROUP BY gk
+               HAVING COUNT(DISTINCT doc_id) >= 2),
+             rm AS (
+               SELECT DISTINCT g.doc_id, ci
+               FROM grams g JOIN dup USING (gk),
+                 unnest(generate_series(g.pos, g.pos + 7)) AS c(ci)
+               WHERE g.doc_id <> dup.keeper),
+             rmn AS (
+               SELECT doc_id, COUNT(*) AS n_removed FROM rm GROUP BY 1),
+             toks AS (
+               SELECT doc_id, i AS ci, toks[i] AS tok
+               FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+             clean AS (
+               SELECT tk.doc_id,
+                 COALESCE(string_agg(tk.tok, ' ' ORDER BY tk.ci)
+                   FILTER (WHERE r.ci IS NULL), '') AS clean_text
+               FROM toks tk LEFT JOIN rm r
+                 ON tk.doc_id = r.doc_id AND tk.ci = r.ci
+               GROUP BY 1)
+             SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(rmn.n_removed, 0) AS BIGINT) AS n_removed,
+               md5(COALESCE(c.clean_text, '')) AS clean_fp
+             FROM t LEFT JOIN rmn USING (doc_id)
+               LEFT JOIN clean c USING (doc_id)
+             ORDER BY t.doc_id"""))
+
   // ---- unicode case/diacritic folding (custom codegen expression) ----
   // The corpus is pure lowercase ASCII (fold = identity there), so the
   // gate plants accented/uppercase strings on every 50th doc; the
@@ -424,6 +485,6 @@ object CurationExtSuite extends QuerySuite {
              FROM sv GROUP BY predicted ORDER BY predicted"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(lineDedup, lmScore, spanCoverage, textFold, nbClassify,
-        charEntropyQ, foldDedup, streamCuration)
+    Seq(lineDedup, lmScore, spanCoverage, spanRemoval, textFold,
+        nbClassify, charEntropyQ, foldDedup, streamCuration)
 }

@@ -59,4 +59,32 @@ class GroupedTopKSamplingSpec extends AnyFunSuite {
     assert(math.abs(byStratum("big") / 6000.0 - 0.5) < 0.05)
     assert(math.abs(byStratum("small") / 3000.0 - 0.1) < 0.05)
   }
+
+  test("temperatureMixRates: α=0.5 flattens a skewed mix toward sqrt shares") {
+    // 8000/1500/500 split; at α=0.5 shares ∝ sqrt(n): the small stratum's
+    // target share rises from 5% to ~16%, the big one falls from 80% to ~65%
+    val df = spark.range(10000).select(col("id"),
+      when(col("id") < 8000, "big")
+        .otherwise(when(col("id") < 9500, "mid").otherwise("small"))
+        .as("stratum"))
+    val rates = Sampling.temperatureMixRates(df, "stratum", alpha = 0.5,
+        budget = 1000L)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val sw = math.sqrt(8000) + math.sqrt(1500) + math.sqrt(500)
+    assert(math.abs(rates("big")._3 - 1000.0 * math.sqrt(8000) / sw / 8000) < 1e-6)
+    assert(math.abs(rates("small")._3 - 1000.0 * math.sqrt(500) / sw / 500) < 1e-6)
+    // flatter than raw: per-row keep rate strictly higher for small strata
+    assert(rates("small")._3 > rates("mid")._3 && rates("mid")._3 > rates("big")._3)
+
+    val sampled = Sampling.temperatureSample(df, "stratum", "id",
+      Sampling.temperatureMixRates(df, "stratum", alpha = 0.5, budget = 1000L))
+    val n = sampled.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // deterministic md5 filter lands within 15% of the target share
+    assert(math.abs(n("big") - 1000 * math.sqrt(8000) / sw) / (1000 * math.sqrt(8000) / sw) < 0.15)
+    val again = Sampling.temperatureSample(df, "stratum", "id",
+      Sampling.temperatureMixRates(df, "stratum", alpha = 0.5, budget = 1000L))
+      .agg(org.apache.spark.sql.functions.sum("id")).as[Long].head()
+    assert(again == sampled.agg(org.apache.spark.sql.functions.sum("id")).as[Long].head(),
+      "content-keyed sample must be replayable")
+  }
 }

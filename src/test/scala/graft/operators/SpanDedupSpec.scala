@@ -51,4 +51,33 @@ class SpanDedupSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 5L, 5L, 1.0), (2L, 5L, 5L, 1.0)))
   }
+
+  test("removeDupSpans: keeper keeps its text, later docs lose the span") {
+    // docs 1 and 2 share "s1 s2 s3 s4"; doc 1 is the global keeper
+    // (min id) so its text survives byte-identical; doc 2 loses the 4
+    // covered positions (two overlapping 3-grams union, not 6 tokens)
+    val docs = toks(Seq(
+      (1L, "x1 x2 s1 s2 s3 s4"),
+      (2L, "y1 s1 s2 s3 s4 y2"),
+      (3L, "z1 z2 z3")))
+    val got = SpanDedup.removeDupSpans(docs, "doc_id", "toks", k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 0L, "x1 x2 s1 s2 s3 s4"),
+      (2L, 6L, 4L, "y1 y2"),
+      (3L, 3L, 0L, "z1 z2 z3")))
+  }
+
+  test("removeDupSpans: fully-duplicated non-keeper doc empties, short docs pass through") {
+    val docs = toks(Seq(
+      (1L, "a b c"),
+      (2L, "a b c"),
+      (3L, "p q"))) // < k: no window, untouched
+    val got = SpanDedup.removeDupSpans(docs, "doc_id", "toks", k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 0L, "a b c"),
+      (2L, 3L, 3L, ""),
+      (3L, 2L, 0L, "p q")))
+  }
 }
