@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+  * — the MOSS algorithm): hash every k-gram, slide a w-hash window,
+  * select the minimum hash in each window, and keep the distinct
+  * selected values as the document's fingerprint set. Guarantees: any
+  * shared run of ≥ w + k − 1 tokens contributes at least one SHARED
+  * fingerprint, and the density of selected hashes is ~2/(w+1) — the
+  * locality property ad-hoc rolling-hash sampling (mod-p selection)
+  * does not have.
+  *
+  * Hashes are the md5-prefix integers every cross-engine gate uses
+  * (pure content arithmetic — replayable in the DuckDB oracle,
+  * retry-stable at scale). Selecting by VALUE-distinct makes tie
+  * handling irrelevant (the paper's rightmost-tie rule exists to pick
+  * one POSITION; the value set is identical either way).
+  *
+  * Scale shape (100 TB): the entire selection is in-row higher-order
+  * functions over each doc's own token array — gram hashes, window
+  * minima, distinct — inside whole-stage codegen with NO shuffle, no
+  * explode amplification (the w× window overlap is computed over an
+  * in-row array, never materialized as rows). The only exchange is
+  * whatever the caller does with the fingerprint sets (e.g. explode +
+  * group by fingerprint to find near-dups — bounded by fingerprint
+  * density ~2/(w+1), not gram count).
+  */
+object Winnow {
+
+  /** Per-document winnowing fingerprints: `idCol, n_grams, n_fps,
+    * fp_digest` where `fp_digest` is md5 over the sorted distinct
+    * selected hashes (space-joined) — a stable set identity. Docs with
+    * fewer than k tokens carry no gram and are excluded (the
+    * [[SpanDedup.positionedGrams]] contract).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, toksCol: String,
+                   k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k,w >= 1, got k=$k w=$w")
+    val nToks = size(col(toksCol))
+    // in-row gram hash array: h_i = int(md5(gram_i)[0:8], 16)
+    val grams = transform(sequence(lit(1), nToks - (k - 1)),
+      i => conv(substring(md5(concat_ws(" ",
+        slice(col(toksCol), i, lit(k)))), 1, 8), 16, 10).cast("long"))
+    docs.filter(nToks >= k)
+      .select(col(idCol), grams.as("gh"))
+      .select(col(idCol),
+        size(col("gh")).cast("long").as("n_grams"),
+        // windows of w hashes (short docs: one window over all grams),
+        // min per window, value-distinct
+        array_distinct(transform(
+          sequence(lit(1), greatest(lit(1), size(col("gh")) - (w - 1))),
+          p => array_min(slice(col("gh"), p, lit(w))))).as("fps"))
+      .select(col(idCol), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        md5(array_join(transform(array_sort(col("fps")),
+          h => h.cast("string")), " ")).as("fp_digest"))
+  }
+}

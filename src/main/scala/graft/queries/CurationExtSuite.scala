@@ -221,6 +221,70 @@ object CurationExtSuite extends QuerySuite {
                LEFT JOIN clean c USING (doc_id)
              ORDER BY t.doc_id"""))
 
+  // ---- fixed-size token chunking with overlap ------------------------
+  // size=64, overlap=16 (stride 48): per-chunk rows with text md5 —
+  // the oracle replays the start-position contract exactly.
+  private val tokenChunks = GraftQuery(
+    "q_token_chunks",
+    (s, d) => {
+      val t = documents(s, d).select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      graft.operators.Chunking.chunkTokens(t, "doc_id", "toks",
+          size = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"), col("start_pos"),
+          col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_fp"))
+        .orderBy(asc("doc_id"), asc("chunk_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE len($toksSql) >= 1),
+             c AS (
+               SELECT doc_id, j AS chunk_id, j * 48 + 1 AS start_pos,
+                 list_slice(toks, j * 48 + 1, j * 48 + 64) AS ctoks
+               FROM t, unnest(generate_series(0,
+                 CAST(floor((greatest(1, len(toks) - 16) - 1) / 48.0)
+                   AS INT))) AS u(j))
+             SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               CAST(start_pos AS INT) AS start_pos,
+               CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(ctoks, ' ')) AS chunk_fp
+             FROM c ORDER BY doc_id, chunk_id"""))
+
+  // ---- winnowing fingerprints (Schleimer et al. 2003 / MOSS) ---------
+  // k=5 grams, w=4 windows; the whole selection is in-row arithmetic,
+  // so the oracle replays gram hashing, window minima, and the sorted
+  // distinct digest byte-for-byte.
+  private val winnowFp = GraftQuery(
+    "q_winnow_fingerprint",
+    (s, d) => {
+      val t = documents(s, d).select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      graft.operators.Winnow.fingerprints(t, "doc_id", "toks",
+          k = 5, w = 4)
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE len($toksSql) >= 5),
+             g AS (
+               SELECT doc_id,
+                 list_transform(generate_series(1, len(toks) - 4),
+                   i -> ('0x' || substr(md5(array_to_string(
+                     list_slice(toks, i, i + 4), ' ')), 1, 8))::BIGINT)
+                   AS gh
+               FROM t),
+             f AS (
+               SELECT doc_id, len(gh) AS n_grams,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(1, len(gh) - 3)),
+                   p -> list_aggregate(list_slice(gh, p, p + 3), 'min')))
+                   AS fps
+               FROM g)
+             SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(len(fps) AS BIGINT) AS n_fps,
+               md5(array_to_string(list_sort(fps), ' ')) AS fp_digest
+             FROM f ORDER BY doc_id"""))
+
   // ---- unicode case/diacritic folding (custom codegen expression) ----
   // The corpus is pure lowercase ASCII (fold = identity there), so the
   // gate plants accented/uppercase strings on every 50th doc; the
@@ -485,6 +549,7 @@ object CurationExtSuite extends QuerySuite {
              FROM sv GROUP BY predicted ORDER BY predicted"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(lineDedup, lmScore, spanCoverage, spanRemoval, textFold,
-        nbClassify, charEntropyQ, foldDedup, streamCuration)
+    Seq(lineDedup, lmScore, spanCoverage, spanRemoval, tokenChunks,
+        winnowFp, textFold, nbClassify, charEntropyQ, foldDedup,
+        streamCuration)
 }
