@@ -39,14 +39,15 @@ object Packing {
     */
   private var lastCountCache: Option[DataFrame] = None
 
-  def packByTokenBudget(docs: DataFrame, budget: Long,
-                        idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    require(budget > 0, "budget must be positive")
-    // the partitioned counted frame feeds BOTH the local-cumsum window
-    // and the per-partition totals — persist the (narrow: id, tokens,
-    // part) frame so the tokenize scan runs once, not once per consumer
-    // (plans are trees; an unpersisted shared subtree recomputes)
+  /** Shared two-pass distributed prefix sum: `id, n_tokens, prefix,
+    * local_cum` with global exclusive prefix = prefix + local_cum.
+    * The partitioned counted frame feeds BOTH the local-cumsum window
+    * and the per-partition totals — persisted (narrow: id, tokens,
+    * part) so the tokenize scan runs once, not once per consumer
+    * (plans are trees; an unpersisted shared subtree recomputes).
+    */
+  private def withGlobalPrefix(docs: DataFrame, idCol: String,
+                               textCol: String): DataFrame = {
     val parted = docs.select(
         col(idCol).as("id"),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
@@ -74,10 +75,44 @@ object Packing {
       .agg(sum(col("n_tokens")).as("ptotal"))
       .withColumn("prefix", sum(col("ptotal")).over(totalsW) - col("ptotal"))
       .select("part", "prefix")
+    local.join(broadcast(prefixes), "part")
+  }
+
+  def packByTokenBudget(docs: DataFrame, budget: Long,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
     // integer `div`, not `/`: the double division would lose exactness
     // past 2^53 total tokens — a realistic corpus size
-    local.join(broadcast(prefixes), "part")
+    withGlobalPrefix(docs, idCol, textCol)
       .select(col("id").as(idCol), col("n_tokens"),
         expr(s"(prefix + local_cum) div ${budget}L").as("pack_id"))
+  }
+
+  /** Concat-and-split sequence forming — the GPT-style packing dual of
+    * [[packByTokenBudget]]: the id-ordered corpus is one virtual token
+    * stream cut every `seqLen` tokens, and docs DO span sequence
+    * boundaries (no padding waste; the trainer's causal mask handles
+    * doc joins). Per doc: the global token offset and the sequence
+    * range it lands in — `idCol, n_tokens, g_start, first_seq,
+    * last_seq, n_seqs`. Zero-token docs occupy no stream position and
+    * are excluded (the caller's filter contract).
+    *
+    * Same two-pass distributed prefix sum as [[packByTokenBudget]] —
+    * no global sort, no corpus-sized window; all sequence arithmetic
+    * is exact integer `div` on the prefix.
+    */
+  def packFixedLength(docs: DataFrame, seqLen: Long,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    withGlobalPrefix(docs, idCol, textCol)
+      .filter(col("n_tokens") >= 1)
+      .select(col("id").as(idCol), col("n_tokens"),
+        expr("prefix + local_cum").as("g_start"),
+        expr(s"(prefix + local_cum) div ${seqLen}L").as("first_seq"),
+        expr(s"(prefix + local_cum + n_tokens - 1) div ${seqLen}L")
+          .as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
 }

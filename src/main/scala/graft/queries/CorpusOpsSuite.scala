@@ -369,7 +369,33 @@ object CorpusOpsSuite extends QuerySuite {
              FROM c GROUP BY 1 ORDER BY 1"""),
     headline = true)
 
+  /** Concat-and-split sequence forming (GPT-style fixed-length packing,
+    * docs spanning sequence boundaries) — per-doc global offset and
+    * sequence range; oracle = the naive global-window cumsum.
+    */
+  private val packSequences = GraftQuery(
+    "q_pack_sequences",
+    (s, d) =>
+      graft.operators.Packing.packFixedLength(documents(s, d), seqLen = 512L)
+        .orderBy(asc("doc_id")),
+    Some(s"""WITH t AS (
+               SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+             c AS (
+               SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS g_start
+               FROM t WHERE n_tokens >= 1)
+             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(g_start AS BIGINT) AS g_start,
+               CAST(g_start // 512 AS BIGINT) AS first_seq,
+               CAST((g_start + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+               CAST((g_start + n_tokens - 1) // 512 - g_start // 512 + 1
+                 AS BIGINT) AS n_seqs
+             FROM c ORDER BY doc_id"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter,
-        crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking)
+        crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
+        packSequences)
 }

@@ -24,6 +24,39 @@ class PackingSpec extends AnyFunSuite {
                       (4L, 7L, 1L), (5L, 1L, 3L), (6L, 0L, 3L)))
   }
 
+  test("packFixedLength: docs span sequence boundaries per the stream contract") {
+    // stream offsets 0,3,7,9,16; L=5: doc2 (3..6) spans seqs 0-1,
+    // doc4 (9..15) spans 1-3, doc6 (0 tokens) excluded
+    val got = Packing.packFixedLength(docs, seqLen = 5L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 4L, 3L, 0L, 1L, 2L),
+      (3L, 2L, 7L, 1L, 1L, 1L),
+      (4L, 7L, 9L, 1L, 3L, 3L),
+      (5L, 1L, 16L, 3L, 3L, 1L)))
+  }
+
+  test("packFixedLength: every sequence except the last is exactly full") {
+    val many = (1L to 2000L).map(i =>
+      (i, Seq.fill((i % 13 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(8)
+    val seqs = Packing.packFixedLength(many, seqLen = 128L)
+    // token mass per sequence: sum over docs of overlap with [s*L, (s+1)*L)
+    val perSeq = seqs.select(
+        explode(expr("sequence(first_seq, last_seq)")).as("seq_id"),
+        col("g_start"), col("n_tokens"))
+      .select(col("seq_id"),
+        (least(col("g_start") + col("n_tokens"), (col("seq_id") + 1) * 128L)
+          - greatest(col("g_start"), col("seq_id") * 128L)).as("toks"))
+      .groupBy("seq_id").agg(sum("toks").as("mass"))
+      .orderBy("seq_id").as[(Long, Long)].collect()
+    assert(perSeq.dropRight(1).forall(_._2 == 128L),
+      "every non-final sequence must carry exactly seqLen tokens")
+    assert(perSeq.last._2 <= 128L)
+  }
+
   test("distributed result equals the single-partition reference at scale") {
     // 5k docs with varied token counts across many partitions must
     // reproduce the naive global-window cumsum exactly
