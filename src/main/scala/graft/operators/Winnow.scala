@@ -29,14 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  /** Per-document winnowing fingerprints: `idCol, n_grams, n_fps,
-    * fp_digest` where `fp_digest` is md5 over the sorted distinct
-    * selected hashes (space-joined) — a stable set identity. Docs with
-    * fewer than k tokens carry no gram and are excluded (the
-    * [[SpanDedup.positionedGrams]] contract).
+  /** Per-document selected-fingerprint SETS: `idCol, n_grams, fps`
+    * (array of distinct selected hashes) — the building block
+    * [[fingerprints]] digests and [[sharedFingerprintPairs]] joins on.
     */
-  def fingerprints(docs: DataFrame, idCol: String, toksCol: String,
-                   k: Int, w: Int): DataFrame = {
+  def fpSets(docs: DataFrame, idCol: String, toksCol: String,
+             k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"need k,w >= 1, got k=$k w=$w")
     val nToks = size(col(toksCol))
     // in-row gram hash array: h_i = int(md5(gram_i)[0:8], 16)
@@ -52,9 +50,55 @@ object Winnow {
         array_distinct(transform(
           sequence(lit(1), greatest(lit(1), size(col("gh")) - (w - 1))),
           p => array_min(slice(col("gh"), p, lit(w))))).as("fps"))
+  }
+
+  /** Per-document winnowing fingerprints: `idCol, n_grams, n_fps,
+    * fp_digest` where `fp_digest` is md5 over the sorted distinct
+    * selected hashes (space-joined) — a stable set identity. Docs with
+    * fewer than k tokens carry no gram and are excluded (the
+    * [[SpanDedup.positionedGrams]] contract).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, toksCol: String,
+                   k: Int, w: Int): DataFrame =
+    fpSets(docs, idCol, toksCol, k, w)
       .select(col(idCol), col("n_grams"),
         size(col("fps")).cast("long").as("n_fps"),
         md5(array_join(transform(array_sort(col("fps")),
           h => h.cast("string")), " ")).as("fp_digest"))
+
+  /** Near-dup candidate pairs by shared winnowing fingerprints — the
+    * MOSS match step: explode fingerprint sets, equi-join on the
+    * fingerprint value, count distinct shared values per (a, b) pair,
+    * keep pairs sharing ≥ `minShared`. By the winnowing guarantee any
+    * pair sharing a ≥ w+k−1-token verbatim run is a candidate.
+    *
+    * Scale shape: the join is keyed on fingerprint VALUES whose stream
+    * is ~2/(w+1) of the gram stream; a fingerprint held by > `maxBucket`
+    * docs (site-wide boilerplate) is dropped before the self-join —
+    * the same bounded-bucket trade as the minhash LSH guard
+    * ([[Dedup]]), so pair count is bounded by buckets·maxBucket²,
+    * never quadratic in the corpus.
+    */
+  def sharedFingerprintPairs(docs: DataFrame, idCol: String,
+                             toksCol: String, k: Int, w: Int,
+                             minShared: Int = 2,
+                             maxBucket: Long = 200L): DataFrame = {
+    val ex = fpSets(docs, idCol, toksCol, k, w)
+      .select(col(idCol).as("id"), explode(col("fps")).as("fp"))
+    val ok = ex.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2 && col("n_docs") <= maxBucket)
+      .select("fp")
+    val pruned = ex.join(ok, Seq("fp"))
+    // rename-then-using-join: an aliased self-join on the same lineage
+    // risks Spark resolving both sides of `a.fp === b.fp` to ONE
+    // attribute (a trivially-true predicate ⇒ accidental cartesian);
+    // distinct column names make the equi-key explicit
+    val a = pruned.select(col("fp"), col("id").as("id_a"))
+    val b = pruned.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("fp")).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
   }
 }

@@ -285,6 +285,61 @@ object CurationExtSuite extends QuerySuite {
                md5(array_to_string(list_sort(fps), ' ')) AS fp_digest
              FROM f ORDER BY doc_id"""))
 
+  // ---- winnowing match step (MOSS candidate pairs) -------------------
+  // A 16-token passage planted on every 100th doc: each planted pair
+  // shares the passage-interior window minima (≥ ceil(9/4) = 3 distinct
+  // by the window-membership bound), so minShared=2 catches all planted
+  // pairs; the oracle replays selection, skew guard, and pair counting.
+  private val winnowPassage =
+    "wn1 wn2 wn3 wn4 wn5 wn6 wn7 wn8 wn9 wn10 wn11 wn12 wn13 wn14 wn15 wn16"
+
+  private val winnowPairs = GraftQuery(
+    "q_winnow_pairs",
+    (s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 100 === 0,
+          concat(col("text"), lit(" " + winnowPassage)))
+          .otherwise(col("text")).as("text"))
+      val t = planted.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      graft.operators.Winnow.sharedFingerprintPairs(t, "doc_id", "toks",
+          k = 5, w = 4, minShared = 2, maxBucket = 200L)
+        .orderBy(asc("id_a"), asc("id_b"))
+    },
+    Some(s"""WITH planted AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 100 = 0
+                      THEN text || ' $winnowPassage'
+                      ELSE text END AS text
+               FROM documents),
+             t AS (
+               SELECT doc_id, $toksSql AS toks FROM planted
+               WHERE len($toksSql) >= 5),
+             g AS (
+               SELECT doc_id,
+                 list_transform(generate_series(1, len(toks) - 4),
+                   i -> ('0x' || substr(md5(array_to_string(
+                     list_slice(toks, i, i + 4), ' ')), 1, 8))::BIGINT)
+                   AS gh
+               FROM t),
+             f AS (
+               SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(1, len(gh) - 3)),
+                   p -> list_aggregate(list_slice(gh, p, p + 3), 'min')))
+                   AS fps
+               FROM g),
+             ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+             ok AS (
+               SELECT fp FROM ex GROUP BY fp
+               HAVING COUNT(*) BETWEEN 2 AND 200),
+             p AS (SELECT doc_id, fp FROM ex JOIN ok USING (fp))
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS shared_fps
+             FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING COUNT(DISTINCT a.fp) >= 2
+             ORDER BY 1, 2"""))
+
   // ---- unicode case/diacritic folding (custom codegen expression) ----
   // The corpus is pure lowercase ASCII (fold = identity there), so the
   // gate plants accented/uppercase strings on every 50th doc; the
@@ -550,6 +605,6 @@ object CurationExtSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(lineDedup, lmScore, spanCoverage, spanRemoval, tokenChunks,
-        winnowFp, textFold, nbClassify, charEntropyQ, foldDedup,
-        streamCuration)
+        winnowFp, winnowPairs, textFold, nbClassify, charEntropyQ,
+        foldDedup, streamCuration)
 }

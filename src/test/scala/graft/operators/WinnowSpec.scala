@@ -70,6 +70,31 @@ class WinnowSpec extends AnyFunSuite {
     assert(got.head._2 == 1L && got.head._3 == 1L)
   }
 
+  test("sharedFingerprintPairs: shared-run pair found, disjoint docs not paired") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val d = toks(
+      (1L, s"p1 p2 p3 $shared q1 q2"),
+      (2L, s"r1 $shared t1 t2 t3 t4"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+    val got = Winnow.sharedFingerprintPairs(d, "doc_id", "toks",
+        k = 3, w = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(got.head._3 >= 1L)
+  }
+
+  test("sharedFingerprintPairs: maxBucket guard drops boilerplate fingerprints") {
+    // the same text in 5 docs; maxBucket=4 < 5 drops every shared
+    // fingerprint bucket → no pairs survive (the documented skew trade)
+    val d = toks((1L to 5L).map(i => (i, "c1 c2 c3 c4 c5 c6 c7 c8")): _*)
+    val capped = Winnow.sharedFingerprintPairs(d, "doc_id", "toks",
+      k = 3, w = 4, minShared = 1, maxBucket = 4L)
+    assert(capped.count() == 0L)
+    val uncapped = Winnow.sharedFingerprintPairs(d, "doc_id", "toks",
+      k = 3, w = 4, minShared = 1, maxBucket = 200L)
+    assert(uncapped.count() == 10L, "C(5,2) pairs when the cap clears")
+  }
+
   test("selection is in-row: no exchange in the plan") {
     val df = Winnow.fingerprints(toks((1L, "a b c d e")), "doc_id",
       "toks", 3, 4)
