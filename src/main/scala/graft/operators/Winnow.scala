@@ -67,17 +67,22 @@ object Winnow {
           h => h.cast("string")), " ")).as("fp_digest"))
 
   /** Near-dup candidate pairs by shared winnowing fingerprints — the
-    * MOSS match step: explode fingerprint sets, equi-join on the
-    * fingerprint value, count distinct shared values per (a, b) pair,
-    * keep pairs sharing ≥ `minShared`. By the winnowing guarantee any
-    * pair sharing a ≥ w+k−1-token verbatim run is a candidate.
+    * MOSS match step: docs sharing ≥ `minShared` selected fingerprints,
+    * with the shared count. By the winnowing guarantee any pair sharing
+    * a ≥ w+k−1-token verbatim run shares a fingerprint and is a
+    * candidate.
     *
-    * Scale shape: the join is keyed on fingerprint VALUES whose stream
-    * is ~2/(w+1) of the gram stream; a fingerprint held by > `maxBucket`
-    * docs (site-wide boilerplate) is dropped before the self-join —
-    * the same bounded-bucket trade as the minhash LSH guard
-    * ([[Dedup]]), so pair count is bounded by buckets·maxBucket²,
-    * never quadratic in the corpus.
+    * Scale shape — ONE corpus scan, no self-join: group the exploded
+    * fingerprint stream (~2/(w+1) of the gram stream) by value into
+    * doc-id buckets, drop buckets outside [2, maxBucket] (a fingerprint
+    * held by more docs than `maxBucket` is site-wide boilerplate — the
+    * same bounded-bucket trade as the minhash LSH guard, [[Dedup]]),
+    * then emit each bucket's C(n,2) pairs IN-ROW from the sorted id
+    * array. Pair volume is bounded by buckets·maxBucket²/2, never
+    * corpus-quadratic, and per-row work by maxBucket² — the equivalent
+    * equi-self-join plans the fingerprint pipeline four times (both
+    * join sides plus both frequency-filter sides); this shape computes
+    * it once and shuffles only on `fp` and then `(id_a, id_b)`.
     */
   def sharedFingerprintPairs(docs: DataFrame, idCol: String,
                              toksCol: String, k: Int, w: Int,
@@ -85,20 +90,17 @@ object Winnow {
                              maxBucket: Long = 200L): DataFrame = {
     val ex = fpSets(docs, idCol, toksCol, k, w)
       .select(col(idCol).as("id"), explode(col("fps")).as("fp"))
-    val ok = ex.groupBy("fp").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2 && col("n_docs") <= maxBucket)
-      .select("fp")
-    val pruned = ex.join(ok, Seq("fp"))
-    // rename-then-using-join: an aliased self-join on the same lineage
-    // risks Spark resolving both sides of `a.fp === b.fp` to ONE
-    // attribute (a trivially-true predicate ⇒ accidental cartesian);
-    // distinct column names make the equi-key explicit
-    val a = pruned.select(col("fp"), col("id").as("id_a"))
-    val b = pruned.select(col("fp"), col("id").as("id_b"))
-    a.join(b, Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(countDistinct(col("fp")).as("shared_fps"))
+    val buckets = ex.groupBy("fp")
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= lit(maxBucket))
+    // each fingerprint contributes a pair at most once (ids is a set),
+    // so count(*) per pair == distinct shared fingerprints
+    val pairs = buckets.select(explode(flatten(transform(col("ids"),
+      (a, i) => transform(
+        slice(col("ids"), i + lit(2), size(col("ids"))),
+        b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+    pairs.groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
 }

@@ -340,6 +340,73 @@ object CurationExtSuite extends QuerySuite {
              GROUP BY 1, 2 HAVING COUNT(DISTINCT a.fp) >= 2
              ORDER BY 1, 2"""))
 
+  // ---- pretraining sequence-prep pipeline (composition gate) ---------
+  // The back half of a training-data pipeline as ONE lazy plan:
+  // quality-filter → fold-key exact dedup → GPT-style fixed-length
+  // packing over the SURVIVING id-ordered stream. Each stage is
+  // individually gated elsewhere (q_curation_pipeline, q_fold_dedup,
+  // q_pack_sequences); this gate pins that they COMPOSE — the packing
+  // offsets are over the post-filter post-dedup corpus, so any drift in
+  // an upstream stage moves every downstream offset.
+  //
+  // DuckDB twin of TextFunctions.qualityScoreTokens (same operation
+  // order as q_curation_pipeline's proven oracle).
+  private val qualitySql =
+    s"""greatest(0.0,
+          least(1.0, CAST(len($toksSql) AS DOUBLE) / 100.0) * 0.5 +
+          least(1.0,
+            (CASE WHEN len($toksSql) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter($toksSql, x -> x IN
+                    ('the','a','an','and','of','to','in','is','it','that')))
+                    AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) END) * 5.0)
+            * 0.5 -
+          (CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text) -
+                  length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                  AS DOUBLE) / CAST(length(text) AS DOUBLE) END))"""
+
+  private val pretrainPipeline = GraftQuery(
+    "q_pretrain_pipeline",
+    (s, d) => {
+      GraftFunctions.register(s)
+      val docs = documents(s, d)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("quality",
+          TextFunctions.qualityScoreTokens(col("toks"), col("text")))
+        .filter(col("quality") >= 0.3)
+      // fold-key exact dedup, keeper = min doc_id per folded fingerprint
+      val keepers = docs
+        .select(col("doc_id"), md5(FoldText.fold_text(col("text"))).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+        .select("doc_id", "text")
+      graft.operators.Packing.packFixedLength(deduped, seqLen = 512L)
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH q AS (
+               SELECT doc_id, text, $qualitySql AS quality FROM documents),
+             kept AS (SELECT doc_id, text FROM q WHERE quality >= 0.3),
+             keepers AS (
+               SELECT MIN(doc_id) AS doc_id FROM kept
+               GROUP BY md5(strip_accents(nfc_normalize(lower(text))))),
+             t AS (
+               SELECT k.doc_id, len($toksSql) AS n_tokens
+               FROM kept k JOIN keepers USING (doc_id)),
+             c AS (
+               SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS g_start
+               FROM t WHERE n_tokens >= 1)
+             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(g_start AS BIGINT) AS g_start,
+               CAST(g_start // 512 AS BIGINT) AS first_seq,
+               CAST((g_start + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+               CAST((g_start + n_tokens - 1) // 512 - g_start // 512 + 1
+                 AS BIGINT) AS n_seqs
+             FROM c ORDER BY doc_id"""))
+
   // ---- unicode case/diacritic folding (custom codegen expression) ----
   // The corpus is pure lowercase ASCII (fold = identity there), so the
   // gate plants accented/uppercase strings on every 50th doc; the
@@ -605,6 +672,6 @@ object CurationExtSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(lineDedup, lmScore, spanCoverage, spanRemoval, tokenChunks,
-        winnowFp, winnowPairs, textFold, nbClassify, charEntropyQ,
-        foldDedup, streamCuration)
+        winnowFp, winnowPairs, pretrainPipeline, textFold, nbClassify,
+        charEntropyQ, foldDedup, streamCuration)
 }

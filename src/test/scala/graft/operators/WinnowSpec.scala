@@ -95,6 +95,16 @@ class WinnowSpec extends AnyFunSuite {
     assert(uncapped.count() == 10L, "C(5,2) pairs when the cap clears")
   }
 
+  test("sharedFingerprintPairs: single-scan plan — no join operator") {
+    // pair generation is in-row from the per-fingerprint bucket array,
+    // so the plan must contain NO join (the equi-self-join alternative
+    // plans the fingerprint pipeline four times)
+    val d = toks((1L, "a b c d e f"), (2L, "a b c d e g"))
+    val plan = Winnow.sharedFingerprintPairs(d, "doc_id", "toks", 3, 4,
+      minShared = 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
   test("selection is in-row: no exchange in the plan") {
     val df = Winnow.fingerprints(toks((1L, "a b c d e")), "doc_id",
       "toks", 3, 4)
