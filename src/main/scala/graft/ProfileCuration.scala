@@ -103,6 +103,24 @@ object ProfileCuration {
           NgramLm.scoreBigramLm(t, "doc_id", "toks")
             .agg(count(lit(1)))
         }
+        time("winnow_pairs", k, it) {
+          val t = corpus.select(col("doc_id"),
+              TextFunctions.tokens(col("text")).as("toks"))
+            .filter(size(col("toks")) >= 5)
+          graft.operators.Winnow.sharedFingerprintPairs(
+              t, "doc_id", "toks", k = 5, w = 4)
+            .agg(sum(col("shared_fps")), count(lit(1)))
+        }
+        time("bpe_pairs", k, it) {
+          // corpus-dominated half of BPE training: word table + one
+          // pair count (each extra merge repeats only the vocab-
+          // bounded part, which the ×k tagged vocab grows linearly)
+          val t = corpus.select(
+            TextFunctions.tokens(col("text")).as("toks"))
+          graft.operators.Bpe.pairCounts(
+              graft.operators.Bpe.wordSymbolCounts(t, "toks"))
+            .agg(sum(col("cnt")), count(lit(1)))
+        }
         time("dsir", k, it) {
           // the gate's target slice (src0/src1) under the tagged-copy
           // renames: src0_j / src1_j (prefix match excludes src1x_j)

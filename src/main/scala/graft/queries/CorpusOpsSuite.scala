@@ -341,6 +341,41 @@ object CorpusOpsSuite extends QuerySuite {
               ROUND(sk, 6) AS sample_key
             FROM ranked WHERE rank <= 20 ORDER BY rank"""))
 
+  // ---- BPE tokenizer training: adjacent-symbol pair counts -----------
+  // The counting step every BPE merge iteration argmaxes over
+  // (Sennrich et al. 2016): char symbols + terminal '</w>', pair
+  // counts weighted by word frequency. The corpus-sized work is ONE
+  // explode+groupBy to the vocab-bounded word table; the pair table is
+  // bounded by |alphabet|². Merge iteration + application are
+  // spec-pinned in BpeSpec (the classic low/lower/newest/widest merges
+  // hand-computed); the oracle pins the full weighted pair table.
+  private val bpePairs = GraftQuery(
+    "q_bpe_pairs",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(TextFunctions.tokens(col("text")).as("toks"))
+      graft.operators.Bpe.pairCounts(
+          graft.operators.Bpe.wordSymbolCounts(toks, "toks"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+    },
+    Some(s"""WITH w AS (
+               SELECT unnest($toksSql) AS word FROM documents),
+             wc AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+             sy AS (
+               SELECT freq,
+                 list_append(list_transform(
+                   generate_series(1, length(word)),
+                   i -> substr(word, i, 1)), '</w>') AS syms
+               FROM wc),
+             p AS (
+               SELECT unnest(list_transform(
+                 generate_series(1, len(syms) - 1),
+                 i -> {'freq': freq, 'a': syms[i], 'b': syms[i + 1]}))
+                 AS u
+               FROM sy)
+             SELECT u.a AS a, u.b AS b, CAST(SUM(u.freq) AS BIGINT) AS cnt
+             FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b"""))
+
   // ---- token-budget corpus packing (distributed prefix sum) ----------
   // Chunk the id-ordered corpus into ≈2000-token packs — the sharding
   // step that turns a tokenized corpus into trainer work units. The
@@ -397,5 +432,5 @@ object CorpusOpsSuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
-        packSequences)
+        packSequences, bpePairs)
 }
