@@ -104,7 +104,18 @@ object ProfileCuration {
             .agg(count(lit(1)))
         }
         time("winnow_pairs", k, it) {
-          val t = corpus.select(col("doc_id"),
+          // production order: EXACT dedup first — the profile corpus
+          // plants identical-doc groups (tripled copies × the natural
+          // dup groups), and identical docs share their ENTIRE
+          // fingerprint set, so skipping the exact pass pairwise-
+          // explodes every bucket (measured: the un-deduped k=20 arm
+          // ran >45 min where the deduped one takes seconds — that
+          // blow-up is inherent to fingerprint matching, not a plan
+          // defect; no fingerprint scheme should ever see exact dups)
+          val t = corpus
+            .withColumn("fp0", md5(col("text")))
+            .dropDuplicates("fp0")
+            .select(col("doc_id"),
               TextFunctions.tokens(col("text")).as("toks"))
             .filter(size(col("toks")) >= 5)
           graft.operators.Winnow.sharedFingerprintPairs(

@@ -72,6 +72,15 @@ object Winnow {
     * a ≥ w+k−1-token verbatim run shares a fingerprint and is a
     * candidate.
     *
+    * CONTRACT: run exact dedup first. Identical docs share their
+    * entire fingerprint set, so every exact-dup group of size g
+    * multiplies every one of its buckets by g — C(g,2) pairs per
+    * shared fingerprint, BELOW the maxBucket cap where the guard
+    * cannot help (measured in ProfileCuration: a clone-heavy corpus
+    * burned >45 min where the deduped one took 109 s). No fingerprint
+    * scheme should ever see exact duplicates; `md5(text)`
+    * dropDuplicates upstream is one cheap shuffle.
+    *
     * Scale shape — ONE corpus scan, no self-join: group the exploded
     * fingerprint stream (~2/(w+1) of the gram stream) by value into
     * doc-id buckets, drop buckets outside [2, maxBucket] (a fingerprint
