@@ -129,6 +129,59 @@ object SourcesSuite extends QuerySuite {
              FROM ($datedRawSql)
              GROUP BY reg_year ORDER BY reg_year NULLS FIRST"""))
 
+  // ---- JSONL corpus ingest (schema-imposed, nested decode) -----------
+  // The committed fixture (tools/make_jsonl_fixture.py, python-stdlib
+  // only) carries the decode edge cases a real LLM-corpus JSONL has:
+  // escaped quotes/newlines inside strings, unicode, missing fields,
+  // explicit nulls, scientific notation, pre-epoch ints, a doc_id
+  // above 2^53 (BIGINT exactness), empty arrays, missing nested
+  // objects. Output projects nested fields to scalars so the compare
+  // is dtype-stable; text goes through md5 (the embedded newline would
+  // otherwise be a csv-ish hashing hazard on neither engine's side —
+  // md5 pins the exact decoded bytes instead).
+  private val jsonl = s"$dir/docs_corpus.jsonl"
+
+  private val jsonlRead = GraftQuery(
+    "q_jsonl_read",
+    (s, _) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("tags",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("meta",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.LongType))))))
+      graft.sources.JsonlSource.read(s, jsonl, schema)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"),
+          round(col("score"), 6).as("score"),
+          // size(NULL) is -1 under this session's legacy sizeOfNull;
+          // DuckDB len(NULL) is NULL — make the null explicit
+          when(col("tags").isNotNull, size(col("tags")).cast("long"))
+            .as("n_tags"),
+          col("meta.source").as("src"), col("meta.ts").as("ts"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""SELECT doc_id, lang, md5(text) AS text_md5,
+               ROUND(score, 6) AS score,
+               len(tags) AS n_tags, meta.source AS src, meta.ts AS ts
+             FROM read_json('$jsonl', format='newline_delimited',
+               columns={'doc_id':'BIGINT','lang':'VARCHAR',
+                        'text':'VARCHAR','score':'DOUBLE',
+                        'tags':'VARCHAR[]',
+                        'meta':'STRUCT(source VARCHAR, ts BIGINT)'})
+             ORDER BY doc_id"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(xlsxRead, xlsxClean, xlsxTyped, xlsxTypedAgg)
+    Seq(xlsxRead, xlsxClean, xlsxTyped, xlsxTypedAgg, jsonlRead)
 }
