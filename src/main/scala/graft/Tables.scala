@@ -15,16 +15,26 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is physically INT64 TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader only admits as a long (nanosAsLong). Normalize to a
-    * micros TimestampType here, once, with *integer* division — epoch
-    * nanos (~1.7e18) exceed 2^53, so a double-typed `/` would lose
-    * precision.
+  /** events.ts normalization, tolerant of the physical type drifting
+    * across testdata generations:
+    *  - INT64 TIMESTAMP(NANOS) → admitted only as long (nanosAsLong);
+    *    normalize to micros with *integer* division — epoch nanos
+    *    (~1.7e18) exceed 2^53, so a double-typed `/` would lose precision.
+    *  - TIMESTAMP_NTZ (isAdjustedToUTC=false micros) → cast to session-TZ
+    *    TimestampType. Sessions pin UTC, so the wall-clock instant is
+    *    unchanged; LTZ is required by event-time watermarks downstream.
     */
-  private def withEventTime(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+  private[graft] def withEventTime(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -24,12 +24,8 @@ object EventsStream {
     * each table out as a single file, so stage a symlink directory under
     * java.io.tmpdir (read-only view, nothing copied).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val raw = readTable(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
-  }
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.withEventTime(readTable(spark, dir, "events"))
 
   /** File-source stream over any testdata table's parquet (same
     * symlink-directory staging as the events reader; no table-specific

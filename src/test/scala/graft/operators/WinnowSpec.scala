@@ -87,12 +87,34 @@ class WinnowSpec extends AnyFunSuite {
     // the same text in 5 docs; maxBucket=4 < 5 drops every shared
     // fingerprint bucket → no pairs survive (the documented skew trade)
     val d = toks((1L to 5L).map(i => (i, "c1 c2 c3 c4 c5 c6 c7 c8")): _*)
+    // clones are the deliberate fixture here → opt out of the dedup guard
     val capped = Winnow.sharedFingerprintPairs(d, "doc_id", "toks",
-      k = 3, w = 4, minShared = 1, maxBucket = 4L)
+      k = 3, w = 4, minShared = 1, maxBucket = 4L, requireDeduped = false)
     assert(capped.count() == 0L)
     val uncapped = Winnow.sharedFingerprintPairs(d, "doc_id", "toks",
-      k = 3, w = 4, minShared = 1, maxBucket = 200L)
+      k = 3, w = 4, minShared = 1, maxBucket = 200L, requireDeduped = false)
     assert(uncapped.count() == 10L, "C(5,2) pairs when the cap clears")
+  }
+
+  test("exact-dedup precondition is enforced: cloned corpus trips the guard") {
+    // 3 copies of each of 40 distinct docs — every clone group sits BELOW
+    // maxBucket, exactly where the bucket cap cannot help; the probe must
+    // throw before any bucket explosion is planned
+    val cloned = toks((for {
+      base <- 1L to 40L; copy <- 0L to 2L
+    } yield (base * 10 + copy, s"w${base}a w${base}b w${base}c w${base}d " +
+        s"w${base}e w${base}f w${base}g w${base}h")): _*)
+    val e = intercept[IllegalArgumentException] {
+      Winnow.sharedFingerprintPairs(cloned, "doc_id", "toks", k = 3, w = 4)
+    }
+    assert(e.getMessage.contains("exact dedup"), e.getMessage)
+    // the same corpus after exact dedup (distinct token streams) passes
+    val deduped = cloned.dropDuplicates("toks")
+    assert(Winnow.sharedFingerprintPairs(deduped, "doc_id", "toks",
+      k = 3, w = 4, minShared = 1).count() == 0L)
+    // and requireDeduped = false is an explicit escape hatch
+    assert(Winnow.sharedFingerprintPairs(cloned, "doc_id", "toks",
+      k = 3, w = 4, minShared = 1, requireDeduped = false).count() == 120L)
   }
 
   test("sharedFingerprintPairs: single-scan plan — no join operator") {
