@@ -132,6 +132,17 @@ object ProfileCuration {
               graft.operators.Bpe.wordSymbolCounts(t, "toks"))
             .agg(sum(col("cnt")), count(lit(1)))
         }
+        locally {
+          // full trainFast at real merge depth: ONE corpus pass + the
+          // driver-side heap loop — the r9-verdict claim under test is
+          // wall ∝ corpus (k), NOT ∝ numMerges (500 merges must not
+          // add 500 scheduling floors the way sequential train does)
+          val t0 = System.nanoTime()
+          val t = corpus.select(
+            TextFunctions.tokens(col("text")).as("toks"))
+          val m = graft.operators.Bpe.trainFast(t, "toks", numMerges = 500)
+          println(f"bpe_train500 k=$k%-3d it$it ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${m.size}")
+        }
         time("dsir", k, it) {
           // the gate's target slice (src0/src1) under the tagged-copy
           // renames: src0_j / src1_j (prefix match excludes src1x_j)

@@ -90,6 +90,15 @@ object Bpe {
     * Driver work per iteration is ONE two-column row (the argmax) —
     * never a table collect; the vocab-bounded symbol table is
     * persisted per iteration with the previous one released.
+    *
+    * LATENCY NOTE: each merge is a separate Spark job (argmax collect +
+    * merged-table materialization), so at real tokenizer scale
+    * (30k–50k merges) the per-job scheduling floor dominates the
+    * vocab-bounded compute. [[trainFast]] is the production path —
+    * identical merge list (parity property in BpeSpec), one corpus
+    * pass, wall ∝ corpus instead of ∝ numMerges. This sequential
+    * variant stays as the distributed reference implementation the
+    * parity property checks against.
     */
   def train(docs: DataFrame, toksCol: String, numMerges: Int,
             endMark: String = "</w>"): Seq[(String, String)] = {
@@ -123,6 +132,162 @@ object Bpe {
         Bpe.synchronized { lastIterCache = Some(cur) }
       }
       i += 1
+    }
+    merges.result()
+  }
+
+  // ---- fast training: one corpus pass + driver-side merge loop ------
+
+  /** Spark string ordering is binary (UTF8String byte compare); the
+    * driver-side tie-break must match it exactly or trainFast could
+    * diverge from [[train]] on non-ASCII symbols (Java's String
+    * compareTo orders by UTF-16 code unit, which disagrees with code
+    * points for supplementary characters).
+    */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private case class PairEntry(cnt: Long, a: String, b: String)
+
+  /** Max-heap ordering = [[train]]'s argmax: count desc, then
+    * lexicographic (a, b) ascending in binary collation.
+    */
+  private val entryOrd: Ordering[PairEntry] = new Ordering[PairEntry] {
+    def compare(x: PairEntry, y: PairEntry): Int =
+      if (x.cnt != y.cnt) java.lang.Long.compare(x.cnt, y.cnt)
+      else if (x.a != y.a) { if (utf8Less(x.a, y.a)) 1 else -1 }
+      else if (x.b != y.b) { if (utf8Less(x.b, y.b)) 1 else -1 }
+      else 0
+  }
+
+  /** Greedy left-to-right merge pass — the driver-side twin of
+    * [[mergeOnce]] (same no-re-merge semantics: a consumed element
+    * never participates in the next match).
+    */
+  private def applyGreedy(syms: IndexedSeq[String], a: String, b: String,
+                          merged: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    out.sizeHint(syms.length)
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += merged; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Production-path BPE training: identical merge list to [[train]]
+    * (BpeSpec pins the parity property), but the merge loop runs on the
+    * driver over the collected word-frequency table — the rare case
+    * where driver-side IS the scale-safe shape, because that table is
+    * |vocab|-bounded, not corpus-bounded, while the sequential
+    * variant's per-merge Spark jobs put a ~50–100 ms scheduling floor
+    * under every one of 30k–50k merges.
+    *
+    * Scale shape (100 TB): ONE distributed corpus pass
+    * ([[wordSymbolCounts]]: explode + map-side partial agg), then a
+    * driver loop in fastBPE shape — a pair→words occurrence index plus
+    * a lazy-deletion max-heap, so each merge touches only the words
+    * containing the merged pair (stale heap entries are discarded on
+    * pop by revalidating against the live count). Web-scale long-tail
+    * vocab is bounded by `minFreq` (hapax junk dominates distinct
+    * words; a frequency floor is the standard lever) and the collect is
+    * capped LOUDLY by `maxVocab` — raise `minFreq` rather than silently
+    * truncating, which would change the merge list.
+    */
+  def trainFast(docs: DataFrame, toksCol: String, numMerges: Int,
+                endMark: String = "</w>", minFreq: Long = 1L,
+                maxVocab: Int = 1 << 24): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    require(minFreq >= 1L, "minFreq must be >= 1")
+    val rows = wordSymbolCounts(docs, toksCol, endMark)
+      .filter(col("freq") >= minFreq)
+      .select(col("freq"), col("syms"))
+      .limit(maxVocab + 1)
+      .collect()
+    if (rows.length > maxVocab)
+      throw new IllegalArgumentException(
+        s"trainFast: word-frequency table exceeds maxVocab=$maxVocab at " +
+        s"minFreq=$minFreq — raise minFreq (silently truncating the " +
+        "vocab would change the merge list)")
+    val freqs = new Array[Long](rows.length)
+    val words = new Array[IndexedSeq[String]](rows.length)
+    var wi = 0
+    while (wi < rows.length) {
+      freqs(wi) = rows(wi).getLong(0)
+      words(wi) = rows(wi).getSeq[String](1).toIndexedSeq
+      wi += 1
+    }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    wi = 0
+    while (wi < words.length) {
+      val w = words(wi); val f = freqs(wi)
+      var j = 0
+      while (j < w.length - 1) {
+        val p = (w(j), w(j + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + f)
+        occ.getOrElseUpdate(
+          p, scala.collection.mutable.HashSet.empty[Int]) += wi
+        j += 1
+      }
+      wi += 1
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[PairEntry](entryOrd)
+    counts.foreach { case ((a, b), c) => heap.enqueue(PairEntry(c, a, b)) }
+    val merges = Seq.newBuilder[(String, String)]
+    var made = 0
+    while (made < numMerges && heap.nonEmpty) {
+      val e = heap.dequeue()
+      // lazy deletion: an entry is live iff it matches the current count
+      if (counts.getOrElse((e.a, e.b), 0L) == e.cnt && e.cnt > 0L) {
+        merges += ((e.a, e.b))
+        made += 1
+        val merged = e.a + e.b
+        val touched = scala.collection.mutable.HashSet.empty[(String, String)]
+        val hit = occ.getOrElse((e.a, e.b),
+          scala.collection.mutable.HashSet.empty[Int]).toArray
+        java.util.Arrays.sort(hit)
+        for (w0 <- hit) {
+          val old = words(w0); val f = freqs(w0)
+          var j = 0
+          while (j < old.length - 1) {
+            val p = (old(j), old(j + 1))
+            counts.update(p, counts(p) - f)
+            occ.get(p).foreach(_ -= w0)
+            touched += p
+            j += 1
+          }
+          val nw = applyGreedy(old, e.a, e.b, merged)
+          words(w0) = nw
+          j = 0
+          while (j < nw.length - 1) {
+            val p = (nw(j), nw(j + 1))
+            counts.update(p, counts.getOrElse(p, 0L) + f)
+            occ.getOrElseUpdate(
+              p, scala.collection.mutable.HashSet.empty[Int]) += w0
+            touched += p
+            j += 1
+          }
+        }
+        touched.foreach { p =>
+          val c = counts.getOrElse(p, 0L)
+          if (c <= 0L) { counts.remove(p); occ.remove(p) }
+          else heap.enqueue(PairEntry(c, p._1, p._2))
+        }
+      }
     }
     merges.result()
   }

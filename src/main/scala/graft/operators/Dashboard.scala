@@ -30,20 +30,25 @@ object Dashboard {
     * domains are 167 cities / 36 makes), but at 100 TB an unbounded
     * distinct-collect on the wrong column would OOM the driver, so the
     * plan fetches `maxDomain + 1` rows and raises — naming the column
-    * and the cap — when the domain exceeds the cap. The limit sits
-    * above the distinct, so Spark stops early instead of sorting a
-    * high-cardinality domain it will refuse anyway.
+    * and the cap — when the domain exceeds the cap. The sort sits
+    * BETWEEN the distinct and the limit, so Catalyst plans a
+    * TakeOrderedAndProject over the deduped domain (per-partition
+    * top-k + merge, never a full sort materialization) and the capped
+    * prefix is DETERMINISTIC — an unsorted distinct-limit would return
+    * an arbitrary subset, breaking A6's sorted contract exactly when
+    * the cap binds. The driver-side `.sorted` is gone: order is the
+    * plan's (binary collation), not re-imposed post-collect.
     */
   def filterDomain(df: DataFrame, column: String,
                    maxDomain: Int = 10000): Seq[String] = {
     val domain = df.select(col(column).cast("string")).na.drop()
-      .distinct().limit(maxDomain + 1)
+      .distinct().orderBy(asc(column)).limit(maxDomain + 1)
       .collect().map(_.getString(0)).toSeq
     if (domain.length > maxDomain)
       throw new IllegalArgumentException(
         s"filterDomain('$column') exceeds $maxDomain distinct values — " +
         "not a filter-widget column; raise maxDomain explicitly if intended")
-    domain.sorted
+    domain
   }
 
   /** F3 — conjunction of IN-list selections; empty selection for a

@@ -885,6 +885,31 @@ object Dedup {
       .select(col("id"), coalesce(col("sig"), zeros).as("sig"))
   }
 
+  /** Registration-time driver-side replica of [[simhashSignatures]] for
+    * probe-literal oracles: plain Scala over the same xxhash64 primitive
+    * (Catalyst's XxHash64Function at the `xxhash64` function's seed 42),
+    * but through an INDEPENDENT evaluation path — no Catalyst plan, no
+    * codegen, no HOFs — so a gate can bake the expected signature hex
+    * for a literal probe text into static oracle SQL and catch drift in
+    * either path.
+    */
+  def simhashHexLocal(text: String): String = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty).distinct
+    val hashes = toks.map(t =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L))
+    val bits = (0 until 64).map { b =>
+      val s = hashes.map(h => ((h >> b) & 1L) * 2 - 1).sum
+      if (s > 0) 1 else 0
+    }
+    (0 until 16).map { i =>
+      val v = bits(i * 4) * 8 + bits(i * 4 + 1) * 4 +
+        bits(i * 4 + 2) * 2 + bits(i * 4 + 3)
+      "0123456789abcdef".charAt(v)
+    }.mkString
+  }
+
   /** Hamming distance between two equal-length bit arrays. */
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0),

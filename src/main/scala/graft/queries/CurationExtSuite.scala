@@ -670,8 +670,210 @@ object CurationExtSuite extends QuerySuite {
                ROUND(SUM(quality), 6) AS sum_quality
              FROM sv GROUP BY predicted ORDER BY predicted"""))
 
+  // ---- full curation stack, end-to-end (round-10 composition gate) ---
+  // The whole LLM-data pipeline as ONE lazy plan: quality filter →
+  // line dedup → exact dedup → minhash near-dup → DSIR select → pack.
+  // Per-doc oracle: the packing offsets are over the corpus that
+  // SURVIVES every stage, so drift anywhere upstream moves every
+  // downstream row. Plant structure (all replayed by the oracle):
+  //  - multi-line build (header/chunk-lines/footer — the q_line_dedup
+  //    construction) so line dedup does real work;
+  //  - an exact clone of every 5th doc (same built text) that the
+  //    exact-dedup stage must drop;
+  //  - a whitespace-variant clone of every 10th doc (chunk tokens
+  //    joined with DOUBLE spaces: different clean_text string, same
+  //    token stream) that survives exact dedup and is dropped by the
+  //    minhash stage — restricted, as in q_dedup_minhash, to the
+  //    SQL-decidable subset of pairs with equal token-stream
+  //    fingerprints (identical streams ⇒ identical signatures ⇒
+  //    candidacy guaranteed; the 0.9 ≤ j < 1 tail stays pinned by unit
+  //    tests and the standalone minhash gates).
+  private val llmPipeline = GraftQuery(
+    "q_llm_data_pipeline",
+    (s, d) => {
+      val base = documents(s, d)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .filter(size(col("toks")) >= 1)
+        .withColumn("quality",
+          TextFunctions.qualityScoreTokens(col("toks"), col("text")))
+        .filter(col("quality") >= 0.3)
+      val nChunks = ceil(size(col("toks")).cast("double") / 10.0).cast("int")
+      def builtWith(sep: String) = array_join(concat(
+        array(lit("shared boilerplate header")),
+        transform(sequence(lit(0), nChunks - 1),
+          g => concat_ws(sep, slice(col("toks"), g * 10 + 1, lit(10)))),
+        array(concat(lit("footer for "), col("source")))), "\n")
+      val orig = base.select(col("doc_id"), col("source"),
+        builtWith(" ").as("text"))
+      val corpus = orig
+        .unionByName(base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            builtWith(" ").as("text")))
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+            builtWith("  ").as("text")))
+      val cleaned = LineDedup
+        .dropCommonLines(corpus, "doc_id", "text", minDocFreq = 5L)
+        .join(corpus.select("doc_id", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("clean_text"),
+          TextFunctions.tokens(col("clean_text")).as("ctoks"))
+        .filter(size(col("ctoks")) >= 1)
+      val afterExact = graft.operators.Dedup.dropDuplicatesByKey(
+        cleaned, md5(col("clean_text")), "doc_id")
+      val pairs = graft.operators.Dedup.nearDuplicatePairs(afterExact,
+        minJaccard = 0.9, idCol = "doc_id", textCol = "clean_text")
+      val fps = afterExact.select(col("doc_id"),
+        TextFunctions.exactFingerprintTokens(col("ctoks")).as("fp"))
+      val dropIds = pairs
+        .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
+        .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
+        .filter(col("fa") === col("fb"))
+        .select(col("b").as("doc_id")).distinct()
+      val afterNear = afterExact.join(dropIds, Seq("doc_id"), "left_anti")
+      val weights = graft.operators.Dsir.importanceWeights(
+        raw = afterNear.select(col("doc_id"), col("ctoks").as("toks")),
+        target = afterNear.filter(col("source").isin("src0", "src1"))
+          .select(col("doc_id"), col("ctoks").as("toks")),
+        idCol = "doc_id", toksCol = "toks", numBuckets = 1024)
+      val selected = graft.operators.Dsir
+        .resampleTopK(weights, "doc_id", "log_weight", k = 200)
+        .select("doc_id")
+      graft.operators.Packing.packFixedLength(
+          afterNear.join(selected, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("clean_text").as("text")),
+          seqLen = 256L)
+        .select(col("doc_id"), col("n_tokens"), col("g_start"),
+          col("first_seq"), col("last_seq"),
+          (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH q AS (
+               SELECT doc_id, source, text, $toksSql AS toks,
+                 $qualitySql AS quality
+               FROM documents WHERE len($toksSql) >= 1),
+             kept AS (
+               SELECT doc_id, source, toks FROM q WHERE quality >= 0.3),
+             built AS (
+               SELECT doc_id, source,
+                 'shared boilerplate header' || chr(10) ||
+                 array_to_string(list_transform(
+                   generate_series(0,
+                     CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+                   g -> array_to_string(
+                     list_slice(toks, g * 10 + 1, g * 10 + 10), ' ')),
+                   chr(10)) ||
+                 chr(10) || 'footer for ' || source AS text1,
+                 'shared boilerplate header' || chr(10) ||
+                 array_to_string(list_transform(
+                   generate_series(0,
+                     CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+                   g -> array_to_string(
+                     list_slice(toks, g * 10 + 1, g * 10 + 10), '  ')),
+                   chr(10)) ||
+                 chr(10) || 'footer for ' || source AS text2
+               FROM kept),
+             corpus AS (
+               SELECT doc_id, source, text1 AS text FROM built
+               UNION ALL
+               SELECT doc_id + 1000000, source, text1 FROM built
+               WHERE doc_id % 5 = 0
+               UNION ALL
+               SELECT doc_id + 2000000, source, text2 FROM built
+               WHERE doc_id % 10 = 0),
+             sp AS (
+               SELECT doc_id, source, string_split(text, chr(10)) AS ls
+               FROM corpus),
+             lines AS (
+               SELECT doc_id, source, i AS pos, ls[i] AS line
+               FROM sp, unnest(generate_series(1, len(ls))) AS u(i)),
+             freq AS (
+               SELECT line, COUNT(DISTINCT doc_id) AS line_df
+               FROM lines GROUP BY 1),
+             clean AS (
+               SELECT l.doc_id, ANY_VALUE(l.source) AS source,
+                 COALESCE(string_agg(l.line, chr(10) ORDER BY l.pos)
+                   FILTER (WHERE f.line_df < 5), '') AS clean_text
+               FROM lines l JOIN freq f ON l.line = f.line
+               GROUP BY l.doc_id),
+             ct AS (
+               SELECT doc_id, source, clean_text,
+                 list_filter(string_split_regex(trim(clean_text), '\\s+'),
+                   x -> x <> '') AS ctoks
+               FROM clean
+               WHERE len(list_filter(
+                 string_split_regex(trim(clean_text), '\\s+'),
+                 x -> x <> '')) >= 1),
+             keepers AS (
+               SELECT md5(clean_text) AS k, MIN(doc_id) AS keeper
+               FROM ct GROUP BY 1),
+             ex AS (
+               SELECT ct.* FROM ct JOIN keepers
+               ON md5(ct.clean_text) = keepers.k
+                 AND ct.doc_id = keepers.keeper),
+             tw AS (
+               SELECT md5(array_to_string(ctoks, ' ')) AS fp,
+                 MIN(doc_id) AS keeper
+               FROM ex WHERE len(ctoks) >= 5 GROUP BY 1),
+             dr AS (
+               SELECT e.doc_id FROM ex e JOIN tw
+               ON md5(array_to_string(e.ctoks, ' ')) = tw.fp
+                 AND e.doc_id > tw.keeper
+               WHERE len(e.ctoks) >= 5),
+             nd AS (
+               SELECT ex.* FROM ex LEFT JOIN dr
+               ON ex.doc_id = dr.doc_id
+               WHERE dr.doc_id IS NULL),
+             feats AS (
+               SELECT doc_id, unnest(ctoks) AS ng FROM nd
+               UNION ALL
+               SELECT doc_id, ctoks[i] || ' ' || ctoks[i + 1]
+               FROM nd, unnest(generate_series(1, len(ctoks) - 1)) AS u(i)
+               WHERE len(ctoks) >= 2),
+             fb AS (
+               SELECT f.doc_id, n.source,
+                 ('0x' || substr(md5(f.ng), 1, 8))::BIGINT % 1024 AS bucket
+               FROM feats f JOIN nd n USING (doc_id)),
+             tgt AS (
+               SELECT bucket FROM fb WHERE source IN ('src0', 'src1')),
+             ct2 AS (SELECT bucket, COUNT(*) AS c_t FROM tgt GROUP BY 1),
+             cr AS (SELECT bucket, COUNT(*) AS c_r FROM fb GROUP BY 1),
+             nt AS (SELECT COUNT(*) AS n_t FROM tgt),
+             nr AS (SELECT COUNT(*) AS n_r FROM fb),
+             llr AS (
+               SELECT cr.bucket,
+                 ln((COALESCE(ct2.c_t, 0) + 1.0) / (nt.n_t + 1024.0))
+                   - ln((cr.c_r + 1.0) / (nr.n_r + 1024.0)) AS llr
+               FROM cr LEFT JOIN ct2 USING (bucket)
+               CROSS JOIN nt CROSS JOIN nr),
+             w AS (
+               SELECT f.doc_id, ROUND(SUM(l.llr), 6) AS log_weight
+               FROM fb f JOIN llr l USING (bucket) GROUP BY 1),
+             sel AS (
+               SELECT doc_id,
+                 ROUND(log_weight + -ln(-ln(
+                   (('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 8))
+                      ::BIGINT + 0.5) / 4294967296.0)), 6) AS score
+               FROM w ORDER BY score DESC, doc_id LIMIT 200),
+             p0 AS (
+               SELECT nd.doc_id, len(nd.ctoks) AS n_tokens
+               FROM nd JOIN sel USING (doc_id) WHERE len(nd.ctoks) >= 1),
+             p1 AS (
+               SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS g_start
+               FROM p0)
+             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(g_start AS BIGINT) AS g_start,
+               CAST(g_start // 256 AS BIGINT) AS first_seq,
+               CAST((g_start + n_tokens - 1) // 256 AS BIGINT) AS last_seq,
+               CAST((g_start + n_tokens - 1) // 256 - g_start // 256 + 1
+                 AS BIGINT) AS n_seqs
+             FROM p1 ORDER BY doc_id"""),
+    headline = true)
+
   override val queries: Seq[GraftQuery] =
     Seq(lineDedup, lmScore, spanCoverage, spanRemoval, tokenChunks,
         winnowFp, winnowPairs, pretrainPipeline, textFold, nbClassify,
-        charEntropyQ, foldDedup, streamCuration)
+        charEntropyQ, foldDedup, streamCuration, llmPipeline)
 }

@@ -519,14 +519,54 @@ object DedupSuite extends QuerySuite {
     headline = true)
 
   // ---- SimHash signatures + near pairs on planted duplicates ---------
+  // Reduced-form oracle (round 10, closing the last rows-only gates):
+  // xxhash64 is not in DuckDB, so the full hex column can't be replayed —
+  // instead the gate pins (a) four PROBE rows whose expected hex is
+  // computed at registration time by Dedup.simhashHexLocal, an
+  // independent no-Catalyst evaluation of the same definition, baked
+  // into the SQL as literals; (b) the SQL-decidable invariant that a
+  // signature is all-zero iff the doc has no tokens; and (c) clone
+  // consistency — every content-fingerprint group carries exactly one
+  // distinct signature (TRUE for all rows in the oracle, computed
+  // through a real group join on the engine side).
+  private val simhashProbes = Seq(
+    9000001L -> "the quick brown fox jumps over the lazy dog",
+    9000002L -> "single",
+    9000003L -> "",
+    9000004L -> "alpha beta gamma delta epsilon zeta eta theta")
+
   private val simhashSignatures = GraftQuery(
     "q_simhash_signatures",
-    (s, d) =>
-      Dedup.simhashSignatures(documents(s, d))
-        .select(col("id").as("doc_id"),
-                Dedup.bitsToHex(col("sig")).as("simhash_hex"))
-        .orderBy(asc("doc_id")),
-    None)
+    (s, d) => {
+      import s.implicits._
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(simhashProbes.toDF("doc_id", "text"))
+      val sigs = Dedup.simhashSignatures(base)
+        .select(col("id").as("doc_id"), Dedup.bitsToHex(col("sig")).as("hex"))
+      val withFp = base.select(col("doc_id"),
+          graft.functions.TextFunctions.contentFingerprint(col("text"))
+            .as("cfp"))
+        .join(sigs, Seq("doc_id"))
+      val grp = withFp.groupBy("cfp")
+        .agg(countDistinct(col("hex")).as("nsig"))
+      withFp.join(grp, Seq("cfp"))
+        .select(col("doc_id"),
+          when(col("doc_id") >= 9000000L, col("hex"))
+            .otherwise(lit(null).cast("string")).as("probe_sig"),
+          (col("hex") === lit("0" * 16)).as("is_zero_sig"),
+          (col("nsig") === 1).as("grp_consistent"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""SELECT doc_id, CAST(NULL AS VARCHAR) AS probe_sig,
+               len(list_distinct($toksSql)) = 0 AS is_zero_sig,
+               TRUE AS grp_consistent
+             FROM documents
+             UNION ALL
+             SELECT * FROM (VALUES ${simhashProbes.map { case (id, t) =>
+               val hex = Dedup.simhashHexLocal(t)
+               s"(CAST($id AS BIGINT), '$hex', ${hex == "0" * 16}, TRUE)"
+             }.mkString(", ")})
+             ORDER BY doc_id"""))
 
   // COUNT oracle (round 8): identical texts have identical SimHash bits
   // (hamming 0), and the 4-band pigeonhole makes the candidate a

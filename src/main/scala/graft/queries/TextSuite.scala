@@ -131,20 +131,47 @@ object TextSuite extends QuerySuite {
              FROM documents ORDER BY doc_id"""))
 
   /** Rolling-hash (winnowing-style) fingerprint via the custom codegen
-    * expression — no SQL oracle (the hash is engine-defined); planted
-    * clones pin ground truth: doc and clone share the fingerprint.
+    * expression. Reduced-form oracle (round 10): the hash is
+    * engine-defined, so the oracle pins (a) four probe rows — short,
+    * exactly-K-byte, window-sliding, and empty inputs — whose expected
+    * values are computed at registration time through the same JVM
+    * primitive the codegen forwards to (driver-eval vs codegen parity +
+    * drift pinning, baked into the SQL as literals), and (b) the
+    * SQL-decidable invariant fp ≠ 0 ⟺ nonempty text (fingerprint
+    * returns 0 only for zero-length byte input).
     */
+  private val rollingProbes = Seq(
+    9000001L -> "probe alpha",
+    9000002L -> "exactly16bytes!!",
+    9000003L -> "a longer probe text that slides the sixteen-byte window",
+    9000004L -> "")
+
   private val rollingFp = GraftQuery(
     "q_rolling_fingerprint",
     (s, d) => {
       graft.plans.GraftFunctions.register(s)
-      documents(s, d).select(
-          col("doc_id"),
+      import s.implicits._
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(rollingProbes.toDF("doc_id", "text"))
+      base.select(col("doc_id"),
           graft.functions.RollingFingerprint
-            .rolling_fingerprint(col("text")).as("rolling_fp"))
+            .rolling_fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          when(col("doc_id") >= 9000000L, col("fp").cast("string"))
+            .otherwise(lit(null).cast("string")).as("probe_fp"),
+          (col("fp").isNotNull && col("fp") =!= 0L).as("fp_nonzero"))
         .orderBy(asc("doc_id"))
     },
-    None)
+    Some(s"""SELECT doc_id, CAST(NULL AS VARCHAR) AS probe_fp,
+               (text IS NOT NULL AND length(text) > 0) AS fp_nonzero
+             FROM documents
+             UNION ALL
+             SELECT * FROM (VALUES ${rollingProbes.map { case (id, t) =>
+               val v = graft.functions.RollingFingerprint.fingerprint(
+                 org.apache.spark.unsafe.types.UTF8String.fromString(t))
+               s"(CAST($id AS BIGINT), '$v', ${v != 0L})"
+             }.mkString(", ")})
+             ORDER BY doc_id"""))
 
   override val queries: Seq[GraftQuery] =
     Seq(textStats, qualityScore, langIdQ, fingerprint, rollingFp)

@@ -85,4 +85,42 @@ class BpeSpec extends AnyFunSuite {
     // 0 merges still builds (and caches) the word table without error
     assert(Bpe.train(corpus, "toks", numMerges = 0) == Seq.empty)
   }
+
+  test("trainFast: identical merge list to train on the Sennrich corpus") {
+    assert(Bpe.trainFast(corpus, "toks", numMerges = 3)
+      == Seq(("e", "s"), ("es", "t"), ("est", "</w>")))
+    // run both to exhaustion: every word collapses to one symbol
+    val seq = Bpe.train(corpus, "toks", numMerges = 50)
+    val fast = Bpe.trainFast(corpus, "toks", numMerges = 50)
+    assert(fast == seq, s"fast=$fast\nseq=$seq")
+    assert(fast.size < 50, "corpus exhausts before 50 merges")
+  }
+
+  test("trainFast parity property: random corpora, ties and overlaps included") {
+    // small alphabet forces heavy tie-breaking and overlapping pairs
+    // (aaa-style runs) — the cases where a heap/greedy implementation
+    // diverges from the distributed argmax if anything is off
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val words = Seq.fill(24)(
+        (1 to (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString)
+      val docs = Seq((trial.toLong, words)).toDF("doc_id", "toks")
+      val seq = Bpe.train(docs, "toks", numMerges = 6)
+      val fast = Bpe.trainFast(docs, "toks", numMerges = 6)
+      assert(fast == seq,
+        s"trial $trial diverged on $words:\nfast=$fast\nseq=$seq")
+    }
+  }
+
+  test("trainFast: maxVocab cap fails loudly instead of truncating") {
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainFast(corpus, "toks", numMerges = 1, maxVocab = 2)
+    }
+    assert(e.getMessage.contains("minFreq"), e.getMessage)
+    // raising minFreq under the same cap is the documented remedy:
+    // only low(5) and newest(6) survive minFreq=4 → fits maxVocab=2
+    assert(Bpe.trainFast(corpus, "toks", numMerges = 1, minFreq = 4L,
+      maxVocab = 2).nonEmpty)
+  }
 }

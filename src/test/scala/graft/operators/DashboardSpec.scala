@@ -26,8 +26,22 @@ class DashboardSpec extends AnyFunSuite {
       Dashboard.filterDomain(wide, "k", maxDomain = 100)
     }
     assert(e.getMessage.contains("k") && e.getMessage.contains("100"))
-    // at exactly the cap it still works
-    assert(Dashboard.filterDomain(wide, "k", maxDomain = 5000).length == 5000)
+    // at exactly the cap it still works, and the order is the plan's
+    // (sort-before-limit), not a driver-side re-sort
+    val atCap = Dashboard.filterDomain(wide, "k", maxDomain = 5000)
+    assert(atCap.length == 5000 && atCap == atCap.sorted)
+  }
+
+  test("filterDomain plans a top-k (TakeOrderedAndProject), not a full sort") {
+    import org.apache.spark.sql.functions._
+    // a distributed source (LocalRelation inputs special-case away the
+    // top-k conversion, so a Seq-backed frame can't pin this invariant)
+    val src = spark.range(0, 5000).selectExpr("cast(id % 37 as string) AS k")
+    val df = src.select(col("k").cast("string")).na.drop()
+      .distinct().orderBy(asc("k")).limit(101)
+    df.collect() // AQE finalizes the physical plan on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
 
   test("selections: conjunctive isin, empty list means no constraint") {
