@@ -221,18 +221,26 @@ object Bpe {
         s"trainFast: word-frequency table exceeds maxVocab=$maxVocab at " +
         s"minFreq=$minFreq — raise minFreq (silently truncating the " +
         "vocab would change the merge list)")
-    val freqs = new Array[Long](rows.length)
-    val words = new Array[IndexedSeq[String]](rows.length)
-    var wi = 0
-    while (wi < rows.length) {
-      freqs(wi) = rows(wi).getLong(0)
-      words(wi) = rows(wi).getSeq[String](1).toIndexedSeq
-      wi += 1
-    }
+    trainLocal(rows.toIndexedSeq.map(r =>
+      (r.getLong(0), r.getSeq[String](1).toIndexedSeq)), numMerges)
+  }
+
+  /** The driver-side merge loop over a (freq, symbols) table — shared by
+    * [[trainFast]] (which feeds it the collected distributed word table)
+    * and by gate registration code (which feeds it a hand-computed
+    * literal-corpus table, so the expected merge list can be baked into
+    * static oracle SQL — cross-checking the distributed
+    * [[wordSymbolCounts]] half end-to-end).
+    */
+  def trainLocal(entries: Seq[(Long, IndexedSeq[String])],
+                 numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val freqs = entries.map(_._1).toArray
+    val words = entries.map(_._2).toArray
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val occ = scala.collection.mutable
       .HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
-    wi = 0
+    var wi = 0
     while (wi < words.length) {
       val w = words(wi); val f = freqs(wi)
       var j = 0

@@ -429,8 +429,96 @@ object CorpusOpsSuite extends QuerySuite {
                  AS BIGINT) AS n_seqs
              FROM c ORDER BY doc_id"""))
 
+  // ---- BPE training end-to-end (round 10) ----------------------------
+  // A literal mini-corpus (db-vocabulary words with fixed frequencies)
+  // trained IN-ENGINE through the full trainFast path — distributed
+  // wordSymbolCounts + the driver-side merge loop — against a merge
+  // list computed at REGISTRATION time by Bpe.trainLocal over the
+  // hand-built (freq, symbols) table and baked into static VALUES.
+  // What this gates that q_bpe_pairs (corpus half) and BpeSpec (loop
+  // parity) do not: the collected distributed word table drives the
+  // loop to the exact expected merges, end to end, through the driver
+  // harness.
+  private val bpeLitCorpus: Seq[(String, Int)] = Seq(
+    "scan" -> 6, "can" -> 4, "join" -> 5, "hash" -> 3, "row" -> 7,
+    "batch" -> 2, "merge" -> 4, "scatter" -> 1)
+
+  private val bpeNumMerges = 6
+
+  /** Registration-time expected merges via the shared driver loop over
+    * a hand-computed symbol table (chars + the `</w>` terminal).
+    */
+  private val bpeExpectedMerges: Seq[(String, String)] =
+    graft.operators.Bpe.trainLocal(
+      bpeLitCorpus.map { case (w, n) =>
+        (n.toLong, (w.map(_.toString) :+ "</w>").toIndexedSeq)
+      }, bpeNumMerges)
+
+  private val bpeTrain = GraftQuery(
+    "q_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      val toks = bpeLitCorpus.flatMap { case (w, n) => Seq.fill(n)(w) }
+      val docs = Seq((1L, toks)).toDF("doc_id", "toks")
+      graft.operators.Bpe.trainFast(docs, "toks", bpeNumMerges)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "a", "b")
+        .orderBy(asc("rank"))
+    },
+    Some(s"""SELECT * FROM (VALUES ${bpeExpectedMerges.zipWithIndex
+               .map { case ((a, b), i) =>
+                 s"(CAST(${i + 1} AS BIGINT), '$a', '$b')" }
+               .mkString(", ")}) AS t(rank, a, b) ORDER BY rank"""))
+
+  // ---- BPE tokenization over the real corpus -------------------------
+  // applyMerges with the SAME trained literal merge list, over the
+  // documents vocabulary (every 20th doc; lowercase-alpha words only so
+  // the oracle's |-delimited string replay is unambiguous). The oracle
+  // replays the greedy left-to-right no-re-merge fold as one
+  // regexp_replace per merge over a '|sym|'-delimited rendering: each
+  // match consumes both full delimiters, so adjacent candidates cannot
+  // overlap and RE2's leftmost-nonoverlapping 'g' semantics equal the
+  // engine fold's (the "aaa" case: |a||a||a| → |aa||a|).
+  private val bpeTokenize = GraftQuery(
+    "q_bpe_tokenize",
+    (s, d) => {
+      val docs = documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      graft.operators.Bpe
+        .applyMerges(docs, "doc_id", "toks", bpeExpectedMerges)
+        .filter(col("word").rlike("^[a-z]+$"))
+        .select(col("doc_id"), col("word_pos").cast("long").as("word_pos"),
+          col("word"), array_join(col("pieces"), " ").as("pieces_str"))
+        .orderBy(asc("doc_id"), asc("word_pos"))
+    },
+    Some {
+      val chain = bpeExpectedMerges.zipWithIndex.foldLeft("st0") {
+        case (prev, ((a, b), i)) =>
+          s"regexp_replace($prev, '\\|$a\\|\\|$b\\|', '|$a$b|', 'g')"
+      }
+      s"""WITH t AS (
+            SELECT doc_id, $toksSql AS toks FROM documents
+            WHERE doc_id % 20 = 0),
+          w AS (
+            SELECT doc_id, i AS word_pos, toks[i] AS word
+            FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+            WHERE regexp_matches(toks[i], '^[a-z]+$$')),
+          s0 AS (
+            SELECT doc_id, word_pos, word,
+              array_to_string(list_transform(
+                generate_series(1, length(word)),
+                i -> '|' || substr(word, i, 1) || '|'), '') || '|</w>|'
+                AS st0
+            FROM w)
+          SELECT doc_id, CAST(word_pos AS BIGINT) AS word_pos, word,
+            replace(trim($chain, '|'), '||', ' ') AS pieces_str
+          FROM s0 ORDER BY doc_id, word_pos"""
+    })
+
   override val queries: Seq[GraftQuery] =
     Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
-        packSequences, bpePairs)
+        packSequences, bpePairs, bpeTrain, bpeTokenize)
 }
