@@ -39,8 +39,12 @@ object Bpe {
     * (omitted when empty): in-row, codegen HOFs only.
     */
   def symbols(word: Column, endMark: String): Column = {
-    val chars = transform(sequence(lit(1), length(word)),
-      i => substring(word, i, lit(1)).cast("string"))
+    // guard the empty word: sequence(1, 0) is DESCENDING in Spark
+    // ([1, 0]), which would fabricate two empty symbols
+    val chars = when(length(word) >= 1,
+      transform(sequence(lit(1), length(word)),
+        i => substring(word, i, lit(1)).cast("string")))
+      .otherwise(array().cast("array<string>"))
     if (endMark.isEmpty) chars
     else concat(chars, array(lit(endMark)))
   }

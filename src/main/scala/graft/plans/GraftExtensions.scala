@@ -19,7 +19,7 @@ import graft.functions.{FoldText, RollingFingerprint, VectorOps, WktPoint}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     (Seq(WktPoint.registration, RollingFingerprint.registration,
-         FoldText.registration) ++
+         FoldText.registration, graft.functions.BpeEncode.registration) ++
         VectorOps.registrations).foreach {
       case (name, info, builder) =>
         e.injectFunction((FunctionIdentifier(name), info, builder))
@@ -36,7 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     (Seq(WktPoint.registration, RollingFingerprint.registration,
-         FoldText.registration) ++
+         FoldText.registration, graft.functions.BpeEncode.registration) ++
         VectorOps.registrations).foreach {
       case (name, _, builder) =>
         spark.sessionState.functionRegistry

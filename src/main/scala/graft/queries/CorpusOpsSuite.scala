@@ -493,7 +493,36 @@ object CorpusOpsSuite extends QuerySuite {
           col("word"), array_join(col("pieces"), " ").as("pieces_str"))
         .orderBy(asc("doc_id"), asc("word_pos"))
     },
-    Some {
+    Some(bpeTokenizeSql))
+
+  // ---- BPE encode via the custom codegen expression ------------------
+  // Same words, same merges, same oracle — but the engine path is
+  // functions.BpeEncode (min-rank iterative loop, O(len²) independent
+  // of merge-table size) instead of applyMerges' in-order fold
+  // (O(numMerges × len) per word — fine for a gate's handful of
+  // merges, prohibitive at a real tokenizer's 30k–50k). Two engine
+  // implementations against one SQL replay pins the documented
+  // trained-list equivalence end-to-end through the driver harness.
+  private val bpeEncodeExpr = GraftQuery(
+    "q_bpe_encode_expr",
+    (s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      docs.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("i", "word")))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("word_pos"),
+          col("word"),
+          array_join(graft.functions.BpeEncode
+            .bpe_encode(col("word"), bpeExpectedMerges), " ")
+            .as("pieces_str"))
+        .orderBy(asc("doc_id"), asc("word_pos"))
+    },
+    Some(bpeTokenizeSql))
+
+  private lazy val bpeTokenizeSql: String = {
       val chain = bpeExpectedMerges.zipWithIndex.foldLeft("st0") {
         case (prev, ((a, b), i)) =>
           s"regexp_replace($prev, '\\|$a\\|\\|$b\\|', '|$a$b|', 'g')"
@@ -515,10 +544,10 @@ object CorpusOpsSuite extends QuerySuite {
           SELECT doc_id, CAST(word_pos AS BIGINT) AS word_pos, word,
             replace(trim($chain, '|'), '||', ' ') AS pieces_str
           FROM s0 ORDER BY doc_id, word_pos"""
-    })
+  }
 
   override val queries: Seq[GraftQuery] =
     Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
-        packSequences, bpePairs, bpeTrain, bpeTokenize)
+        packSequences, bpePairs, bpeTrain, bpeTokenize, bpeEncodeExpr)
 }
