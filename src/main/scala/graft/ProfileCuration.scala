@@ -132,6 +132,33 @@ object ProfileCuration {
               graft.operators.Bpe.wordSymbolCounts(t, "toks"))
             .agg(sum(col("cnt")), count(lit(1)))
         }
+        if (k == 1) locally {
+          // tokenization-path A/B at real merge depth (k=1 only — the
+          // comparison is per-word cost, not corpus scaling): the
+          // BpeEncode expression's min-rank loop is ~flat in numMerges;
+          // applyMerges' in-order literal fold pays O(numMerges) per
+          // word and is the measured reason the expression exists
+          graft.plans.GraftFunctions.register(spark)
+          val t = corpus
+            .filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"),
+              TextFunctions.tokens(col("text")).as("toks"))
+          val trained = graft.operators.Bpe.trainFast(
+            t.select(col("toks")), "toks", numMerges = 500)
+          for (n <- Seq(100, math.min(500, trained.size))) {
+            val m = trained.take(n)
+            val t0 = System.nanoTime()
+            val r1 = t.select(posexplode(col("toks")).as(Seq("i", "word")))
+              .select(graft.functions.BpeEncode.bpe_encode(col("word"), m)
+                .as("p"))
+              .agg(sum(size(col("p"))), count(lit(1))).head()
+            println(f"bpe_encode$n%-4d k=$k%-3d it$it ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${r1.getLong(1)}")
+            val t1 = System.nanoTime()
+            val r2 = graft.operators.Bpe.applyMerges(t, "doc_id", "toks", m)
+              .agg(sum(size(col("pieces"))), count(lit(1))).head()
+            println(f"bpe_apply$n%-5d k=$k%-3d it$it ${(System.nanoTime() - t1) / 1e9}%8.2f s  rows=${r2.getLong(1)}")
+          }
+        }
         locally {
           // full trainFast at real merge depth: ONE corpus pass + the
           // driver-side heap loop — the r9-verdict claim under test is
