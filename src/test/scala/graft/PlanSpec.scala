@@ -205,4 +205,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("Exchange hashpartitioning(l_orderkey"),
       s"sampling should not shuffle by key:\n$s")
   }
+
+  test("q_llm_data_pipeline: lineage cut at stage boundaries survives") {
+    // the 30× lesson (BASELINE.md round 10): the cleaned corpus feeds six
+    // consumers — without the lazy localCheckpoint boundaries the plan
+    // re-derives and re-codegens the whole upstream chain per consumer.
+    // The checkpointed stages appear as ExistingRDD scans in the plan.
+    val s = planNoExec("q_llm_data_pipeline")
+    assert(s.contains("ExistingRDD"),
+      s"stage-boundary localCheckpoint missing — plan:\n$s")
+  }
 }
