@@ -84,6 +84,21 @@ class BpeEncodeSpec extends AnyFunSuite {
     assert(got == Seq("lo", "t", "</w>"))
   }
 
+  test("bpe_encode_tokens: flat per-doc piece stream equals word-wise encode") {
+    graft.plans.GraftFunctions.register(spark)
+    val merges = sennrichMerges(3)
+    val df = Seq((1L, Seq("newest", "low"))).toDF("doc_id", "toks")
+    val got = df.select(
+        BpeEncode.bpe_encode_tokens(col("toks"), merges).as("p"))
+      .as[Seq[String]].head()
+    assert(got == Seq("n", "e", "w", "est</w>", "l", "o", "w", "</w>"))
+    // parity with applyMerges' pieces, flattened in word order
+    val fold = Bpe.applyMerges(df, "doc_id", "toks", merges)
+      .orderBy("word_pos").select("pieces")
+      .as[Seq[String]].collect().toSeq.flatten
+    assert(got == fold)
+  }
+
   test("edge cases: empty merge list, empty word, empty endMark") {
     assert(viaExpr(Seq("ab"), Nil) == Seq(Seq("a", "b", "</w>")))
     assert(viaExpr(Seq(""), Seq(("a", "b"))) == Seq(Seq("</w>")))
