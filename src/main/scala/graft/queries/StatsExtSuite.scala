@@ -227,7 +227,59 @@ object StatsExtSuite extends QuerySuite {
              FROM lineitem WHERE l_orderkey % 37 = 0
              ORDER BY l_orderkey, l_linenumber, pk, sk"""))
 
+  // ---- mergeable cardinality sketches (round 10) ---------------------
+  // Shard-resumable distinct counts: HLL state per shard once, corpus
+  // answers later by unioning states — no rescan. Reduced-form oracle:
+  // DuckDB pins the EXACT per-shard and total distincts plus the row
+  // counts; the sketch estimates are checked engine-side against those
+  // exacts (≤5% at lgK=12, ~1.6% RSE — deterministic, content-hashed,
+  // not sampled) and union-of-shards is checked against the direct
+  // whole-corpus sketch within the same 5% envelope: a small direct
+  // sketch stays in exact (list/set) mode while a union of sparse shard
+  // states promotes to estimating HLL mode, so the two legitimately
+  // differ by up to ~2×RSE — each is pinned near the truth, not
+  // byte-equal to the other.
+  private val sketchDistinct = GraftQuery(
+    "q_sketch_distinct",
+    (s, d) => {
+      val docs = documents(s, d)
+      val sk = graft.operators.SketchStats
+        .shardSketches(docs, "source", "doc_id")
+      val per = graft.operators.SketchStats.shardEstimates(sk, "source")
+      val exact = docs.groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("exact_distinct"))
+      val shardRows = per.join(exact, Seq("source"))
+        .select(col("source"), col("n_rows"), col("exact_distinct"),
+          (abs(col("est_distinct") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).as("within_tol"),
+          lit(true).as("merge_consistent"))
+      val merged = graft.operators.SketchStats.mergedEstimate(sk)
+        .select(col("est_distinct").as("merged_est"))
+      val direct = docs.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("doc_id"), lit(12)))
+          .as("direct_est"))
+      val totals = docs.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("exact_distinct"))
+        .crossJoin(merged).crossJoin(direct)
+        .select(lit("__total__").as("source"), col("n_rows"),
+          col("exact_distinct"),
+          (abs(col("merged_est") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).as("within_tol"),
+          (abs(col("merged_est") - col("direct_est"))
+            <= col("direct_est") * 0.05).as("merge_consistent"))
+      shardRows.unionByName(totals).orderBy(asc("source"))
+    },
+    Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+              TRUE AS within_tol, TRUE AS merge_consistent
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT '__total__', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT), TRUE, TRUE
+            FROM documents
+            ORDER BY source"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(statsCorr, minmaxBy, firstLast, arrayFuncs, extractNumbers, dateFuncs,
-        mathFuncs, nullFuncs, zorderKey)
+        mathFuncs, nullFuncs, zorderKey, sketchDistinct)
 }
