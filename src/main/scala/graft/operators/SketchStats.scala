@@ -42,4 +42,38 @@ object SketchStats {
   def mergedEstimate(sketches: DataFrame): DataFrame =
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_distinct"))
+
+  // ---- Count-Min heavy hitters (frequency, not cardinality) ----------
+
+  /** One row per shard: `shardCol, n_items, cms` — a Count-Min sketch
+    * (binary) of the value column at (eps, confidence), FIXED seed so
+    * the state is content-determined. Same store-and-merge lifecycle as
+    * the HLL sketches: per-shard pass once, frequency questions later.
+    */
+  def shardCms(df: DataFrame, shardCol: String, valueCol: String,
+               eps: Double = 0.001, confidence: Double = 0.99,
+               seed: Int = 42): DataFrame =
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_items"),
+           count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+             lit(seed)).as("cms"))
+
+  /** Merge stored shard CMS states on the driver (the artifact is KBs
+    * per shard and the shard count is operator-bounded — the same
+    * driver-side-is-scale-safe argument as [[Bpe.trainFast]]'s vocab
+    * table) and return the merged sketch for point queries.
+    */
+  def mergedCms(sketches: DataFrame,
+                maxShards: Int = 100000): org.apache.spark.util.sketch.CountMinSketch = {
+    val rows = sketches.select(col("cms")).limit(maxShards + 1).collect()
+    require(rows.length <= maxShards,
+      s"mergedCms: more than $maxShards shard sketches — merge in stages")
+    require(rows.nonEmpty, "mergedCms: no shard sketches")
+    val first = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(rows.head.getAs[Array[Byte]](0)))
+    rows.tail.foldLeft(first) { (acc, r) =>
+      acc.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+    }
+  }
 }

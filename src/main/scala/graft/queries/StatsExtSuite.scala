@@ -279,7 +279,42 @@ object StatsExtSuite extends QuerySuite {
             FROM documents
             ORDER BY source"""))
 
+  // ---- Count-Min heavy hitters over stored shard sketches ------------
+  // The frequency dual of q_sketch_distinct: per-shard CMS state once,
+  // heavy-hitter queries later against the driver-merged artifact (KBs
+  // per shard, shard count operator-bounded). Deterministic: fixed
+  // seed + content ⇒ fixed estimates, so the CMS guarantees —
+  // estimate ≥ exact always, ≤ exact + ε·N w.h.p. — are stable
+  // booleans, pinned against DuckDB's exact top-10 token counts.
+  private val cmsHeavyHitters = GraftQuery(
+    "q_cms_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val toks = documents(s, d).select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val sk = graft.operators.SketchStats.shardCms(toks, "source", "tok")
+        .persist()
+      val merged = graft.operators.SketchStats.mergedCms(sk)
+      val nTotal = sk.agg(sum(col("n_items"))).head().getLong(0)
+      sk.unpersist(blocking = false)
+      val slack = math.ceil(0.001 * nTotal).toLong
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), asc("tok")).limit(10).collect()
+      top.toSeq.map { r =>
+        val t = r.getString(0); val c = r.getLong(1)
+        val est = merged.estimateCount(
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (t, c, est >= c, est <= c + slack)
+      }.toDF("tok", "exact_cnt", "ge_exact", "within_eps")
+        .orderBy(desc("exact_cnt"), asc("tok"))
+    },
+    Some(s"""WITH w AS (SELECT unnest($toksSql) AS tok FROM documents),
+              c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+                    FROM w GROUP BY tok)
+            SELECT tok, exact_cnt, TRUE AS ge_exact, TRUE AS within_eps
+            FROM c ORDER BY exact_cnt DESC, tok LIMIT 10"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(statsCorr, minmaxBy, firstLast, arrayFuncs, extractNumbers, dateFuncs,
-        mathFuncs, nullFuncs, zorderKey, sketchDistinct)
+        mathFuncs, nullFuncs, zorderKey, sketchDistinct, cmsHeavyHitters)
 }

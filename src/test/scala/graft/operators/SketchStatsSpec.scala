@@ -40,6 +40,40 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(math.abs(m1 - 2500.0) <= 2500.0 * 0.05)
   }
 
+  test("CMS: merged shard sketches never undercount and bound overcount") {
+    val toks = df.select(col("shard"), col("key").cast("string").as("tok"))
+    val merged = SketchStats.mergedCms(
+      SketchStats.shardCms(toks, "shard", "tok"))
+    val exact = toks.groupBy("tok").count()
+      .as[(String, Long)].collect().toMap
+    val n = 10000L
+    val slack = math.ceil(0.001 * n).toLong
+    Seq("0", "17", "2499").foreach { t =>
+      val est = merged.estimateCount(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(est >= exact(t), s"$t: CMS must never undercount")
+      assert(est <= exact(t) + slack, s"$t: $est vs ${exact(t)} + $slack")
+    }
+    // absent key: bounded by the same slack
+    val ghost = merged.estimateCount(
+      "no-such-token".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(ghost >= 0L && ghost <= slack)
+  }
+
+  test("CMS merge equals the un-sharded sketch on point queries") {
+    val toks = df.select(col("shard"), col("key").cast("string").as("tok"))
+    val merged = SketchStats.mergedCms(
+      SketchStats.shardCms(toks, "shard", "tok"))
+    val whole = SketchStats.mergedCms(
+      SketchStats.shardCms(toks.withColumn("shard", lit("one")),
+        "shard", "tok"))
+    Seq("0", "100", "2499", "ghost").foreach { t =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(merged.estimateCount(b) == whole.estimateCount(b),
+        s"CMS counters are exact-additive across shards ($t)")
+    }
+  }
+
   test("sketch state is deterministic for fixed content") {
     val a = SketchStats.mergedEstimate(
       SketchStats.shardSketches(df, "shard", "key")).as[Double].head()
