@@ -76,4 +76,73 @@ object SketchStats {
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
     }
   }
+
+  // ---- Theta sketches (set ALGEBRA, not just cardinality) ------------
+  // HLL answers |A|; theta states additionally support |A ∩ B| and
+  // |A \ B| across independently-built shard sketches — "how much does
+  // this crawl snapshot overlap last month's" without ever joining the
+  // two corpora. Built on the DataSketches theta library Spark already
+  // bundles for its HLL functions. Below `nominalEntries` distinct keys
+  // a theta sketch is in EXACT mode (no sampling — the estimate IS the
+  // count, deterministically); beyond it the same code degrades to
+  // ~1/√k error estimates.
+
+  import org.apache.datasketches.theta.{SetOperation, Sketch, Sketches, UpdateSketch}
+  import org.apache.datasketches.memory.Memory
+
+  /** One (shardCol, theta) row per shard: per-PARTITION sketches built
+    * imperatively (the one mapPartitions in this file — the sketch is
+    * external mutable state no expression can host), then per-shard
+    * union via a bounded typed mapGroups (rows per group ≤ input
+    * partitions).
+    */
+  def shardThetaSketches(df: DataFrame, shardCol: String, valueCol: String,
+                         nominalEntries: Int = 1 << 14): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.select(col(shardCol).cast("string"),
+        col(valueCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sketches = scala.collection.mutable.HashMap
+          .empty[String, UpdateSketch]
+        it.foreach { case (s, v) =>
+          if (v != null) sketches.getOrElseUpdate(s, UpdateSketch.builder()
+            .setNominalEntries(nominalEntries).build()).update(v)
+        }
+        sketches.iterator.map { case (s, sk) =>
+          (s, sk.compact().toByteArray)
+        }
+      }
+    parts.groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val u = SetOperation.builder()
+          .setNominalEntries(nominalEntries).buildUnion()
+        it.foreach { case (_, bytes) =>
+          u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+        }
+        (shard, u.getResult.toByteArray)
+      }
+      .toDF(shardCol, "theta")
+  }
+
+  /** Driver-side set algebra over two stored theta states. */
+  def thetaSetOps(a: Array[Byte], b: Array[Byte],
+                  nominalEntries: Int = 1 << 14): ThetaSetOps = {
+    val sa = Sketches.wrapSketch(Memory.wrap(a))
+    val sb = Sketches.wrapSketch(Memory.wrap(b))
+    val u = SetOperation.builder().setNominalEntries(nominalEntries)
+      .buildUnion()
+    u.union(sa); u.union(sb)
+    val i = SetOperation.builder().setNominalEntries(nominalEntries)
+      .buildIntersection()
+    i.intersect(sa); i.intersect(sb)
+    val d = SetOperation.builder().buildANotB()
+      .aNotB(sa, sb)
+    ThetaSetOps(sa.getEstimate, sb.getEstimate,
+      u.getResult.getEstimate, i.getResult.getEstimate, d.getEstimate)
+  }
+
+  final case class ThetaSetOps(estA: Double, estB: Double, estUnion: Double,
+                               estIntersect: Double, estANotB: Double)
 }

@@ -314,7 +314,47 @@ object StatsExtSuite extends QuerySuite {
             SELECT tok, exact_cnt, TRUE AS ge_exact, TRUE AS within_eps
             FROM c ORDER BY exact_cnt DESC, tok LIMIT 10"""))
 
+  // ---- theta sketch set algebra across stored shard states -----------
+  // |A ∩ B| / |A \ B| between two independently-sketched doc sets with
+  // NO join between the corpora. The gate's key sets (≤5000 doc_ids)
+  // sit below nominalEntries=2^14, so the theta sketches are in EXACT
+  // mode — the estimates ARE the counts, and the oracle is full value
+  // equality, not a tolerance boolean; the same code degrades to
+  // ~1/√k-error estimates beyond 2^14 keys (spec-pinned).
+  private val thetaSetOpsQ = GraftQuery(
+    "q_theta_setops",
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select(col("doc_id"))
+      val tagged = docs.filter(col("doc_id") % 2 === 0)
+        .select(lit("A").as("tag"), col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(lit("B").as("tag"), col("doc_id")))
+      val sk = graft.operators.SketchStats
+        .shardThetaSketches(tagged, "tag", "doc_id")
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      val ops = graft.operators.SketchStats.thetaSetOps(sk("A"), sk("B"))
+      Seq((math.round(ops.estA), math.round(ops.estB),
+          math.round(ops.estUnion), math.round(ops.estIntersect),
+          math.round(ops.estANotB)))
+        .toDF("est_a", "est_b", "est_union", "est_intersect", "est_diff")
+    },
+    Some("""SELECT
+              CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+                AS BIGINT) AS est_a,
+              CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0)
+                AS BIGINT) AS est_b,
+              CAST((SELECT COUNT(*) FROM documents
+                    WHERE doc_id % 2 = 0 OR doc_id % 3 = 0)
+                AS BIGINT) AS est_union,
+              CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 6 = 0)
+                AS BIGINT) AS est_intersect,
+              CAST((SELECT COUNT(*) FROM documents
+                    WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0)
+                AS BIGINT) AS est_diff"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(statsCorr, minmaxBy, firstLast, arrayFuncs, extractNumbers, dateFuncs,
-        mathFuncs, nullFuncs, zorderKey, sketchDistinct, cmsHeavyHitters)
+        mathFuncs, nullFuncs, zorderKey, sketchDistinct, cmsHeavyHitters,
+        thetaSetOpsQ)
 }

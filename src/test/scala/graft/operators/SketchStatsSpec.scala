@@ -74,6 +74,40 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("theta: exact mode below nominalEntries — set ops equal the truth") {
+    // A = multiples of 2 in [0, 6000), B = multiples of 3: |A|=3000,
+    // |B|=2000, |A∩B|=1000, |A∪B|=4000, |A\B|=2000 — all below 2^14,
+    // so the estimates are exact, not approximate
+    val tagged = spark.range(0, 6000).selectExpr("id")
+      .selectExpr("CASE WHEN id % 2 = 0 THEN 'A' END AS tag", "id")
+      .where("tag IS NOT NULL")
+      .unionByName(spark.range(0, 6000)
+        .selectExpr("CASE WHEN id % 3 = 0 THEN 'B' END AS tag", "id")
+        .where("tag IS NOT NULL"))
+    val sk = SketchStats.shardThetaSketches(tagged, "tag", "id")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val ops = SketchStats.thetaSetOps(sk("A"), sk("B"))
+    assert(math.round(ops.estA) == 3000L)
+    assert(math.round(ops.estB) == 2000L)
+    assert(math.round(ops.estUnion) == 4000L)
+    assert(math.round(ops.estIntersect) == 1000L)
+    assert(math.round(ops.estANotB) == 2000L)
+  }
+
+  test("theta: estimation mode beyond nominalEntries stays within error") {
+    // 100k distinct keys at nominalEntries=4096 → estimating mode;
+    // relative standard error ~1/sqrt(4096) ≈ 1.6%, assert within 5%
+    val one = spark.range(0, 100000)
+      .selectExpr("'S' AS tag", "id")
+    val sk = SketchStats.shardThetaSketches(one, "tag", "id",
+        nominalEntries = 4096)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val ops = SketchStats.thetaSetOps(sk("S"), sk("S"),
+      nominalEntries = 4096)
+    assert(math.abs(ops.estA - 100000.0) <= 100000.0 * 0.05, s"${ops.estA}")
+    assert(math.abs(ops.estIntersect - 100000.0) <= 100000.0 * 0.05)
+  }
+
   test("sketch state is deterministic for fixed content") {
     val a = SketchStats.mergedEstimate(
       SketchStats.shardSketches(df, "shard", "key")).as[Double].head()
