@@ -145,4 +145,83 @@ object SketchStats {
 
   final case class ThetaSetOps(estA: Double, estB: Double, estUnion: Double,
                                estIntersect: Double, estANotB: Double)
+
+  // ---- KLL quantile sketches (rank statistics, mergeable) ------------
+  // The fourth member of the mergeable-sketch family: HLL answers
+  // "how many distinct", CMS "how often", theta "how much overlap" —
+  // KLL answers "what does the DISTRIBUTION look like" (medians, tail
+  // percentiles of doc length / token count / quality score) from the
+  // same store-per-shard-once, merge-states-later lifecycle. Below k
+  // retained values a KLL sketch has never compacted
+  // (`isEstimationMode == false`): quantile queries are EXACT and
+  // deterministic, and merging exact sketches whose combined n ≤ k
+  // stays exact — the q_theta_setops pattern. Beyond k the same code
+  // degrades to ~1.65%-rank-error estimates (k=200, 99% conf; error
+  // ∝ 1/k^0.93, Karnin-Lang-Liberty 2016) — spec-pinned, since the
+  // compaction coin-flips make estimating-mode output nondeterministic
+  // (why the GATE stays in exact mode: cross-engine hash compares need
+  // determinism; at 100 TB the estimate envelope is what you use).
+
+  import org.apache.datasketches.kll.KllDoublesSketch
+
+  /** One row per shard: `shardCol, n_values, kll` (binary KLL state of
+    * the value column at parameter k). Per-partition sketches built
+    * imperatively (mutable external state, the theta shape), then
+    * per-shard merge via bounded typed mapGroups.
+    */
+  def shardKll(df: DataFrame, shardCol: String, valueCol: String,
+               k: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.select(col(shardCol).cast("string"),
+        col(valueCol).cast("double"))
+      .as[(String, Option[Double])]
+      .mapPartitions { it =>
+        val sketches = scala.collection.mutable.HashMap
+          .empty[String, KllDoublesSketch]
+        it.foreach { case (s, v) =>
+          v.foreach(sketches.getOrElseUpdate(s,
+            KllDoublesSketch.newHeapInstance(k)).update(_))
+        }
+        sketches.iterator.map { case (s, sk) => (s, sk.getN, sk.toByteArray) }
+      }
+    parts.groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val m = KllDoublesSketch.newHeapInstance(k)
+        var n = 0L
+        it.foreach { case (_, pn, bytes) =>
+          n += pn
+          m.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
+        }
+        (shard, n, m.toByteArray)
+      }
+      .toDF(shardCol, "n_values", "kll")
+  }
+
+  /** Quantiles at `ranks` from one stored KLL state (INCLUSIVE search:
+    * smallest value whose cumulative weight fraction ≥ rank — the
+    * `percentile_disc` definition, so exact-mode results match SQL
+    * byte-for-byte).
+    */
+  def kllQuantiles(bytes: Array[Byte], ranks: Seq[Double]): Seq[Double] = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    ranks.map(sk.getQuantile)
+  }
+
+  /** Driver-side merge of stored shard KLL states (KBs per shard,
+    * shard count operator-bounded — the [[mergedCms]] argument).
+    */
+  def mergedKll(sketches: DataFrame, k: Int = 200,
+                maxShards: Int = 100000): KllDoublesSketch = {
+    val rows = sketches.select(col("kll")).limit(maxShards + 1).collect()
+    require(rows.length <= maxShards,
+      s"mergedKll: more than $maxShards shard sketches — merge in stages")
+    require(rows.nonEmpty, "mergedKll: no shard sketches")
+    val m = KllDoublesSketch.newHeapInstance(k)
+    rows.foreach { r =>
+      m.merge(KllDoublesSketch.heapify(
+        Memory.wrap(r.getAs[Array[Byte]](0))))
+    }
+    m
+  }
 }

@@ -882,8 +882,160 @@ object CurationExtSuite extends QuerySuite {
              FROM p1 ORDER BY doc_id"""),
     headline = true)
 
+  // ---- span/winnow pipeline variant (composition breadth) ------------
+  // The q_llm_data_pipeline composition pattern extended to the
+  // SUBSTRING-granularity curation stages: quality filter → exact dedup
+  // → span EXCISION (Lee et al.) → winnowing fingerprints → fixed-length
+  // packing, one lazy plan over the surviving corpus. Every stage is
+  // individually gated (q_curation_pipeline, q_dedup_exact,
+  // q_span_removal, q_winnow_fingerprint, q_pack_sequences); this gate
+  // pins that they COMPOSE — the winnow digests are over the excised
+  // text and the packing offsets over the excised token counts, so
+  // drift in ANY stage moves every downstream row. Plants (both
+  // oracle-replayed):
+  //  - an exact clone of every 5th surviving doc (+1000000) that the
+  //    exact-dedup stage must drop BEFORE excision (the "no dedup
+  //    scheme should see exact clones" discipline — clones would make
+  //    every gram df ≥ 2 and excise whole documents);
+  //  - the 12-token passage on every 10th doc: excision cuts exactly
+  //    those 12 positions everywhere but the globally-first planted
+  //    doc, shifting that doc's winnow digest AND every later doc's
+  //    packing offset by 12 tokens per planted doc.
+  private val llmPipelineSpans = GraftQuery(
+    "q_llm_pipeline_spans",
+    (s, d) => {
+      val base = documents(s, d)
+        .withColumn("toks0", TextFunctions.tokens(col("text")))
+        .filter(size(col("toks0")) >= 1)
+        .withColumn("quality",
+          TextFunctions.qualityScoreTokens(col("toks0"), col("text")))
+        .filter(col("quality") >= 0.3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" " + plantedPassage)))
+            .otherwise(col("text")).as("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val deduped = graft.operators.Dedup.dropDuplicatesByKey(
+        corpus, md5(col("text")), "doc_id")
+      // stage boundary (the q_llm_data_pipeline lineage-cut idiom):
+      // three consumers below — winnow, packing, final projection
+      val excised = SpanDedup.removeDupSpans(
+          deduped.withColumn("toks", TextFunctions.tokens(col("text"))),
+          "doc_id", "toks", k = 8)
+        .withColumn("ctoks", TextFunctions.tokens(col("clean_text")))
+        .filter(size(col("ctoks")) >= 1)
+        .localCheckpoint(false)
+      val wfp = graft.operators.Winnow.fingerprints(
+          excised, "doc_id", "ctoks", k = 5, w = 4)
+        .select(col("doc_id"), col("n_fps"), col("fp_digest"))
+      val packed = graft.operators.Packing.packFixedLength(
+        excised.select(col("doc_id"), col("clean_text").as("text")),
+        seqLen = 128L)
+      excised.select(col("doc_id"), col("n_tokens"), col("n_removed"))
+        .join(wfp, Seq("doc_id"), "left")
+        .join(packed.select(col("doc_id"), col("g_start"),
+          col("first_seq"), col("last_seq")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+          coalesce(col("fp_digest"), md5(lit(""))).as("fp_digest"),
+          col("g_start"), col("first_seq"), col("last_seq"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH q AS (
+               SELECT doc_id, text, $qualitySql AS quality FROM documents
+               WHERE len($toksSql) >= 1),
+             pl AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN text || ' $plantedPassage'
+                      ELSE text END AS text
+               FROM q WHERE quality >= 0.3),
+             corpus AS (
+               SELECT doc_id, text FROM pl
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM pl WHERE doc_id % 5 = 0),
+             keepers AS (
+               SELECT md5(text) AS kk, MIN(doc_id) AS keeper
+               FROM corpus GROUP BY 1),
+             ded AS (
+               SELECT c.doc_id, $toksSql AS toks
+               FROM corpus c JOIN keepers
+               ON md5(c.text) = keepers.kk AND c.doc_id = keepers.keeper),
+             grams AS (
+               SELECT doc_id, i AS pos,
+                 md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gk
+               FROM ded, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+               WHERE len(toks) >= 8),
+             dup AS (
+               SELECT gk, MIN(doc_id) AS keeper FROM grams GROUP BY gk
+               HAVING COUNT(DISTINCT doc_id) >= 2),
+             rm AS (
+               SELECT DISTINCT g.doc_id, ci
+               FROM grams g JOIN dup USING (gk),
+                 unnest(generate_series(g.pos, g.pos + 7)) AS c(ci)
+               WHERE g.doc_id <> dup.keeper),
+             rmn AS (
+               SELECT doc_id, COUNT(*) AS n_removed FROM rm GROUP BY 1),
+             tk AS (
+               SELECT doc_id, i AS ci, toks[i] AS tok
+               FROM ded, unnest(generate_series(1, len(toks))) AS u(i)),
+             clean AS (
+               SELECT tk.doc_id,
+                 COALESCE(string_agg(tk.tok, ' ' ORDER BY tk.ci)
+                   FILTER (WHERE r.ci IS NULL), '') AS clean_text
+               FROM tk LEFT JOIN rm r
+                 ON tk.doc_id = r.doc_id AND tk.ci = r.ci
+               GROUP BY 1),
+             ex AS (
+               SELECT d.doc_id, len(d.toks) AS n_tokens,
+                 COALESCE(rmn.n_removed, 0) AS n_removed,
+                 list_filter(string_split_regex(trim(c.clean_text), '\\s+'),
+                   x -> x <> '') AS ctoks
+               FROM ded d LEFT JOIN rmn USING (doc_id)
+                 LEFT JOIN clean c USING (doc_id)
+               WHERE len(list_filter(
+                 string_split_regex(trim(c.clean_text), '\\s+'),
+                 x -> x <> '')) >= 1),
+             g2 AS (
+               SELECT doc_id,
+                 list_transform(generate_series(1, len(ctoks) - 4),
+                   i -> ('0x' || substr(md5(array_to_string(
+                     list_slice(ctoks, i, i + 4), ' ')), 1, 8))::BIGINT)
+                   AS gh
+               FROM ex WHERE len(ctoks) >= 5),
+             wf AS (
+               SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(1, len(gh) - 3)),
+                   p -> list_aggregate(list_slice(gh, p, p + 3), 'min')))
+                   AS fps
+               FROM g2),
+             wfo AS (
+               SELECT doc_id, len(fps) AS n_fps,
+                 md5(array_to_string(list_sort(fps), ' ')) AS fp_digest
+               FROM wf),
+             p1 AS (
+               SELECT doc_id, len(ctoks) AS pn,
+                 COALESCE(SUM(len(ctoks)) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS g_start
+               FROM ex)
+             SELECT e.doc_id, CAST(e.n_tokens AS BIGINT) AS n_tokens,
+               CAST(e.n_removed AS BIGINT) AS n_removed,
+               CAST(COALESCE(w.n_fps, 0) AS BIGINT) AS n_fps,
+               COALESCE(w.fp_digest, md5('')) AS fp_digest,
+               CAST(p.g_start AS BIGINT) AS g_start,
+               CAST(p.g_start // 128 AS BIGINT) AS first_seq,
+               CAST((p.g_start + p.pn - 1) // 128 AS BIGINT) AS last_seq
+             FROM ex e LEFT JOIN wfo w USING (doc_id)
+               JOIN p1 p USING (doc_id)
+             ORDER BY e.doc_id"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(lineDedup, lmScore, spanCoverage, spanRemoval, tokenChunks,
         winnowFp, winnowPairs, pretrainPipeline, textFold, nbClassify,
-        charEntropyQ, foldDedup, streamCuration, llmPipeline)
+        charEntropyQ, foldDedup, streamCuration, llmPipeline,
+        llmPipelineSpans)
 }

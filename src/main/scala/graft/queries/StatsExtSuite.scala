@@ -353,8 +353,67 @@ object StatsExtSuite extends QuerySuite {
                     WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0)
                 AS BIGINT) AS est_diff"""))
 
+  // ---- KLL quantile sketches over stored shard states ----------------
+  // The rank-statistics member of the mergeable-sketch family: per-shard
+  // KLL state of the doc token-count distribution once, percentile
+  // questions (per shard AND corpus-wide, by merging states) answered
+  // later with no rescan. The gate keeps every sketch below k=2^14
+  // retained values, so KLL is in EXACT mode — deterministic, and the
+  // INCLUSIVE quantile rule coincides with SQL `percentile_disc`, so
+  // the oracle is full value equality (the q_theta_setops pattern);
+  // estimation-mode rank error beyond k is spec-pinned (compaction
+  // coin-flips make it nondeterministic — unusable for hash gates,
+  // exactly what you use at 100 TB).
+  private val kllQuantilesQ = GraftQuery(
+    "q_kll_quantiles",
+    (s, d) => {
+      import s.implicits._
+      val vals = documents(s, d).select(col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("double").as("n_toks"))
+      val sk = graft.operators.SketchStats
+        .shardKll(vals, "source", "n_toks", k = 16384).persist()
+      val ranks = Seq(0.25, 0.5, 0.75, 0.9)
+      val perShard = sk.collect().toSeq.map { r =>
+        val qs = graft.operators.SketchStats
+          .kllQuantiles(r.getAs[Array[Byte]]("kll"), ranks)
+        (r.getString(0), r.getLong(1),
+         qs(0).toLong, qs(1).toLong, qs(2).toLong, qs(3).toLong)
+      }
+      val merged = graft.operators.SketchStats.mergedKll(sk, k = 16384)
+      sk.unpersist(blocking = false)
+      val mq = ranks.map(merged.getQuantile)
+      (perShard :+ (("__total__", merged.getN,
+          mq(0).toLong, mq(1).toLong, mq(2).toLong, mq(3).toLong)))
+        .toDF("source", "n_values", "p25", "p50", "p75", "p90")
+        .orderBy(asc("source"))
+    },
+    Some(s"""WITH t AS (
+               SELECT source, len($toksSql) AS n FROM documents)
+             SELECT source, CAST(COUNT(n) AS BIGINT) AS n_values,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT) AS p25,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT) AS p50,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT) AS p75,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT) AS p90
+             FROM t GROUP BY source
+             UNION ALL
+             SELECT '__total__', CAST(COUNT(n) AS BIGINT),
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT),
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT),
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT),
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT)
+             FROM t
+             ORDER BY source"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(statsCorr, minmaxBy, firstLast, arrayFuncs, extractNumbers, dateFuncs,
         mathFuncs, nullFuncs, zorderKey, sketchDistinct, cmsHeavyHitters,
-        thetaSetOpsQ)
+        thetaSetOpsQ, kllQuantilesQ)
 }

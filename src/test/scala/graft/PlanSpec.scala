@@ -215,4 +215,13 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("ExistingRDD"),
       s"stage-boundary localCheckpoint missing — plan:\n$s")
   }
+
+  test("q_llm_pipeline_spans: lineage cut at the excision boundary survives") {
+    // same idiom: the excised corpus feeds three consumers (winnow,
+    // packing, final projection) — the boundary must stay an
+    // ExistingRDD scan, not a re-derivation per consumer
+    val s = planNoExec("q_llm_pipeline_spans")
+    assert(s.contains("ExistingRDD"),
+      s"stage-boundary localCheckpoint missing — plan:\n$s")
+  }
 }

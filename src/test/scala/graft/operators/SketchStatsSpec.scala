@@ -108,6 +108,57 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(math.abs(ops.estIntersect - 100000.0) <= 100000.0 * 0.05)
   }
 
+  test("KLL: exact mode below k — quantiles equal percentile_disc") {
+    // 5000 values ≤ k=8192 ⇒ never compacts ⇒ INCLUSIVE quantiles are
+    // the exact order statistics: smallest v with ≥ ⌈r·n⌉ values ≤ v
+    val vals = df.filter(col("id") < 5000).select(col("shard"),
+      (col("id") * 7 % 1000).cast("double").as("v"))
+    val sk = SketchStats.shardKll(vals, "shard", "v", k = 8192)
+    val merged = SketchStats.mergedKll(sk, k = 8192)
+    assert(!merged.isEstimationMode, "combined n ≤ k must stay exact")
+    val sorted = vals.select("v").as[Double].collect().sorted
+    val n = sorted.length
+    Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0).foreach { r =>
+      val exact = sorted(math.ceil(r * n).toInt - 1)
+      assert(merged.getQuantile(r) == exact,
+        s"rank $r: ${merged.getQuantile(r)} vs $exact")
+    }
+    assert(merged.getN == n)
+  }
+
+  test("KLL: exact-mode merge is shard-layout invariant") {
+    val vals = df.filter(col("id") < 5000).select(col("shard"), col("id"),
+      (col("id") % 997).cast("double").as("v"))
+    val a = SketchStats.mergedKll(
+      SketchStats.shardKll(vals, "shard", "v", k = 8192), k = 8192)
+    val alt = vals.withColumn("shard", (col("id") % 13).cast("string"))
+    val b = SketchStats.mergedKll(
+      SketchStats.shardKll(alt, "shard", "v", k = 8192), k = 8192)
+    Seq(0.1, 0.5, 0.9).foreach { r =>
+      assert(a.getQuantile(r) == b.getQuantile(r),
+        s"rank $r differs across shard layouts")
+    }
+  }
+
+  test("KLL: estimation mode beyond k stays within rank error") {
+    // 100k distinct values at k=200 → compacted; normalized rank error
+    // ~1.65% at 99% confidence — assert a generous 5% band. (Compaction
+    // offsets are randomized, which is WHY the driver gate stays in
+    // exact mode; here only the envelope is pinned.)
+    val vals = spark.range(0, 100000)
+      .select((col("id") % 7).cast("string").as("shard"),
+        col("id").cast("double").as("v"))
+    val merged = SketchStats.mergedKll(
+      SketchStats.shardKll(vals, "shard", "v", k = 200), k = 200)
+    assert(merged.isEstimationMode)
+    Seq(0.25, 0.5, 0.9).foreach { r =>
+      val est = merged.getQuantile(r)
+      val trueRank = (est + 1.0) / 100000.0 // values are 0..99999
+      assert(math.abs(trueRank - r) <= 0.05,
+        s"rank $r: estimate $est has true rank $trueRank")
+    }
+  }
+
   test("sketch state is deterministic for fixed content") {
     val a = SketchStats.mergedEstimate(
       SketchStats.shardSketches(df, "shard", "key")).as[Double].head()
