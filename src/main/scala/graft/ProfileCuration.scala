@@ -170,6 +170,33 @@ object ProfileCuration {
           val m = graft.operators.Bpe.trainFast(t, "toks", numMerges = 500)
           println(f"bpe_train500 k=$k%-3d it$it ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${m.size}")
         }
+        time("span_excise", k, it) {
+          // production order (exact dedup first, like winnow_pairs —
+          // tripled copies would otherwise make EVERY gram df ≥ 2 and
+          // the removal set corpus-sized); dup mass is then only the
+          // planted passage, so the claim under test is the operator
+          // contract: wall ∝ corpus scan + duplicated mass, both ∝ k
+          val t = corpus
+            .withColumn("fp0", md5(col("text")))
+            .dropDuplicates("fp0")
+            .select(col("doc_id"),
+              TextFunctions.tokens(when(col("doc_id") % 10 === 0,
+                concat(col("text"),
+                  lit(" zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12")))
+                .otherwise(col("text"))).as("toks"))
+            .filter(size(col("toks")) >= 1)
+          graft.operators.SpanDedup.removeDupSpans(t, "doc_id", "toks", 8)
+            .agg(sum(col("n_removed")), count(lit(1)))
+        }
+        time("kll_sketch", k, it) {
+          // the ONE corpus-sized pass of the mergeable-quantile
+          // lifecycle (per-partition sketch build + per-shard merge);
+          // the driver-side state merge is |shards|-bounded and free
+          val vals = corpus.select(col("source"),
+            size(TextFunctions.tokens(col("text"))).cast("double").as("v"))
+          graft.operators.SketchStats.shardKll(vals, "source", "v", 200)
+            .agg(sum(col("n_values")), count(lit(1)))
+        }
         time("dsir", k, it) {
           // the gate's target slice (src0/src1) under the tagged-copy
           // renames: src0_j / src1_j (prefix match excludes src1x_j)

@@ -16,14 +16,21 @@ object TimeQ {
     // count — the lever for the shuffle-partition sensitivity sweep
     // (plans must not depend on the harness's pinned CPU-count value)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — extra session confs for config
+    // sweeps (e.g. AQE coalescing dials) without recompiling
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        builder.config(kv.take(i), kv.drop(i + 1))
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_ACTION=count reverts to the old pruning-prone action —
     // only for A/B'ing the action itself.

@@ -50,4 +50,55 @@ object Chunking {
           .as("n_chunk_tokens"),
         array_join(col("c.ctoks"), " ").as("chunk_text"))
   }
+
+  /** Content-defined chunking (the LBFS/rsync-family splitter): a new
+    * chunk opens at token position p ≥ 2 whenever the k-gram hash at p
+    * is ≡ 0 (mod `modulus`); position 1 always opens the first chunk.
+    * Expected chunk length ≈ `modulus` tokens (geometric), and — the
+    * property fixed-stride [[chunkTokens]] lacks — boundaries are
+    * STABLE under edits: inserting/deleting tokens moves only the
+    * chunks up to the first surviving boundary after the edit, so
+    * chunk fingerprints dedup across near-identical documents
+    * (ChunkingSpec pins the suffix-stability property).
+    *
+    * Hashes are the md5-prefix integers every cross-engine gate uses.
+    * Output: `idCol, chunk_id (0-based), start_pos (1-based),
+    * n_chunk_tokens, chunk_fp` (md5 of the space-joined chunk).
+    *
+    * Scale shape: boundary selection is in-row higher-order-function
+    * arithmetic over each doc's own token array (whole-stage codegen,
+    * no shuffle); the explode emits one row per CHUNK (~n/modulus),
+    * cheaper than the gram stream by modulus×.
+    */
+  def chunkContentDefined(docs: DataFrame, idCol: String, toksCol: String,
+                          k: Int, modulus: Int): DataFrame = {
+    require(k >= 1 && modulus >= 2,
+      s"need k >= 1 and modulus >= 2, got k=$k modulus=$modulus")
+    val n = org.apache.spark.sql.functions.size(col(toksCol))
+    def gh(p: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws(" ", slice(col(toksCol), p, lit(k)))),
+        1, 8), 16, 10).cast("long")
+    // guard: Spark's sequence(2, hi) is DESCENDING for hi < 2 (the
+    // Bpe.symbols lesson) — emit no candidate positions instead
+    val candidates = when(n - (k - 1) >= 2,
+        filter(sequence(lit(2), n - (k - 1)), p => gh(p) % modulus === 0))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), candidates)
+    docs.filter(n >= 1)
+      .select(col(idCol), col(toksCol), starts.as("starts"))
+      .select(col(idCol), col(toksCol),
+        explode(transform(
+          sequence(lit(1), org.apache.spark.sql.functions.size(col("starts"))),
+          j => struct(
+            (j - 1).as("chunk_id"),
+            element_at(col("starts"), j).as("start_pos"),
+            when(j < org.apache.spark.sql.functions.size(col("starts")),
+              element_at(col("starts"), j + 1) - 1).otherwise(n)
+              .as("end_pos")))).as("c"))
+      .select(col(idCol), col("c.chunk_id"), col("c.start_pos"),
+        (col("c.end_pos") - col("c.start_pos") + 1).cast("long")
+          .as("n_chunk_tokens"),
+        md5(array_join(slice(col(toksCol), col("c.start_pos"),
+          col("c.end_pos") - col("c.start_pos") + 1), " ")).as("chunk_fp"))
+  }
 }

@@ -546,8 +546,95 @@ object CorpusOpsSuite extends QuerySuite {
           FROM s0 ORDER BY doc_id, word_pos"""
   }
 
+  // ---- content-defined chunking (LBFS/rsync-family splitter) ---------
+  // A chunk boundary opens wherever the 4-gram hash ≡ 0 (mod 64) —
+  // edit-stable boundaries (an insertion moves only chunks up to the
+  // next surviving boundary; suffix stability pinned in ChunkingSpec),
+  // so chunk fingerprints dedup across near-identical docs where
+  // fixed-stride chunks all shift. Oracle replays boundary selection,
+  // chunk extents, and per-chunk md5 byte-for-byte.
+  private val cdcChunks = GraftQuery(
+    "q_cdc_chunks",
+    (s, d) => {
+      val t = documents(s, d).select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      graft.operators.Chunking.chunkContentDefined(t, "doc_id", "toks",
+          k = 4, modulus = 64)
+        .orderBy(asc("doc_id"), asc("chunk_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE len($toksSql) >= 1),
+             st AS (
+               SELECT doc_id, toks,
+                 [1] || list_filter(generate_series(2, len(toks) - 3),
+                   p -> ('0x' || substr(md5(array_to_string(
+                     list_slice(toks, p, p + 3), ' ')), 1, 8))::BIGINT
+                     % 64 = 0) AS starts
+               FROM t),
+             c AS (
+               SELECT doc_id, toks, starts, j,
+                 starts[j] AS start_pos,
+                 CASE WHEN j < len(starts) THEN starts[j + 1] - 1
+                      ELSE len(toks) END AS end_pos
+               FROM st, unnest(generate_series(1, len(starts))) AS u(j))
+             SELECT doc_id, CAST(j - 1 AS INT) AS chunk_id,
+               CAST(start_pos AS INT) AS start_pos,
+               CAST(end_pos - start_pos + 1 AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(list_slice(toks, start_pos, end_pos),
+                 ' ')) AS chunk_fp
+             FROM c ORDER BY doc_id, chunk_id"""))
+
+  // ---- per-pack shard manifest ---------------------------------------
+  // The artifact a training pipeline ships WITH each pack: doc count,
+  // token/char totals, id range, and an order-sensitive content digest
+  // (md5 over the in-order per-doc text fingerprints) — the integrity
+  // check a trainer fleet verifies before consuming a shard, and the
+  // key incremental runs diff to skip unchanged packs. Composes
+  // packByTokenBudget with one grouped aggregation; the digest makes
+  // the gate sensitive to doc ORDER within the pack, not just
+  // membership.
+  private val packManifest = GraftQuery(
+    "q_pack_manifest",
+    (s, d) => {
+      val docs = documents(s, d)
+      val packs = graft.operators.Packing
+        .packByTokenBudget(docs, budget = 2000L)
+      packs.join(docs.select(col("doc_id"), md5(col("text")).as("doc_fp"),
+          length(col("text")).cast("long").as("n_chars")), Seq("doc_id"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          sum(col("n_chars")).as("pack_chars"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("doc_fp")))),
+            e => e.getField("doc_fp")), "")).as("content_digest"))
+        .orderBy(asc("pack_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, len($toksSql) AS n_tokens, md5(text) AS doc_fp,
+                 length(text) AS n_chars
+               FROM documents),
+             c AS (
+               SELECT doc_id, n_tokens, doc_fp, n_chars,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_excl
+               FROM t)
+             SELECT CAST(cum_excl // 2000 AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS pack_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+               md5(string_agg(doc_fp, '' ORDER BY doc_id)) AS content_digest
+             FROM c GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
-        packSequences, bpePairs, bpeTrain, bpeTokenize, bpeEncodeExpr)
+        packSequences, bpePairs, bpeTrain, bpeTokenize, bpeEncodeExpr,
+        cdcChunks, packManifest)
 }

@@ -51,4 +51,57 @@ class ChunkingSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  // ---- content-defined chunking --------------------------------------
+
+  private def runCdc(docs: org.apache.spark.sql.DataFrame, k: Int,
+                     modulus: Int) =
+    Chunking.chunkContentDefined(docs, "doc_id", "toks", k, modulus)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, Long, String)].collect().toSeq
+
+  test("cdc: chunks tile the doc exactly, in order, from position 1") {
+    val words = (1 to 200).map(i => s"w$i").mkString(" ")
+    val got = runCdc(toks((1L, words)), k = 4, modulus = 8)
+    assert(got.head._3 == 1, "first chunk must start at position 1")
+    assert(got.map(_._4).sum == 200L, "chunk lengths must sum to doc length")
+    // each chunk starts right after its predecessor ends
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 == a._3 + a._4)
+      case _ => ()
+    }
+    assert(got.length > 1, "modulus=8 over 200 tokens must split")
+  }
+
+  test("cdc: boundaries are edit-stable (suffix chunks survive a prepend)") {
+    // THE property fixed-stride chunking lacks: prepending a token can
+    // only affect chunks up to the first surviving boundary — every
+    // boundary after the edit selects on the same k-gram content, so
+    // all later chunk fingerprints are unchanged
+    val words = (1 to 300).map(i => s"w$i").mkString(" ")
+    val a = runCdc(toks((1L, words)), k = 4, modulus = 8)
+    val b = runCdc(toks((1L, "zedit " + words)), k = 4, modulus = 8)
+    val aFps = a.map(_._5).toSet
+    val bFps = b.map(_._5).toSet
+    // all of A's chunks except (at most) its first must reappear in B
+    val missing = a.drop(1).map(_._5).filterNot(bFps.contains)
+    assert(missing.isEmpty,
+      s"${missing.size} suffix chunks changed after a 1-token prepend")
+    // and the edit DID change the head of the stream
+    assert(!bFps.contains(a.head._5) || b.head._5 != a.head._5 ||
+      b.length == a.length + 1)
+  }
+
+  test("cdc: doc shorter than k yields one whole-doc chunk") {
+    val got = runCdc(toks((1L, "a b"), (2L, "x")), k = 4, modulus = 8)
+    assert(got.map(t => (t._1, t._3, t._4)) ==
+      Seq((1L, 1, 2L), (2L, 1, 1L)))
+  }
+
+  test("cdc: pure map, no exchange") {
+    val df = Chunking.chunkContentDefined(toks((1L, "a b c d e")),
+      "doc_id", "toks", 4, 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
