@@ -381,6 +381,12 @@ object StatsExtSuite extends QuerySuite {
       }
       val merged = graft.operators.SketchStats.mergedKll(sk, k = 16384)
       sk.unpersist(blocking = false)
+      require(!merged.isEstimationMode,
+        s"q_kll_quantiles: ${merged.getN} values exceeded k=16384 — the " +
+        "sketch compacted into (nondeterministic) estimation mode and can " +
+        "no longer value-match percentile_disc; raise k or sample the gate " +
+        "input. The estimation-mode CONTRACT is the spec-pinned rank-error " +
+        "envelope, not value equality.")
       val mq = ranks.map(merged.getQuantile)
       (perShard :+ (("__total__", merged.getN,
           mq(0).toLong, mq(1).toLong, mq(2).toLong, mq(3).toLong)))
