@@ -81,15 +81,15 @@ class ChunkingSpec extends AnyFunSuite {
     val words = (1 to 300).map(i => s"w$i").mkString(" ")
     val a = runCdc(toks((1L, words)), k = 4, modulus = 8)
     val b = runCdc(toks((1L, "zedit " + words)), k = 4, modulus = 8)
-    val aFps = a.map(_._5).toSet
     val bFps = b.map(_._5).toSet
     // all of A's chunks except (at most) its first must reappear in B
     val missing = a.drop(1).map(_._5).filterNot(bFps.contains)
     assert(missing.isEmpty,
       s"${missing.size} suffix chunks changed after a 1-token prepend")
-    // and the edit DID change the head of the stream
-    assert(!bFps.contains(a.head._5) || b.head._5 != a.head._5 ||
-      b.length == a.length + 1)
+    // B still tiles its (301-token) doc and its head chunk absorbed
+    // the edit (starts with the new token, so it differs from A's head)
+    assert(b.map(_._4).sum == 301L)
+    assert(b.head._5 != a.head._5)
   }
 
   test("cdc: doc shorter than k yields one whole-doc chunk") {
