@@ -224,4 +224,161 @@ object SketchStats {
     }
     m
   }
+
+  // ---- Bottom-k (KMV) sketches — DETERMINISTIC mergeable sampling ----
+  // The fifth member of the mergeable-sketch family answers "show me a
+  // REPRESENTATIVE HANDFUL" (and, for free, "how many distinct" — the
+  // k-minimum-values estimator, Bar-Yossef et al. 2002). Unlike
+  // reservoir sampling (per-task RNG ⇒ retry/order-dependent) the
+  // bottom-k of a content hash is a PURE FUNCTION of the key set:
+  // retry-stable, repartition-stable, and — unique among this file's
+  // sketches — EXACTLY replayable in the SQL oracle, estimation mode
+  // included (HLL/CMS/theta/KLL gates must pin envelopes or stay in
+  // exact mode; KMV's "estimate" is deterministic md5 arithmetic).
+  // Merge = union of shard states → re-take bottom k; the merged state
+  // equals the direct global sketch by construction (the k smallest of
+  // a union are among the k smallest of each part).
+  //
+  // 100 TB shape: one (shard,key)-distinct shuffle, then a per-shard
+  // top-k window that Spark 3.5+ rewrites to WindowGroupLimit
+  // (per-partition bottom-k BEFORE the sort boundary — no full shard
+  // sort materializes). Merging consumes |shards|·k rows, driver-scale.
+
+  /** Uniform-in-(0,1) content hash: first 8 md5 hex digits (the
+    * [[Sampling.weightedKey]] primitive — replays exactly in DuckDB as
+    * `(('0x' || substr(md5(key || ':salt'), 1, 8))::BIGINT + 0.5) /
+    * 4294967296.0`).
+    */
+  def uniformHash(key: Column, salt: String): Column = {
+    val hex8 = substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8)
+    (conv(hex8, 16, 10).cast("double") + 0.5) / 4294967296.0
+  }
+
+  /** One bottom-k state per shard: `(shardCol, rk, hk, key)`, rk in
+    * [1, k] ascending by hash. k rows per shard — the stored artifact.
+    */
+  def shardBottomK(df: DataFrame, shardCol: String, keyCol: String,
+                   k: Int, salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"shardBottomK: k=$k (KMV needs k ≥ 2)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(asc("hk"), asc("key"))
+    df.select(col(shardCol), col(keyCol).cast("string").as("key"))
+      .distinct()
+      .withColumn("hk", uniformHash(col("key"), salt))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(shardCol), col("rk"), col("hk"), col("key"))
+  }
+
+  /** Global bottom-k from stored shard states — no corpus rescan. The
+    * unpartitioned window consumes the |shards|·k-row states frame
+    * (the Packing-totals argument), never the corpus. Keys are
+    * re-distincted first: shards that are not a partition of the key
+    * space may retain the same key twice.
+    */
+  def mergedBottomK(states: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("hk"), asc("key"))
+    states.select(col("hk"), col("key")).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** KMV distinct estimate from a bottom-k state (one already-grouped
+    * row set): exact count when the state holds < k values (nothing
+    * was discarded), else (k-1) / h_k. Returns `(n_state, est)` as a
+    * one-row frame.
+    */
+  def kmvEstimate(state: DataFrame, k: Int): DataFrame =
+    state.agg(count(lit(1)).as("n_state"), max(col("hk")).as("hk_max"))
+      .select(col("n_state"),
+        when(col("n_state") < k, col("n_state").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("hk_max")).as("est"))
+
+  // ---- frequent-items sketches (WHICH items are heavy) ---------------
+  // The sixth family member closes the frequency story: CMS
+  // ([[shardCms]]) answers "how often is THIS key" but needs the key
+  // list from somewhere; a frequent-items sketch (DataSketches
+  // ItemsSketch, the Misra-Gries/Space-Saving lineage) surfaces the
+  // heavy hitters FROM THE STATE ALONE — per-shard KB states once,
+  // "top tokens corpus-wide" later with no rescan and no candidate
+  // list. Below ~0.75·maxMapSize distinct items the sketch never
+  // purges: counts are EXACT and insertion-order independent (the
+  // gate's mode — cross-engine hash compares need determinism); beyond
+  // that, purges subtract medians and per-item error is bounded by
+  // `getMaximumError` with [lb, ub] brackets (spec-pinned — purge
+  // timing makes estimating-mode output order-dependent, exactly the
+  // theta/KLL contract split).
+
+  import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+  import org.apache.datasketches.common.ArrayOfStringsSerDe
+
+  private val stringSerDe = new ArrayOfStringsSerDe
+
+  /** One `(shardCol, n_items, fi)` row per shard: binary ItemsSketch
+    * state of the value column. Per-partition sketches imperatively
+    * (mutable external state — the theta shape), then per-shard merge
+    * in bounded typed mapGroups.
+    */
+  def shardFreqItems(df: DataFrame, shardCol: String, valueCol: String,
+                     maxMapSize: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.select(col(shardCol).cast("string"),
+        col(valueCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sketches = scala.collection.mutable.HashMap
+          .empty[String, ItemsSketch[String]]
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { case (s, v) =>
+          if (v != null) {
+            sketches.getOrElseUpdate(s,
+              new ItemsSketch[String](maxMapSize)).update(v)
+            counts.update(s, counts.getOrElse(s, 0L) + 1L)
+          }
+        }
+        sketches.iterator.map { case (s, sk) =>
+          (s, counts(s), sk.toByteArray(stringSerDe))
+        }
+      }
+    parts.groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val m = new ItemsSketch[String](maxMapSize)
+        var n = 0L
+        it.foreach { case (_, pn, bytes) =>
+          n += pn
+          m.merge(ItemsSketch.getInstance(Memory.wrap(bytes), stringSerDe))
+        }
+        (shard, n, m.toByteArray(stringSerDe))
+      }
+      .toDF(shardCol, "n_items", "fi")
+  }
+
+  /** Driver-side merge of stored shard states (KBs per shard, shard
+    * count operator-bounded — the [[mergedCms]] argument).
+    */
+  def mergedFreqItems(sketches: DataFrame, maxMapSize: Int = 1024,
+                      maxShards: Int = 100000): ItemsSketch[String] = {
+    val rows = sketches.select(col("fi")).limit(maxShards + 1).collect()
+    require(rows.length <= maxShards,
+      s"mergedFreqItems: more than $maxShards shard sketches — merge in stages")
+    require(rows.nonEmpty, "mergedFreqItems: no shard sketches")
+    val m = new ItemsSketch[String](maxMapSize)
+    rows.foreach { r =>
+      m.merge(ItemsSketch.getInstance(
+        Memory.wrap(r.getAs[Array[Byte]](0)), stringSerDe))
+    }
+    m
+  }
+
+  /** Heavy hitters from a (possibly merged) state: `(item, est, lb,
+    * ub)` descending by estimate, then item — deterministic ONLY in
+    * exact mode (`getMaximumError == 0`), which callers that feed hash
+    * gates must require.
+    */
+  def frequentItems(sk: ItemsSketch[String]): Seq[(String, Long, Long, Long)] =
+    sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).toSeq
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .sortBy { case (item, est, _, _) => (-est, item) }
 }

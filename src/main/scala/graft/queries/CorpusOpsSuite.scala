@@ -73,6 +73,145 @@ object CorpusOpsSuite extends QuerySuite {
                END AS repetitive
              FROM m ORDER BY doc_id"""))
 
+  // ---- full Gopher repetition-signal set (Rae et al. 2021 Table A1) --
+  // The complete within-document repetition gate q_repetition's
+  // dup-bigram ratio sketches: duplicate-line fraction + character
+  // fraction, most-frequent-{2,3,4}-gram character fraction, and
+  // overlap-aware duplicated-5-gram character coverage, with the
+  // published thresholds as a first-failing-rule verdict. The corpus
+  // has no within-doc line structure, so the gate builds it in-query
+  // (the q_line_dedup construction) and PLANTS the repetition the
+  // signals exist to catch: every 3rd doc repeats its first line
+  // (dup-line + long-gram signals fire), every 7th doc re-emits its
+  // first 5 tokens as an extra line (duplicated 5-gram fires). All
+  // signals are per-row HOF programs — no shuffle; the oracle replays
+  // line build, plants, tie-breaks, and coverage arithmetic exactly.
+  private val repetitionSignals = GraftQuery(
+    "q_repetition_signals",
+    (s, d) => {
+      import graft.functions.RepetitionSignals
+      val t = documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+      val nChunks = ceil(size(col("toks")).cast("double") / 10.0).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        g => concat_ws(" ", slice(col("toks"), g * 10 + 1, lit(10))))
+      val built = t.select(col("doc_id"), col("toks"), chunks.as("chunks"))
+        .select(col("doc_id"),
+          concat(col("chunks"),
+            when(col("doc_id") % 3 === 0, slice(col("chunks"), 1, 1))
+              .otherwise(slice(col("chunks"), 1, 0)),
+            when(col("doc_id") % 7 === 0,
+                array(concat_ws(" ", slice(col("toks"), 1, 5))))
+              .otherwise(slice(col("chunks"), 1, 0))).as("lines"))
+        .withColumn("toks2",
+          flatten(transform(col("lines"), l => split(l, " "))))
+      RepetitionSignals.withSignals(built, "lines", "toks2")
+        .select(col("doc_id"),
+          size(col("lines")).as("n_lines"),
+          round(col("rep_dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("rep_dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("rep_top2_frac"), 6).as("top2_frac"),
+          round(col("rep_top3_frac"), 6).as("top3_frac"),
+          round(col("rep_top4_frac"), 6).as("top4_frac"),
+          round(col("rep_dup5_frac"), 6).as("dup5_frac"))
+        .withColumn("verdict", RepetitionSignals
+          .repetitionVerdict(col("dup_line_frac"), col("dup_line_char_frac"),
+            col("top2_frac"), col("top3_frac"), col("top4_frac"),
+            col("dup5_frac")))
+        .orderBy(asc("doc_id"))
+    },
+    Some(repetitionSignalsSql))
+
+  private lazy val repetitionSignalsSql: String = {
+    def gramsSql(src: String, n: Int) = {
+      val parts = (0 until n).map(o => s"$src[i + $o]").mkString(" || ' ' || ")
+      s"list_transform(generate_series(1, len($src) - ${n - 1}), i -> $parts)"
+    }
+    def bestSql(n: Int) =
+      s"""list_sort(list_transform(list_distinct(g$n),
+            g -> {'neg_cnt': -len(list_filter(g$n, x -> x = g)),
+                  'neg_chars': -(length(g) - ${n - 1}),
+                  'gram': g}))[1] AS b$n"""
+    def topSql(n: Int) =
+      s"""CASE WHEN len(toks2) < $n OR total_chars = 0 THEN 0.0
+            ELSE (-b$n.neg_cnt * -b$n.neg_chars)::DOUBLE / total_chars
+          END"""
+    s"""WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents
+          WHERE len($toksSql) >= 5),
+        b AS (
+          SELECT doc_id, toks,
+            list_transform(
+              generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+              g -> array_to_string(
+                     list_slice(toks, g * 10 + 1, g * 10 + 10), ' '))
+              AS chunks
+          FROM t),
+        l AS (
+          SELECT doc_id,
+            chunks ||
+              (CASE WHEN doc_id % 3 = 0 THEN [chunks[1]]
+                    ELSE [] END) ||
+              (CASE WHEN doc_id % 7 = 0
+                    THEN [array_to_string(list_slice(toks, 1, 5), ' ')]
+                    ELSE [] END) AS lines
+          FROM b),
+        tk AS (
+          SELECT doc_id, lines,
+            flatten(list_transform(lines, x -> string_split(x, ' ')))
+              AS toks2
+          FROM l),
+        g AS (
+          SELECT doc_id, lines, toks2,
+            length(list_aggregate(toks2, 'string_agg', '')) AS total_chars,
+            ${gramsSql("toks2", 2)} AS g2,
+            ${gramsSql("toks2", 3)} AS g3,
+            ${gramsSql("toks2", 4)} AS g4,
+            ${gramsSql("toks2", 5)} AS g5
+          FROM tk),
+        s AS (
+          SELECT doc_id, lines, toks2, total_chars, g5,
+            ${bestSql(2)}, ${bestSql(3)}, ${bestSql(4)}
+          FROM g),
+        m AS (
+          SELECT doc_id,
+            CAST(len(lines) AS INT) AS n_lines,
+            ROUND(CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+              END, 6) AS dup_line_frac,
+            ROUND(CASE WHEN COALESCE(list_sum(list_transform(lines,
+                x -> length(x))), 0) = 0 THEN 0.0
+              ELSE COALESCE(list_sum(list_transform(
+                  list_filter(lines,
+                    x -> len(list_filter(lines, y -> y = x)) >= 2),
+                  x -> length(x))), 0)::DOUBLE /
+                list_sum(list_transform(lines, x -> length(x)))
+              END, 6) AS dup_line_char_frac,
+            ROUND(${topSql(2)}, 6) AS top2_frac,
+            ROUND(${topSql(3)}, 6) AS top3_frac,
+            ROUND(${topSql(4)}, 6) AS top4_frac,
+            ROUND(CASE WHEN len(toks2) < 5 OR total_chars = 0 THEN 0.0 ELSE
+              COALESCE(list_sum(list_transform(
+                list_distinct(flatten(list_transform(
+                  list_filter(generate_series(1, len(toks2) - 4),
+                    p -> len(list_filter(g5, x -> x = g5[p])) >= 2),
+                  p -> generate_series(p, p + 4)))),
+                i -> length(toks2[i]))), 0)::DOUBLE / total_chars
+              END, 6) AS dup5_frac
+          FROM s)
+        SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+          top2_frac, top3_frac, top4_frac, dup5_frac,
+          CASE WHEN dup_line_frac > 0.30 THEN 'dup_lines'
+               WHEN dup_line_char_frac > 0.20 THEN 'dup_line_chars'
+               WHEN top2_frac > 0.20 THEN 'top_2gram'
+               WHEN top3_frac > 0.18 THEN 'top_3gram'
+               WHEN top4_frac > 0.16 THEN 'top_4gram'
+               WHEN dup5_frac > 0.15 THEN 'dup_5gram'
+               ELSE 'keep' END AS verdict
+        FROM m ORDER BY doc_id"""
+  }
+
   // ---- benchmark decontamination (word n-gram overlap) --------------------
   // The benchmark side collapses to a DISTINCT n-gram set before the
   // join: eval suites are tiny relative to the corpus, so this side
@@ -633,7 +772,8 @@ object CorpusOpsSuite extends QuerySuite {
              FROM c GROUP BY 1 ORDER BY 1"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(repetition, decontaminate, domainMix, trigramFreq, gopherFilter,
+    Seq(repetition, repetitionSignals, decontaminate, domainMix, trigramFreq,
+        gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
         packSequences, bpePairs, bpeTrain, bpeTokenize, bpeEncodeExpr,
         cdcChunks, packManifest)

@@ -418,8 +418,136 @@ object StatsExtSuite extends QuerySuite {
              FROM t
              ORDER BY source"""))
 
+  // ---- frequent-items sketch: WHICH tokens are heavy, from state -----
+  // Closes the frequency story q_cms_heavy_hitters leaves open: CMS
+  // answers point queries but needs a candidate list (that gate gets
+  // it from an exact groupBy); the ItemsSketch surfaces the heavy
+  // hitters FROM THE MERGED SHARD STATES ALONE — the engine-side top
+  // list below comes purely from stored sketch bytes, no corpus
+  // rescan, no candidate list. The documents vocabulary (31 tokens)
+  // sits far below maxMapSize·0.75, so the sketch never purges: exact
+  // mode, insertion-order independent, full value equality vs DuckDB's
+  // exact counts (estimating-mode bounds are spec-pinned — purge
+  // timing is order-dependent, the theta/KLL contract split).
+  private val freqItemsQ = GraftQuery(
+    "q_freq_items",
+    (s, d) => {
+      import s.implicits._
+      val toks = documents(s, d).select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val sk = graft.operators.SketchStats
+        .shardFreqItems(toks, "source", "tok", maxMapSize = 128)
+      val merged = graft.operators.SketchStats
+        .mergedFreqItems(sk, maxMapSize = 128)
+      require(merged.getMaximumError == 0,
+        "q_freq_items: sketch purged into (order-dependent) estimating " +
+        "mode and can no longer value-match exact counts; raise " +
+        "maxMapSize. The estimating-mode CONTRACT is the spec-pinned " +
+        "[lb, ub] bracket, not value equality.")
+      graft.operators.SketchStats.frequentItems(merged).take(12)
+        .zipWithIndex.map { case ((t, est, lb, ub), i) =>
+          (i + 1L, t, est, lb == est && ub == est)
+        }.toDF("rank", "tok", "est_cnt", "exact_mode")
+        .orderBy(asc("rank"))
+    },
+    Some(s"""WITH w AS (SELECT unnest($toksSql) AS tok FROM documents),
+              c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS est_cnt
+                    FROM w GROUP BY tok),
+              r AS (SELECT ROW_NUMBER() OVER (ORDER BY est_cnt DESC, tok)
+                      AS rank, tok, est_cnt
+                    FROM c)
+            SELECT rank, tok, est_cnt, TRUE AS exact_mode
+            FROM r WHERE rank <= 12 ORDER BY rank"""))
+
+  // ---- bottom-k (KMV) sketches: deterministic mergeable sampling -----
+  // The fifth mergeable-sketch member: a content-hash bottom-k per
+  // shard is simultaneously a retry/repartition-stable uniform sample
+  // of the shard's distinct keys AND a KMV distinct estimator
+  // ((k-1)/h_k, Bar-Yossef et al. 2002). Because the "randomness" is
+  // md5 arithmetic, this is the one sketch whose ESTIMATION MODE the
+  // oracle replays to full value equality — no envelope booleans: the
+  // estimate, the sample membership, AND its rank order (digest) are
+  // all pinned per shard and for the merged state. exact_distinct
+  // rides along so the artifact shows estimate-vs-truth directly.
+  private val bottomKSketchQ = GraftQuery(
+    "q_bottomk_sketch",
+    (s, d) => {
+      val k = 64
+      val docs = documents(s, d)
+      val states = graft.operators.SketchStats
+        .shardBottomK(docs, "source", "doc_id", k)
+      val stateAggs = Seq(
+        count(lit(1)).as("n_state"), max(col("hk")).as("hk_max"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("rk"), col("key")))),
+          e => e.getField("key")), ",")).as("sample_digest"))
+      def estCols(prefix: org.apache.spark.sql.DataFrame) = prefix
+        .select(col("*"),
+          round(when(col("n_state") < k, col("n_state").cast("double"))
+            .otherwise(lit((k - 1).toDouble) / col("hk_max")), 4)
+            .as("kmv_est"))
+        .drop("hk_max")
+      val exact = docs.groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("exact_distinct"))
+      val perShard = estCols(states.groupBy("source")
+          .agg(stateAggs.head, stateAggs.tail: _*))
+        .join(exact, Seq("source"))
+      val total = estCols(graft.operators.SketchStats
+          .mergedBottomK(states, k).agg(stateAggs.head, stateAggs.tail: _*))
+        .crossJoin(docs.agg(
+          countDistinct(col("doc_id")).as("exact_distinct")))
+        .select(lit("__total__").as("source"), col("n_state"),
+          col("sample_digest"), col("kmv_est"), col("exact_distinct"))
+      perShard.select(col("source"), col("n_state"), col("sample_digest"),
+          col("kmv_est"), col("exact_distinct"))
+        .unionByName(total).orderBy(asc("source"))
+    },
+    Some(s"""WITH dk AS (
+               SELECT DISTINCT source, CAST(doc_id AS VARCHAR) AS key
+               FROM documents),
+             h AS (
+               SELECT source, key,
+                 (('0x' || substr(md5(key || ':kmv'), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0 AS hk
+               FROM dk),
+             r AS (
+               SELECT source, key, hk,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY hk, key) AS rk
+               FROM h),
+             st AS (SELECT * FROM r WHERE rk <= 64),
+             ex AS (
+               SELECT source,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct
+               FROM documents GROUP BY source),
+             per AS (
+               SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_state,
+                 ROUND(CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+                   ELSE 63.0 / MAX(hk) END, 4) AS kmv_est,
+                 md5(string_agg(key, ',' ORDER BY rk)) AS sample_digest,
+                 MIN(ex.exact_distinct) AS exact_distinct
+               FROM st s JOIN ex ON s.source = ex.source
+               GROUP BY s.source),
+             mk AS (SELECT DISTINCT hk, key FROM st),
+             mr AS (
+               SELECT hk, key,
+                 ROW_NUMBER() OVER (ORDER BY hk, key) AS rk
+               FROM mk),
+             mst AS (SELECT * FROM mr WHERE rk <= 64),
+             tot AS (
+               SELECT '__total__' AS source,
+                 CAST(COUNT(*) AS BIGINT) AS n_state,
+                 ROUND(CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+                   ELSE 63.0 / MAX(hk) END, 4) AS kmv_est,
+                 md5(string_agg(key, ',' ORDER BY rk)) AS sample_digest,
+                 (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                  FROM documents) AS exact_distinct
+               FROM mst)
+             SELECT * FROM per UNION ALL SELECT * FROM tot
+             ORDER BY source"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(statsCorr, minmaxBy, firstLast, arrayFuncs, extractNumbers, dateFuncs,
         mathFuncs, nullFuncs, zorderKey, sketchDistinct, cmsHeavyHitters,
-        thetaSetOpsQ, kllQuantilesQ)
+        thetaSetOpsQ, kllQuantilesQ, freqItemsQ, bottomKSketchQ)
 }

@@ -167,4 +167,121 @@ class SketchStatsSpec extends AnyFunSuite {
       .as[Double].head()
     assert(a == b, "content-determined: partitioning must not change it")
   }
+
+  // ---- frequent items -------------------------------------------------
+
+  test("freq-items: exact mode — merged shard states equal true counts") {
+    // 100 distinct keys (0..99), key i appears (i % 10) + 1 times;
+    // 100 < 0.75·256 → never purges → exact, order-independent
+    val rows = spark.range(0, 100).select(
+        (col("id") % 5).cast("string").as("shard"),
+        col("id").cast("string").as("v"),
+        ((col("id") % 10) + 1).cast("int").as("n"))
+      .withColumn("i", explode(sequence(lit(1), col("n"))))
+    val sk = SketchStats.shardFreqItems(rows, "shard", "v", maxMapSize = 256)
+    val merged = SketchStats.mergedFreqItems(sk, maxMapSize = 256)
+    assert(merged.getMaximumError == 0)
+    val got = SketchStats.frequentItems(merged).map(t => t._1 -> t._2).toMap
+    (0 until 100).foreach { i =>
+      assert(got(i.toString) == (i % 10) + 1L, s"key $i")
+    }
+    val nTotal = sk.agg(sum(col("n_items"))).head().getLong(0)
+    assert(nTotal == (0 until 100).map(i => (i % 10) + 1).sum)
+  }
+
+  test("freq-items: estimating mode brackets the truth") {
+    // 500 distinct keys at maxMapSize=64 (capacity 48) → purges; the
+    // planted heavy key (1000 occurrences vs ≤ 5 for the rest) must
+    // survive NO_FALSE_NEGATIVES with lb ≤ true ≤ ub
+    val light = spark.range(0, 500).select(
+        lit("s").as("shard"), col("id").cast("string").as("v"),
+        ((col("id") % 5) + 1).cast("int").as("n"))
+      .withColumn("i", explode(sequence(lit(1), col("n"))))
+    val heavy = spark.range(0, 1000).select(
+        lit("s").as("shard"), lit("HOT").as("v"), lit(1).as("n"),
+        lit(1).as("i"))
+    val sk = SketchStats.shardFreqItems(light.unionByName(heavy),
+      "shard", "v", maxMapSize = 64)
+    val merged = SketchStats.mergedFreqItems(sk, maxMapSize = 64)
+    assert(merged.getMaximumError > 0, "should have purged")
+    val hot = SketchStats.frequentItems(merged)
+      .find(_._1 == "HOT")
+    assert(hot.nonEmpty, "heavy hitter lost — NO_FALSE_NEGATIVES violated")
+    val (_, _, lb, ub) = hot.get
+    assert(lb <= 1000L && 1000L <= ub, s"bounds [$lb, $ub] miss 1000")
+  }
+
+  test("freq-items: exact-mode state is shard-layout invariant") {
+    val a = SketchStats.frequentItems(SketchStats.mergedFreqItems(
+      SketchStats.shardFreqItems(df.withColumn("v", col("key").cast("string")),
+        "shard", "v", maxMapSize = 8192), maxMapSize = 8192))
+    val alt = df.withColumn("shard", (col("id") % 13).cast("string"))
+      .withColumn("v", col("key").cast("string")).repartition(17)
+    val b = SketchStats.frequentItems(SketchStats.mergedFreqItems(
+      SketchStats.shardFreqItems(alt, "shard", "v", maxMapSize = 8192),
+      maxMapSize = 8192))
+    assert(a == b)
+  }
+
+  // ---- bottom-k (KMV) -------------------------------------------------
+
+  test("bottom-k: merged shard states equal the direct global sketch") {
+    // the KMV merge theorem: the k smallest of a union are among the
+    // k smallest of each part — so merge-of-states must be IDENTICAL
+    // (values, not estimates) to sketching the whole frame as one shard
+    val k = 16
+    val states = SketchStats.shardBottomK(df, "shard", "key", k)
+    val merged = SketchStats.mergedBottomK(states, k)
+      .select("rk", "hk", "key").collect().toSeq
+    val direct = SketchStats.mergedBottomK(
+        SketchStats.shardBottomK(
+          df.withColumn("one", lit("g")), "one", "key", k), k)
+      .select("rk", "hk", "key").collect().toSeq
+    assert(merged == direct)
+  }
+
+  test("bottom-k: state is shard-layout and partitioning invariant") {
+    val k = 16
+    val a = SketchStats.mergedBottomK(
+      SketchStats.shardBottomK(df, "shard", "key", k), k)
+      .select("key").as[String].collect().toSeq
+    val alt = df.withColumn("shard", (col("id") % 13).cast("string"))
+      .repartition(17)
+    val b = SketchStats.mergedBottomK(
+      SketchStats.shardBottomK(alt, "shard", "key", k), k)
+      .select("key").as[String].collect().toSeq
+    assert(a == b)
+  }
+
+  test("bottom-k: exact mode below k — estimate IS the distinct count") {
+    // 7 shards × ~357 distinct keys each... use small keys: key % 11 →
+    // 11 distinct < k=64 per shard and globally
+    val small = df.select(col("shard"), (col("key") % 11).as("key"))
+    val states = SketchStats.shardBottomK(small, "shard", "key", 64)
+    val est = SketchStats.kmvEstimate(
+      SketchStats.mergedBottomK(states, 64), 64).head()
+    assert(est.getLong(0) == 11L && est.getDouble(1) == 11.0)
+  }
+
+  test("bottom-k: estimation mode lands near the truth") {
+    // 2500 distinct at k=64: RSE ≈ 1/√(k−2) ≈ 12.7% — assert 3σ
+    val states = SketchStats.shardBottomK(df, "shard", "key", 64)
+    val est = SketchStats.kmvEstimate(
+      SketchStats.mergedBottomK(states, 64), 64).head().getDouble(1)
+    assert(math.abs(est - 2500.0) / 2500.0 <= 0.38, s"est $est")
+  }
+
+  test("bottom-k: duplicate keys across shards collapse in the merge") {
+    // every key appears in ALL shards → each shard's bottom-k retains
+    // the SAME keys; the merged state must re-distinct, not double-count
+    val dup = df.select(col("shard"), (col("key") % 50).as("key"))
+    val states = SketchStats.shardBottomK(dup, "shard", "key", 8)
+    val merged = SketchStats.mergedBottomK(states, 8)
+      .select("key").as[String].collect().toSeq
+    assert(merged.distinct.size == 8)
+    val perShard = states.filter(col("shard") === "0")
+      .orderBy("rk").select("key").as[String].collect().toSeq
+    assert(merged == perShard.take(8),
+      "identical key sets ⇒ identical bottom-k everywhere")
+  }
 }
