@@ -423,4 +423,43 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
               round(col("cos"), 6).as("cos"))
   }
+
+  // ---- deterministic ±1 random projection (Achlioptas/JL) ------------
+
+  /** Plan-time ±1 sign matrix, outDim × inDim, derived from md5 of
+    * `seed:j:i` — content-independent, RNG-free, and byte-replayable in
+    * the SQL oracle (the matrix bakes into both plans as literals).
+    */
+  def projectionSigns(inDim: Int, outDim: Int,
+                      seed: String = "rp"): Seq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDim).map(j => (0 until inDim).map { i =>
+      val h = digest.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    })
+  }
+
+  /** Johnson–Lindenstrauss sketch of the embedding column: y_j =
+    * (Σ_i s_ji·x_i) / √m with the ±1 matrix from [[projectionSigns]].
+    * E‖y−y′‖² = ‖x−x′‖², so the m-dim sketch is the cheap distance
+    * pre-filter at 100 TB — shuffle m doubles per row instead of the
+    * full embedding, verify survivors with exact cosine ([[Dedup]]'s
+    * estimate-then-verify discipline). Appends `p0..p{m-1}`; each
+    * output dim is one codegen [[graft.functions.VectorOps.vec_dot]]
+    * against a literal row — no per-row hashing, no HOF interpretation.
+    */
+  def randomProjection(df: DataFrame, vecCol: String, inDim: Int,
+                       outDim: Int, seed: String = "rp"): DataFrame = {
+    val signs = projectionSigns(inDim, outDim, seed)
+    // DIVIDE by √m (not multiply by a reciprocal): the oracle divides,
+    // and x/√m vs x·(1/√m) can differ in the last ulp — enough to flip
+    // a 6-dp rounding boundary
+    val sqrtM = math.sqrt(outDim.toDouble)
+    signs.zipWithIndex.foldLeft(df) { case (acc, (row, j)) =>
+      acc.withColumn(s"p$j",
+        graft.functions.VectorOps.vec_dot(
+          col(vecCol).cast("array<double>"),
+          array(row.map(lit): _*)) / lit(sqrtM))
+    }
+  }
 }

@@ -212,6 +212,61 @@ object CorpusOpsSuite extends QuerySuite {
         FROM m ORDER BY doc_id"""
   }
 
+  // ---- URL-based curation: host, blocklist, per-domain cap -----------
+  // The C4/RefinedWeb front-of-pipeline stage: extract the host with
+  // Spark's parse_url, derive the registered domain, drop blocklisted
+  // hosts, and cap documents per host (unbounded single-domain mass is
+  // both a quality and a dedup-skew hazard). Documents carry no URL, so
+  // the gate synthesizes one deterministically from a 7-domain pool —
+  // the ORACLE recomputes the host directly from the pool arithmetic,
+  // so the gate cross-checks that parse_url's extraction agrees with
+  // the ground truth construction. Per-host cap is a row_number window
+  // ordered by doc_id: at scale this is the WindowGroupLimit top-k
+  // shape (per-partition cap before the sort), one shuffle on host.
+  private val urlDomainPool = Seq(
+    "alpha.example.com", "beta.example.org", "spam.example.net",
+    "gamma.example.io", "delta.example.co", "ads.example.biz",
+    "zeta.example.dev")
+  private val urlBlocklist = Seq("spam.example.net", "ads.example.biz")
+
+  private val urlCuration = GraftQuery(
+    "q_url_curation",
+    (s, d) => {
+      val pool = array(urlDomainPool.map(lit): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy(asc("doc_id"))
+      documents(s, d)
+        .withColumn("url", concat(lit("https://"),
+          element_at(pool, (col("doc_id") % 7 + 1).cast("int")),
+          lit("/p/"), col("doc_id"), lit("?ref=x")))
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .withColumn("reg_domain",
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+        .filter(!col("host").isin(urlBlocklist: _*))
+        .withColumn("host_rank", row_number().over(w))
+        .filter(col("host_rank") <= 30)
+        .select(col("doc_id"), col("url"), col("host"), col("reg_domain"),
+          col("host_rank").cast("long").as("host_rank"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH u AS (
+               SELECT doc_id,
+                 ${urlDomainPool.map(h => s"'$h'")
+                   .mkString("[", ", ", "]")}[(doc_id % 7) + 1] AS host
+               FROM documents),
+             f AS (
+               SELECT doc_id, host,
+                 'https://' || host || '/p/' || doc_id || '?ref=x' AS url,
+                 regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS reg_domain,
+                 ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id)
+                   AS host_rank
+               FROM u
+               WHERE host NOT IN (${urlBlocklist.map(h => s"'$h'")
+                 .mkString(", ")}))
+             SELECT doc_id, url, host, reg_domain,
+               CAST(host_rank AS BIGINT) AS host_rank
+             FROM f WHERE host_rank <= 30 ORDER BY doc_id"""))
+
   // ---- benchmark decontamination (word n-gram overlap) --------------------
   // The benchmark side collapses to a DISTINCT n-gram set before the
   // join: eval suites are tiny relative to the corpus, so this side
@@ -772,8 +827,8 @@ object CorpusOpsSuite extends QuerySuite {
              FROM c GROUP BY 1 ORDER BY 1"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(repetition, repetitionSignals, decontaminate, domainMix, trigramFreq,
-        gopherFilter,
+    Seq(repetition, repetitionSignals, urlCuration, decontaminate, domainMix,
+        trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
         packSequences, bpePairs, bpeTrain, bpeTokenize, bpeEncodeExpr,
         cdcChunks, packManifest)

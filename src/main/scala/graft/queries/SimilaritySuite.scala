@@ -432,8 +432,48 @@ object SimilaritySuite extends QuerySuite {
             FROM t ORDER BY t.vec_id"""),
     headline = true)
 
+  // ---- deterministic JL random projection (Achlioptas ±1) ------------
+  // The dimensionality-reduction member of the similarity family:
+  // project 64-dim embeddings to an 8-dim sketch with a ±1 sign matrix
+  // fixed at PLAN time from md5 (Similarity.projectionSigns) — the
+  // matrix is a literal in BOTH plans, so the oracle replays every
+  // output coordinate to full rounded equality (no RNG, no xxhash
+  // dependency). E‖y−y′‖² = ‖x−x′‖² makes the sketch the cheap
+  // distance pre-filter at 100 TB: shuffle 8 doubles instead of 64
+  // floats, then verify survivors with exact cosine (the
+  // estimate-then-verify discipline every dedup operator here uses).
+  // Each output dim is one codegen vec_dot against a literal row.
+  private val randomProjQ = {
+    val signs = Similarity.projectionSigns(inDim = 64, outDim = 8)
+    val sqrtM = math.sqrt(8.0)
+    GraftQuery(
+      "q_random_projection",
+      (s, d) => {
+        val proj = Similarity.randomProjection(
+          embeddings(s, d).select(col("vec_id"), col("embedding")),
+          "embedding", inDim = 64, outDim = 8)
+        proj.select(col("vec_id") +:
+          (0 until 8).map(j => round(col(s"p$j"), 6).as(s"p$j")): _*)
+          .orderBy(asc("vec_id"))
+      },
+      Some {
+        val mat = signs.map(_.map(v =>
+          if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+          .mkString("[", ", ", "]")
+        val cols = (0 until 8).map { j =>
+          s"""ROUND(list_sum(list_transform(generate_series(1, 64),
+              i -> v[i] * m[${j + 1}][i])) / $sqrtM, 6) AS p${j}"""
+        }.mkString(", ")
+        s"""WITH c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                $mat AS m
+              FROM embeddings)
+            SELECT vec_id, $cols FROM c ORDER BY vec_id"""
+      })
+  }
+
   override val queries: Seq[GraftQuery] =
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
         ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize,
-        semanticDedup)
+        semanticDedup, randomProjQ)
 }
