@@ -89,6 +89,33 @@ object Packing {
         expr(s"(prefix + local_cum) div ${budget}L").as("pack_id"))
   }
 
+  /** Incremental pack maintenance: pack NEWLY ARRIVED docs as a
+    * continuation of an already-packed corpus WITHOUT touching it —
+    * the refresh shape of a production training pipeline (yesterday's
+    * shards are immutable and shipped; today's crawl appends). The
+    * only state the prior run must persist is its total token count
+    * (the last [[q_pack_manifest]] row carries it): each new doc's
+    * global prefix is `priorTokens + prefix-within-new`, so
+    * `pack_id = (priorTokens + prefix) div budget` — same two-pass
+    * distributed prefix sum, zero recomputation over the packed
+    * corpus.
+    *
+    * CONTRACT (the gate's oracle is a full recompute): provided every
+    * new id sorts after every packed id, the prior packing ∪ this
+    * continuation is IDENTICAL to packing the whole corpus in one
+    * pass — pinned for arbitrary split points in PackingSpec.
+    */
+  def packIncremental(newDocs: DataFrame, priorTokens: Long, budget: Long,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(priorTokens >= 0, "priorTokens must be non-negative")
+    withGlobalPrefix(newDocs, idCol, textCol)
+      .select(col("id").as(idCol), col("n_tokens"),
+        expr(s"(${priorTokens}L + prefix + local_cum) div ${budget}L")
+          .as("pack_id"))
+  }
+
   /** Concat-and-split sequence forming — the GPT-style packing dual of
     * [[packByTokenBudget]]: the id-ordered corpus is one virtual token
     * stream cut every `seqLen` tokens, and docs DO span sequence

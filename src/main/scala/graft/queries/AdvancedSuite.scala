@@ -61,6 +61,29 @@ object AdvancedSuite extends QuerySuite {
               ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
+  // ---- streaming sliding windows vs batch oracle ---------------------
+  // 2-hour windows sliding hourly: every event lands in EXACTLY two
+  // windows (the one starting at its floor-hour and the one an hour
+  // earlier) — the oracle replays that membership by exploding each
+  // event into its two window starts. The overlapping-window state is
+  // what distinguishes this from q_events_stream_hourly's tumbling
+  // windows; the real streaming plan runs through availableNow.
+  private val streamSliding = GraftQuery(
+    "q_stream_sliding",
+    (s, d) => {
+      val streamed = EventsStream.slidingCounts(EventsStream.readEvents(s, d))
+      EventsStream.runToCompletion(s, streamed)
+        .orderBy(asc("win_start"), asc("event_type"))
+    },
+    Some("""WITH w AS (
+              SELECT strftime(date_trunc('hour', ts) - o * INTERVAL 1 HOUR,
+                       '%Y-%m-%d %H:00:00') AS win_start,
+                     event_type, value
+              FROM events, unnest([0, 1]) AS u(o))
+            SELECT win_start, event_type, COUNT(*) AS cnt,
+              ROUND(SUM(value), 2) AS sum_value
+            FROM w GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
   // ---- streaming dedup (dropDuplicatesWithinWatermark) vs batch ------
   // The stream is unioned with itself (every event arrives twice — the
   // at-least-once delivery the operator exists for); the deduped output
@@ -434,7 +457,8 @@ object AdvancedSuite extends QuerySuite {
             GROUP BY day, segment ORDER BY day, segment"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(wktPointExpr, streamHourly, streamDedup, multimodal, frameSample,
+    Seq(wktPointExpr, streamHourly, streamSliding, streamDedup, multimodal,
+        frameSample,
         imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
         videoProbe, videoFramesQ, videoFeaturesQ, multimodalCuration,
         streamStreamJoin, streamStaticJoin, statefulTotals)

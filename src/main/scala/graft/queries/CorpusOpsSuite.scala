@@ -779,6 +779,37 @@ object CorpusOpsSuite extends QuerySuite {
                  ' ')) AS chunk_fp
              FROM c ORDER BY doc_id, chunk_id"""))
 
+  // ---- incremental pack maintenance ----------------------------------
+  // Pack only the NEW half of the corpus (doc_id ≥ 250) as a
+  // continuation of the already-packed base (doc_id < 250), carrying
+  // only the base's total token count — the one scalar the previous
+  // run's manifest persists. The oracle is a FULL RECOMPUTE over the
+  // whole corpus restricted to the new ids (the q_incremental_agg
+  // convention): identical pack assignments prove that immutable
+  // shipped shards never need repacking when data appends.
+  private val packIncrementalQ = GraftQuery(
+    "q_pack_incremental",
+    (s, d) => {
+      val docs = documents(s, d)
+      val prior = docs.filter(col("doc_id") < 250)
+        .agg(coalesce(sum(size(TextFunctions.tokens(col("text")))
+          .cast("long")), lit(0L))).head().getLong(0)
+      graft.operators.Packing.packIncremental(
+          docs.filter(col("doc_id") >= 250), prior, budget = 2000L)
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+             c AS (
+               SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_excl
+               FROM t)
+             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_excl // 2000 AS BIGINT) AS pack_id
+             FROM c WHERE doc_id >= 250 ORDER BY doc_id"""))
+
   // ---- per-pack shard manifest ---------------------------------------
   // The artifact a training pipeline ships WITH each pack: doc count,
   // token/char totals, id range, and an order-sensitive content digest
@@ -830,6 +861,6 @@ object CorpusOpsSuite extends QuerySuite {
     Seq(repetition, repetitionSignals, urlCuration, decontaminate, domainMix,
         trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
-        packSequences, bpePairs, bpeTrain, bpeTokenize, bpeEncodeExpr,
-        cdcChunks, packManifest)
+        packSequences, packIncrementalQ, bpePairs, bpeTrain, bpeTokenize,
+        bpeEncodeExpr, cdcChunks, packManifest)
 }

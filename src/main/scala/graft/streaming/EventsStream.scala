@@ -62,6 +62,22 @@ object EventsStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** SLIDING-window counts — 2-hour windows advancing every hour, so
+    * each event contributes to exactly two windows (the overlapping
+    * trend view tumbling windows can't give: "events in the last 2h,
+    * refreshed hourly"). State cost doubles with the overlap factor
+    * (window-length / slide), still watermark-bounded.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "3 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
   /** Watermark-bounded streaming dedup by event_id (exactly-once-style
     * ingestion guard for at-least-once sources).
     */

@@ -24,6 +24,32 @@ class PackingSpec extends AnyFunSuite {
                       (4L, 7L, 1L), (5L, 1L, 3L), (6L, 0L, 3L)))
   }
 
+  test("packIncremental: base ∪ continuation equals the one-pass packing") {
+    // for EVERY split point: pack the prefix, carry only its token
+    // total, pack the suffix incrementally — the union must be
+    // byte-identical to packing everything at once
+    val full = Packing.packByTokenBudget(docs, budget = 5L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    (0L to 6L).foreach { split =>
+      val base = Packing.packByTokenBudget(
+          docs.filter(col("doc_id") <= split), budget = 5L)
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+      val prior = base.map(_._2).sum
+      val incr = Packing.packIncremental(
+          docs.filter(col("doc_id") > split), prior, budget = 5L)
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+      assert(base ++ incr == full, s"split at $split")
+    }
+  }
+
+  test("packIncremental: empty prior state is plain packing") {
+    val a = Packing.packIncremental(docs, priorTokens = 0L, budget = 5L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val b = Packing.packByTokenBudget(docs, budget = 5L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
   test("packFixedLength: docs span sequence boundaries per the stream contract") {
     // stream offsets 0,3,7,9,16; L=5: doc2 (3..6) spans seqs 0-1,
     // doc4 (9..15) spans 1-3, doc6 (0 tokens) excluded
