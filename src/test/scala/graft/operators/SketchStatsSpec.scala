@@ -271,6 +271,18 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(math.abs(est - 2500.0) / 2500.0 <= 0.38, s"est $est")
   }
 
+  test("bottom-k: plan takes the WindowGroupLimit per-partition shape") {
+    // the scale contract: rank-filter top-k must plan as
+    // WindowGroupLimit (per-partition bottom-k BEFORE the shard sort
+    // boundary), never a full per-shard sort feeding a filter. df is
+    // range-backed (distributed) — LocalRelation inputs special-case
+    // such conversions away (the DashboardSpec lesson).
+    val plan = SketchStats.shardBottomK(df, "shard", "key", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("bottom-k: duplicate keys across shards collapse in the merge") {
     // every key appears in ALL shards → each shard's bottom-k retains
     // the SAME keys; the merged state must re-distinct, not double-count
