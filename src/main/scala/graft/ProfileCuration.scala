@@ -197,6 +197,38 @@ object ProfileCuration {
           graft.operators.SketchStats.shardKll(vals, "source", "v", 200)
             .agg(sum(col("n_values")), count(lit(1)))
         }
+        time("rep_signals", k, it) {
+          // the gate's construction: 10-token chunk lines, planted
+          // dup line on every 3rd doc, planted 5-gram re-emit on every
+          // 7th; the claim under test is a pure per-doc map — wall ∝
+          // corpus, no shuffle, with the staged-column binding holding
+          // the per-doc cost at O(L log L) (the naive lambda-inlined
+          // form measured 10+ min at k=1)
+          val t = corpus.select(col("doc_id"),
+              TextFunctions.tokens(col("text")).as("toks"))
+            .filter(size(col("toks")) >= 5)
+          val nChunks =
+            ceil(size(col("toks")).cast("double") / 10.0).cast("int")
+          val chunks = transform(sequence(lit(0), nChunks - 1),
+            g => concat_ws(" ", slice(col("toks"), g * 10 + 1, lit(10))))
+          val built = t
+            .select(col("doc_id"), col("toks"), chunks.as("chunks"))
+            .select(col("doc_id"),
+              concat(col("chunks"),
+                when(col("doc_id") % 3 === 0, slice(col("chunks"), 1, 1))
+                  .otherwise(slice(col("chunks"), 1, 0)),
+                when(col("doc_id") % 7 === 0,
+                    array(concat_ws(" ", slice(col("toks"), 1, 5))))
+                  .otherwise(slice(col("chunks"), 1, 0))).as("lines"))
+            .withColumn("toks2",
+              flatten(transform(col("lines"), l => split(l, " "))))
+          graft.functions.RepetitionSignals
+            .withSignals(built, "lines", "toks2")
+            .agg(round(sum(col("rep_dup5_frac")), 2).as("dup5_sum"),
+              sum(when(col("rep_dup_line_frac") > 0.30, 1).otherwise(0))
+                .as("n_dup_lines"),
+              count(lit(1)).as("n"))
+        }
         time("dsir", k, it) {
           // the gate's target slice (src0/src1) under the tagged-copy
           // renames: src0_j / src1_j (prefix match excludes src1x_j)

@@ -267,6 +267,70 @@ object CorpusOpsSuite extends QuerySuite {
                CAST(host_rank AS BIGINT) AS host_rank
              FROM f WHERE host_rank <= 30 ORDER BY doc_id"""))
 
+  // ---- unicode script detection (writing-system ID) ------------------
+  // The pre-language-ID routing stage of a multilingual pipeline:
+  // stopword language-ID (q_lang_id) only works within an alphabet —
+  // script detection routes docs to the right alphabet first (and
+  // catches mixed-script spam/homoglyph attacks outright). Per-doc
+  // character counts per Unicode script class (Latin / Cyrillic /
+  // Greek / Han) plus the dominant script with a fixed tie order.
+  // Engine uses Java regex script classes (\p{IsCyrillic}), the oracle
+  // RE2's (\p{Cyrillic}) — agreeing counts ARE the cross-engine check.
+  // The corpus is pure ASCII, so script runs are planted per doc_id
+  // mod 4; everything is regexp arithmetic in the scan (no shuffle).
+  private val scriptDetect = GraftQuery(
+    "q_script_detect",
+    (s, d) => {
+      val planted = when(col("doc_id") % 4 === 1, lit(" привет мир"))
+        .when(col("doc_id") % 4 === 2, lit(" γεια σου κόσμε"))
+        .when(col("doc_id") % 4 === 3, lit(" 你好世界"))
+        .otherwise(lit(""))
+      def cnt(cls: String) = (length(col("t2")) -
+        length(regexp_replace(col("t2"), s"[\\p{Is$cls}]", ""))).cast("long")
+      documents(s, d)
+        .withColumn("t2", concat(col("text"), planted))
+        .select(col("doc_id"),
+          cnt("Latin").as("n_latin"),
+          cnt("Cyrillic").as("n_cyrillic"),
+          cnt("Greek").as("n_greek"),
+          cnt("Han").as("n_han"))
+        .withColumn("dominant",
+          when(col("n_latin") >= greatest(col("n_cyrillic"), col("n_greek"),
+            col("n_han")), lit("latin"))
+          .when(col("n_cyrillic") >= greatest(col("n_greek"), col("n_han")),
+            lit("cyrillic"))
+          .when(col("n_greek") >= col("n_han"), lit("greek"))
+          .otherwise(lit("han")))
+        .orderBy(asc("doc_id"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                text || CASE
+                  WHEN doc_id % 4 = 1 THEN ' привет мир'
+                  WHEN doc_id % 4 = 2 THEN ' γεια σου κόσμε'
+                  WHEN doc_id % 4 = 3 THEN ' 你好世界'
+                  ELSE '' END AS t2
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                length(t2) - length(regexp_replace(t2, '[\p{Latin}]', '',
+                  'g')) AS n_latin,
+                length(t2) - length(regexp_replace(t2, '[\p{Cyrillic}]', '',
+                  'g')) AS n_cyrillic,
+                length(t2) - length(regexp_replace(t2, '[\p{Greek}]', '',
+                  'g')) AS n_greek,
+                length(t2) - length(regexp_replace(t2, '[\p{Han}]', '',
+                  'g')) AS n_han
+              FROM t)
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han,
+              CASE
+                WHEN n_latin >= greatest(n_cyrillic, n_greek, n_han)
+                  THEN 'latin'
+                WHEN n_cyrillic >= greatest(n_greek, n_han) THEN 'cyrillic'
+                WHEN n_greek >= n_han THEN 'greek'
+                ELSE 'han' END AS dominant
+            FROM m ORDER BY doc_id"""))
+
   // ---- benchmark decontamination (word n-gram overlap) --------------------
   // The benchmark side collapses to a DISTINCT n-gram set before the
   // join: eval suites are tiny relative to the corpus, so this side
@@ -858,8 +922,8 @@ object CorpusOpsSuite extends QuerySuite {
              FROM c GROUP BY 1 ORDER BY 1"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(repetition, repetitionSignals, urlCuration, decontaminate, domainMix,
-        trigramFreq, gopherFilter,
+    Seq(repetition, repetitionSignals, urlCuration, scriptDetect,
+        decontaminate, domainMix, trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
         packSequences, packIncrementalQ, bpePairs, bpeTrain, bpeTokenize,
         bpeEncodeExpr, cdcChunks, packManifest)
