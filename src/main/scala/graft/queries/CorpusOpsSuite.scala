@@ -123,20 +123,29 @@ object CorpusOpsSuite extends QuerySuite {
     },
     Some(repetitionSignalsSql))
 
+  /** DuckDB n-gram array over a list column (shared by the repetition
+    * oracles).
+    */
+  private def gramsSql(src: String, n: Int) = {
+    val parts = (0 until n).map(o => s"$src[i + $o]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, len($src) - ${n - 1}), i -> $parts)"
+  }
+
+  /** Most-frequent-n-gram winner struct (count desc, char mass desc,
+    * gram asc — the engine's struct-sort tie-break).
+    */
+  private def bestSql(n: Int) =
+    s"""list_sort(list_transform(list_distinct(g$n),
+          g -> {'neg_cnt': -len(list_filter(g$n, x -> x = g)),
+                'neg_chars': -(length(g) - ${n - 1}),
+                'gram': g}))[1] AS b$n"""
+
+  private def topSql(n: Int) =
+    s"""CASE WHEN len(toks2) < $n OR total_chars = 0 THEN 0.0
+          ELSE (-b$n.neg_cnt * -b$n.neg_chars)::DOUBLE / total_chars
+        END"""
+
   private lazy val repetitionSignalsSql: String = {
-    def gramsSql(src: String, n: Int) = {
-      val parts = (0 until n).map(o => s"$src[i + $o]").mkString(" || ' ' || ")
-      s"list_transform(generate_series(1, len($src) - ${n - 1}), i -> $parts)"
-    }
-    def bestSql(n: Int) =
-      s"""list_sort(list_transform(list_distinct(g$n),
-            g -> {'neg_cnt': -len(list_filter(g$n, x -> x = g)),
-                  'neg_chars': -(length(g) - ${n - 1}),
-                  'gram': g}))[1] AS b$n"""
-    def topSql(n: Int) =
-      s"""CASE WHEN len(toks2) < $n OR total_chars = 0 THEN 0.0
-            ELSE (-b$n.neg_cnt * -b$n.neg_chars)::DOUBLE / total_chars
-          END"""
     s"""WITH t AS (
           SELECT doc_id, $toksSql AS toks FROM documents
           WHERE len($toksSql) >= 5),
@@ -330,6 +339,180 @@ object CorpusOpsSuite extends QuerySuite {
                 WHEN n_greek >= n_han THEN 'greek'
                 ELSE 'han' END AS dominant
             FROM m ORDER BY doc_id"""))
+
+  // ---- web-corpus pipeline COMPOSITION (third-session operators) -----
+  // The q_llm_data_pipeline convention applied to the front-of-pipeline
+  // web stages added this session, as ONE lazy plan: per-host document
+  // cap (keep the NEWEST 40 per host — ROW_NUMBER DESC, the
+  // WindowGroupLimit shape) → script routing (drop any doc with
+  // Cyrillic/Greek/Han contamination) → repetition filter (Gopher
+  // dup-line + top-2-gram signals on the line build, RAW values in the
+  // predicate — both engines run identical IEEE arithmetic) → word-
+  // count bounds → exact dedup (min-id keeper) → token-budget packing.
+  // Plants: an exact clone of every 5th doc at id+1e6 ("newest", so
+  // the DESC cap favors it — the dedup stage sees real work whenever
+  // its original also survives), and the script/repetition plants ride
+  // the id arithmetic through the shifted clone ids. Every stage is
+  // individually gated elsewhere; this gate pins that the NEW stages
+  // compose — any upstream drift moves every downstream pack offset.
+  private val webPipeline = GraftQuery(
+    "q_web_pipeline",
+    (s, d) => {
+      import graft.functions.RepetitionSignals
+      val pool = array(urlDomainPool.map(lit): _*)
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy(desc("doc_id"))
+      val s1 = corpus
+        .withColumn("host",
+          element_at(pool, (col("doc_id") % 7 + 1).cast("int")))
+        .filter(!col("host").isin(urlBlocklist: _*))
+        .withColumn("host_rank", row_number().over(w))
+        .filter(col("host_rank") <= 40)
+      val planted = when(col("doc_id") % 4 === 1, lit(" привет мир"))
+        .when(col("doc_id") % 4 === 2, lit(" γεια σου κόσμε"))
+        .when(col("doc_id") % 4 === 3, lit(" 你好世界"))
+        .otherwise(lit(""))
+      val s2 = s1.withColumn("t2", concat(col("text"), planted))
+        .filter((length(col("t2")) - length(regexp_replace(col("t2"),
+          "[\\p{IsCyrillic}\\p{IsGreek}\\p{IsHan}]", ""))) === 0)
+        .select(col("doc_id"), col("host"), col("text"))
+      val t = s2
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .filter(size(col("toks")) >= 5)
+      val nChunks = ceil(size(col("toks")).cast("double") / 10.0).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        g => concat_ws(" ", slice(col("toks"), g * 10 + 1, lit(10))))
+      val built = t.withColumn("chunks", chunks)
+        .withColumn("lines",
+          concat(col("chunks"),
+            when(col("doc_id") % 3 === 0, slice(col("chunks"), 1, 1))
+              .otherwise(slice(col("chunks"), 1, 0)),
+            when(col("doc_id") % 7 === 0,
+                array(concat_ws(" ", slice(col("toks"), 1, 5))))
+              .otherwise(slice(col("chunks"), 1, 0))))
+        .withColumn("toks2",
+          flatten(transform(col("lines"), l => split(l, " "))))
+      // LINEAGE CUT before filtering on raw signals: PushDownPredicates
+      // substitutes the signal aliases into the pushed predicate,
+      // re-inlining the staged arrays into lambda bodies — the exact
+      // re-evaluation blowup withSignals' column binding exists to
+      // prevent (measured: sf0.001 ran 13+ min; with the cut, seconds).
+      // A lazy localCheckpoint is the q_llm_data_pipeline boundary
+      // pattern: the post-signals frame is a natural materialization
+      // point (narrow: ids + scalars + text), and at 100 TB this is
+      // where a real pipeline lands its scored corpus anyway.
+      val sig = RepetitionSignals.withSignals(built, "lines", "toks2")
+        .select(col("doc_id"), col("host"), col("text"),
+          col("rep_dup_line_frac"), col("rep_top2_frac"),
+          size(col("toks2")).as("wc"))
+        .localCheckpoint(false)
+      val s4 = sig
+        .filter(col("rep_dup_line_frac") <= 0.30 &&
+          col("rep_top2_frac") <= 0.20)
+        .filter(col("wc").between(15, 10000))
+        .select(col("doc_id"), col("host"), col("text"))
+      val keepers = s4.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val s5 = s4.withColumn("fp", md5(col("text")))
+        .join(keepers, Seq("fp", "doc_id"), "left_semi")
+      graft.operators.Packing.packByTokenBudget(s5, budget = 1500L)
+        .join(s5.select(col("doc_id"), col("host")), Seq("doc_id"))
+        .select(col("doc_id"), col("host"), col("n_tokens"), col("pack_id"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(webPipelineSql))
+
+  private lazy val webPipelineSql: String = {
+    val pool = urlDomainPool.map(h => s"'$h'").mkString("[", ", ", "]")
+    val blocked = urlBlocklist.map(h => s"'$h'").mkString(", ")
+    s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+        h1 AS (
+          SELECT doc_id, text, $pool[(doc_id % 7) + 1] AS host
+          FROM corpus),
+        h2 AS (
+          SELECT doc_id, text, host,
+            ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id DESC)
+              AS host_rank
+          FROM h1 WHERE host NOT IN ($blocked)),
+        s1 AS (SELECT doc_id, text, host FROM h2 WHERE host_rank <= 40),
+        sc AS (
+          SELECT doc_id, text, host,
+            text || CASE WHEN doc_id % 4 = 1 THEN ' привет мир'
+                         WHEN doc_id % 4 = 2 THEN ' γεια σου κόσμε'
+                         WHEN doc_id % 4 = 3 THEN ' 你好世界'
+                         ELSE '' END AS t2
+          FROM s1),
+        s2 AS (
+          SELECT doc_id, text, host FROM sc
+          WHERE length(t2) - length(regexp_replace(t2,
+            '[\\p{Cyrillic}\\p{Greek}\\p{Han}]', '', 'g')) = 0),
+        t AS (
+          SELECT doc_id, host, text, $toksSql AS toks FROM s2
+          WHERE len($toksSql) >= 5),
+        b AS (
+          SELECT doc_id, host, text, toks,
+            list_transform(
+              generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+              g -> array_to_string(
+                     list_slice(toks, g * 10 + 1, g * 10 + 10), ' '))
+              AS chunks
+          FROM t),
+        l AS (
+          SELECT doc_id, host, text,
+            chunks ||
+              (CASE WHEN doc_id % 3 = 0 THEN [chunks[1]] ELSE [] END) ||
+              (CASE WHEN doc_id % 7 = 0
+                    THEN [array_to_string(list_slice(toks, 1, 5), ' ')]
+                    ELSE [] END) AS lines
+          FROM b),
+        tk AS (
+          SELECT doc_id, host, text, lines,
+            flatten(list_transform(lines, x -> string_split(x, ' ')))
+              AS toks2
+          FROM l),
+        g AS (
+          SELECT doc_id, host, text, lines, toks2,
+            length(list_aggregate(toks2, 'string_agg', '')) AS total_chars,
+            ${gramsSql("toks2", 2)} AS g2
+          FROM tk),
+        sb AS (
+          SELECT doc_id, host, text, lines, toks2, total_chars,
+            ${bestSql(2)}
+          FROM g),
+        m AS (
+          SELECT doc_id, host, text, toks2,
+            CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+              END AS dup_line_frac,
+            ${topSql(2)} AS top2_frac
+          FROM sb),
+        s4 AS (
+          SELECT doc_id, host, text FROM m
+          WHERE dup_line_frac <= 0.30 AND top2_frac <= 0.20
+            AND len(toks2) BETWEEN 15 AND 10000),
+        k AS (
+          SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
+          FROM s4 GROUP BY 1),
+        s5 AS (
+          SELECT s4.doc_id, s4.host, s4.text FROM s4
+          JOIN k ON md5(s4.text) = k.fp AND s4.doc_id = k.keep_id),
+        c AS (
+          SELECT doc_id, host, len($toksSql) AS n_tokens,
+            COALESCE(SUM(len($toksSql)) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_excl
+          FROM s5)
+        SELECT doc_id, host, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(cum_excl // 1500 AS BIGINT) AS pack_id
+        FROM c ORDER BY doc_id"""
+  }
 
   // ---- benchmark decontamination (word n-gram overlap) --------------------
   // The benchmark side collapses to a DISTINCT n-gram set before the
@@ -923,7 +1106,7 @@ object CorpusOpsSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(repetition, repetitionSignals, urlCuration, scriptDetect,
-        decontaminate, domainMix, trigramFreq, gopherFilter,
+        webPipeline, decontaminate, domainMix, trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
         packSequences, packIncrementalQ, bpePairs, bpeTrain, bpeTokenize,
         bpeEncodeExpr, cdcChunks, packManifest)
