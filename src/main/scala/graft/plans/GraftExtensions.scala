@@ -19,7 +19,8 @@ import graft.functions.{FoldText, RollingFingerprint, VectorOps, WktPoint}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     (Seq(WktPoint.registration, RollingFingerprint.registration,
-         FoldText.registration, graft.functions.BpeEncode.registration) ++
+         FoldText.registration, graft.functions.BpeEncode.registration,
+         graft.functions.UnigramEncode.registration) ++
         VectorOps.registrations).foreach {
       case (name, info, builder) =>
         e.injectFunction((FunctionIdentifier(name), info, builder))
@@ -36,7 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     (Seq(WktPoint.registration, RollingFingerprint.registration,
-         FoldText.registration, graft.functions.BpeEncode.registration) ++
+         FoldText.registration, graft.functions.BpeEncode.registration,
+         graft.functions.UnigramEncode.registration) ++
         VectorOps.registrations).foreach {
       case (name, _, builder) =>
         spark.sessionState.functionRegistry

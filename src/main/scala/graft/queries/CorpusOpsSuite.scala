@@ -987,6 +987,114 @@ object CorpusOpsSuite extends QuerySuite {
           FROM s0 ORDER BY doc_id, word_pos"""
   }
 
+  // ---- unigram-LM tokenizer (SentencePiece family, Kudo 2018) --------
+  // The OTHER trained-tokenizer lineage next to BPE: a piece vocabulary
+  // with log-probabilities, applied by Viterbi. q_unigram_train runs
+  // the full trainFast path (distributed word table + driver EM) over
+  // a literal corpus against the vocabulary computed at REGISTRATION
+  // time by the shared trainLocal and baked into static VALUES (the
+  // q_bpe_train convention). q_unigram_encode runs the
+  // custom codegen expression over real corpus words: probe rows carry
+  // exact segmentations computed at registration by the independent
+  // local Viterbi; every real row carries SQL-statable invariants
+  // (pieces concat back to the word; every multi-char piece is
+  // in-vocab; the chosen score is ≥ the all-chars baseline — Viterbi
+  // optimality against a named alternative), the q_simhash_signatures
+  // reduced-form pattern.
+  private val uniVocabSize = 24
+  private val uniExpectedVocab: Seq[(String, Double)] =
+    graft.operators.Unigram.trainLocal(
+      bpeLitCorpus.map { case (w, n) => (w, n.toLong) }, uniVocabSize)
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val unigramTrain = GraftQuery(
+    "q_unigram_train",
+    (s, d) => {
+      import s.implicits._
+      val toks = bpeLitCorpus.flatMap { case (w, n) => Seq.fill(n)(w) }
+      val docs = Seq((1L, toks)).toDF("doc_id", "toks")
+      graft.operators.Unigram.trainFast(docs, "toks", uniVocabSize)
+        .toDF("piece", "logp")
+        .select(col("piece"), round(col("logp"), 6).as("logp"))
+        .orderBy(asc("piece"))
+    },
+    Some(s"""SELECT * FROM (VALUES ${uniExpectedVocab
+               .map { case (p, lp) => s"('$p', ${round6(lp)})" }
+               .mkString(", ")}) AS t(piece, logp) ORDER BY piece"""))
+
+  private val uniProbeWords = Seq(
+    "scan", "scans", "rowhash", "cancan", "scatter", "zzz")
+  private val uniProbeSegs: Seq[(Int, String, String)] =
+    uniProbeWords.zipWithIndex.map { case (w, i) =>
+      (i + 1, w, graft.operators.Unigram
+        .viterbiLocal(w, uniExpectedVocab.toMap).mkString(" "))
+    }
+
+  private val unigramEncode = GraftQuery(
+    "q_unigram_encode",
+    (s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      import s.implicits._
+      val vm = map(uniExpectedVocab.flatMap { case (p, lp) =>
+        Seq(lit(p), lit(lp)) }: _*)
+      def score(arr: org.apache.spark.sql.Column) =
+        aggregate(arr, lit(0.0), (acc, p) =>
+          acc + coalesce(element_at(vm, p), lit(-100.0)))
+      val real = documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("i", "word")))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("word_pos"),
+          col("word"))
+        .withColumn("pieces", graft.functions.UnigramEncode
+          .unigram_encode(col("word"), uniExpectedVocab))
+        .withColumn("chars", filter(split(col("word"), ""), c => c =!= ""))
+        .select(lit("real").as("kind"), col("doc_id"), col("word_pos"),
+          col("word"), lit(null).cast("string").as("pieces_str"),
+          (array_join(col("pieces"), "") === col("word")).as("concat_ok"),
+          (size(filter(col("pieces"), p =>
+            length(p) > 1 && element_at(vm, p).isNull)) === 0)
+            .as("in_vocab_ok"),
+          (score(col("pieces")) >= score(col("chars")) - 1e-9)
+            .as("score_ok"))
+      val probes = uniProbeSegs
+        .toDF("word_pos_i", "word", "expected")
+        .select(lit("probe").as("kind"), lit(-1L).as("doc_id"),
+          col("word_pos_i").cast("long").as("word_pos"), col("word"))
+        .withColumn("pieces_str",
+          array_join(graft.functions.UnigramEncode
+            .unigram_encode(col("word"), uniExpectedVocab), " "))
+        .withColumn("concat_ok", lit(true))
+        .withColumn("in_vocab_ok", lit(true))
+        .withColumn("score_ok", lit(true))
+      real.unionByName(probes)
+        .orderBy(asc("kind"), asc("doc_id"), asc("word_pos"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE doc_id % 20 = 0),
+             w AS (
+               SELECT doc_id, i AS word_pos, toks[i] AS word
+               FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+               WHERE regexp_matches(toks[i], '^[a-z]+$$')),
+             real AS (
+               SELECT 'real' AS kind, doc_id,
+                 CAST(word_pos AS BIGINT) AS word_pos, word,
+                 CAST(NULL AS VARCHAR) AS pieces_str,
+                 TRUE AS concat_ok, TRUE AS in_vocab_ok, TRUE AS score_ok
+               FROM w),
+             probes AS (
+               SELECT 'probe' AS kind, CAST(-1 AS BIGINT) AS doc_id,
+                 CAST(rn AS BIGINT) AS word_pos, word, seg AS pieces_str,
+                 TRUE AS concat_ok, TRUE AS in_vocab_ok, TRUE AS score_ok
+               FROM (VALUES ${uniProbeSegs.map { case (i, w, seg) =>
+                 s"($i, '$w', '$seg')" }.mkString(", ")}) AS v(rn, word, seg))
+             SELECT * FROM real UNION ALL SELECT * FROM probes
+             ORDER BY kind, doc_id, word_pos"""))
+
   // ---- content-defined chunking (LBFS/rsync-family splitter) ---------
   // A chunk boundary opens wherever the 4-gram hash ≡ 0 (mod 64) —
   // edit-stable boundaries (an insertion moves only chunks up to the
@@ -1109,5 +1217,5 @@ object CorpusOpsSuite extends QuerySuite {
         webPipeline, decontaminate, domainMix, trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
         packSequences, packIncrementalQ, bpePairs, bpeTrain, bpeTokenize,
-        bpeEncodeExpr, cdcChunks, packManifest)
+        bpeEncodeExpr, unigramTrain, unigramEncode, cdcChunks, packManifest)
 }
