@@ -224,4 +224,46 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("ExistingRDD"),
       s"stage-boundary localCheckpoint missing — plan:\n$s")
   }
+
+  test("q_web_pipeline: lineage cut isolates the repetition-signal stage") {
+    // without the cut, PushDownPredicates substitutes the raw-signal
+    // aliases into the pushed filter, re-inlining the staged arrays
+    // into lambda bodies (measured 13+ min at sf0.001)
+    val s = planNoExec("q_web_pipeline")
+    assert(s.contains("ExistingRDD"),
+      s"signal-boundary localCheckpoint missing — plan:\n$s")
+  }
+
+  test("parquet MIN/MAX/COUNT aggregates push down to the scan") {
+    // scan-efficiency contract at 100 TB: a bare min/max/count over a
+    // parquet table must answer from footer statistics (PushedAggregation
+    // in the scan), never a full column scan. Opt-in conf; DSv2 path.
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevList = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      // timestamp columns are not pushdown-eligible (the NTZ/INT96
+      // ambiguity) — numeric min/max + count(*) are
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.min("l_quantity"),
+          org.apache.spark.sql.functions.max("l_orderkey"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)))
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("PushedAggregation: [MIN(l_quantity), " +
+        "MAX(l_orderkey), COUNT(*)]"),
+        s"aggregate not pushed to the parquet scan — plan:\n$s")
+      assert(df.head().getLong(2) > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+      prevList match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
+    }
+  }
 }
