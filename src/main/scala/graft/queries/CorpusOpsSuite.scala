@@ -121,7 +121,11 @@ object CorpusOpsSuite extends QuerySuite {
             col("dup5_frac")))
         .orderBy(asc("doc_id"))
     },
-    Some(repetitionSignalsSql))
+    Some(repetitionSignalsSql),
+    // headline: the session's heaviest pure per-doc map (full
+    // six-signal set); TimeQ band 3.5–10 s from a 4.70 s warm floor
+    // (BASELINE round 10, third session)
+    headline = true)
 
   /** DuckDB n-gram array over a list column (shared by the repetition
     * oracles).
@@ -424,7 +428,8 @@ object CorpusOpsSuite extends QuerySuite {
         .select(col("doc_id"), col("host"), col("n_tokens"), col("pack_id"))
         .orderBy(asc("doc_id"))
     },
-    Some(webPipelineSql))
+    Some(webPipelineSql),
+    headline = true)
 
   private lazy val webPipelineSql: String = {
     val pool = urlDomainPool.map(h => s"'$h'").mkString("[", ", ", "]")
@@ -515,6 +520,8 @@ object CorpusOpsSuite extends QuerySuite {
   }
 
   // ---- benchmark decontamination (word n-gram overlap) --------------------
+  // (q_web_pipeline is a headline: TimeQ band 1.2–4 s from a 1.56 s
+  // warm floor — BASELINE round 10, third session.)
   // The benchmark side collapses to a DISTINCT n-gram set before the
   // join: eval suites are tiny relative to the corpus, so this side
   // broadcasts and the 100 TB corpus side never shuffles — each corpus
