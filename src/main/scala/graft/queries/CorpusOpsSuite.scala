@@ -90,7 +90,14 @@ object CorpusOpsSuite extends QuerySuite {
     "q_repetition_signals",
     (s, d) => {
       import graft.functions.RepetitionSignals
+      // the ONLY shuffle in this gate, and it exists purely because the
+      // testdata table is one small parquet file = one input split: the
+      // signal computation is a pure per-doc map, and at real scale
+      // file splits parallelize it for free. Without this, the whole
+      // heavy map runs as a single task on local[32] (measured 4.7 s
+      // vs ~0.9 s spread across cores).
       val t = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 5)
       val nChunks = ceil(size(col("toks")).cast("double") / 10.0).cast("int")
@@ -123,8 +130,9 @@ object CorpusOpsSuite extends QuerySuite {
     },
     Some(repetitionSignalsSql),
     // headline: the session's heaviest pure per-doc map (full
-    // six-signal set); TimeQ band 3.5–10 s from a 4.70 s warm floor
-    // (BASELINE round 10, third session)
+    // six-signal set); TimeQ band 1.3–5 s from a 1.77 s warm floor
+    // after the split-simulation repartition (single-task floor was
+    // 4.70 s — BASELINE round 10, third session)
     headline = true)
 
   /** DuckDB n-gram array over a list column (shared by the repetition
