@@ -99,18 +99,19 @@ object RepetitionSignals {
     */
   def repetitionVerdict(dupLineF: Column, dupLineCharF: Column,
                         top2: Column, top3: Column, top4: Column,
-                        dup5: Column): Column =
+                        dup5: Column, dup10: Column): Column =
     when(dupLineF > 0.30, lit("dup_lines"))
       .when(dupLineCharF > 0.20, lit("dup_line_chars"))
       .when(top2 > 0.20, lit("top_2gram"))
       .when(top3 > 0.18, lit("top_3gram"))
       .when(top4 > 0.16, lit("top_4gram"))
       .when(dup5 > 0.15, lit("dup_5gram"))
+      .when(dup10 > 0.10, lit("dup_10gram"))
       .otherwise(lit("keep"))
 
   /** Append the raw signal columns `rep_dup_line_frac,
     * rep_dup_line_char_frac, rep_top2_frac, rep_top3_frac,
-    * rep_top4_frac, rep_dup5_frac` to `df`. `linesCol` and `toksCol`
+    * rep_top4_frac, rep_dup5_frac, rep_dup10_frac` to `df`. `linesCol` and `toksCol`
     * must be array&lt;string&gt; columns (callers choose the line
     * split; token streams with no embedded spaces keep the char-mass
     * arithmetic cross-engine exact). Intermediates are bound as
@@ -129,12 +130,19 @@ object RepetitionSignals {
       filter(col("_rl"), r => r.getField("cnt") >= 2),
       lit(0L), (acc, r) => acc +
         r.getField("cnt").cast("long") * length(r.getField("value")))
-    val dupStarts = filter(sequence(lit(1), size(col(toksCol)) - 4),
-      p => array_contains(col("_dup5"), element_at(col("_g5"), p)))
-    val coveredMass = aggregate(
-      array_distinct(flatten(transform(dupStarts,
-        p => sequence(p, p + 4)))),
-      lit(0L), (acc, i) => acc + length(element_at(col(toksCol), i)))
+    def dupFrac(n: Int) = {
+      val dupStarts = filter(sequence(lit(1), size(col(toksCol)) - (n - 1)),
+        p => array_contains(col(s"_dup$n"), element_at(col(s"_g$n"), p)))
+      val coveredMass = aggregate(
+        array_distinct(flatten(transform(dupStarts,
+          p => sequence(p, p + (n - 1))))),
+        lit(0L), (acc, i) => acc + length(element_at(col(toksCol), i)))
+      // size(_dupN) both guards the probe and pins the alias
+      // multi-use (single-use aliases inline into the lambda)
+      when(size(col(toksCol)) < n || totalChars <= 0 ||
+          size(col(s"_dup$n")) === 0, lit(0.0))
+        .otherwise(coveredMass.cast("double") / totalChars.cast("double"))
+    }
     // docs shorter than n: sequence(1, ≤0) is DESCENDING and would
     // probe element_at(toks, 0) — empty gram array instead
     def ngramsSafe(n: Int) =
@@ -143,17 +151,23 @@ object RepetitionSignals {
     df
       .withColumn("_slines", array_sort(col(linesCol)))
       .withColumn("_g5", ngramsSafe(5))
+      .withColumn("_g10", ngramsSafe(10))
       .withColumn("_s2", array_sort(ngramsSafe(2)))
       .withColumn("_s3", array_sort(ngramsSafe(3)))
       .withColumn("_s4", array_sort(ngramsSafe(4)))
       .withColumn("_s5", array_sort(col("_g5")))
+      .withColumn("_s10", array_sort(col("_g10")))
       .withColumn("_rl", runsOfSorted(col("_slines")))
       .withColumn("_r5", runsOfSorted(col("_s5")))
+      .withColumn("_r10", runsOfSorted(col("_s10")))
       .withColumn("_b2", bestRun(runsOfSorted(col("_s2")), 2))
       .withColumn("_b3", bestRun(runsOfSorted(col("_s3")), 3))
       .withColumn("_b4", bestRun(runsOfSorted(col("_s4")), 4))
       .withColumn("_dup5", transform(
         filter(col("_r5"), r => r.getField("cnt") >= 2),
+        r => r.getField("value")))
+      .withColumn("_dup10", transform(
+        filter(col("_r10"), r => r.getField("cnt") >= 2),
         r => r.getField("value")))
       .withColumn("rep_dup_line_frac", dupLineFrac(col(linesCol)))
       .withColumn("rep_dup_line_char_frac",
@@ -162,13 +176,9 @@ object RepetitionSignals {
       .withColumn("rep_top2_frac", topFrac(col("_b2"), 2))
       .withColumn("rep_top3_frac", topFrac(col("_b3"), 3))
       .withColumn("rep_top4_frac", topFrac(col("_b4"), 4))
-      .withColumn("rep_dup5_frac",
-        // size(_dup5) both guards the probe and pins the alias
-        // multi-use (single-use aliases inline into the lambda)
-        when(size(col(toksCol)) < 5 || totalChars <= 0 ||
-            size(col("_dup5")) === 0, lit(0.0))
-          .otherwise(coveredMass.cast("double") / totalChars.cast("double")))
-      .drop("_slines", "_g5", "_s2", "_s3", "_s4", "_s5", "_rl", "_r5",
-        "_b2", "_b3", "_b4", "_dup5")
+      .withColumn("rep_dup5_frac", dupFrac(5))
+      .withColumn("rep_dup10_frac", dupFrac(10))
+      .drop("_slines", "_g5", "_g10", "_s2", "_s3", "_s4", "_s5", "_s10",
+        "_rl", "_r5", "_r10", "_b2", "_b3", "_b4", "_dup5", "_dup10")
   }
 }

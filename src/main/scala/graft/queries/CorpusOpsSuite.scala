@@ -121,11 +121,12 @@ object CorpusOpsSuite extends QuerySuite {
           round(col("rep_top2_frac"), 6).as("top2_frac"),
           round(col("rep_top3_frac"), 6).as("top3_frac"),
           round(col("rep_top4_frac"), 6).as("top4_frac"),
-          round(col("rep_dup5_frac"), 6).as("dup5_frac"))
+          round(col("rep_dup5_frac"), 6).as("dup5_frac"),
+          round(col("rep_dup10_frac"), 6).as("dup10_frac"))
         .withColumn("verdict", RepetitionSignals
           .repetitionVerdict(col("dup_line_frac"), col("dup_line_char_frac"),
             col("top2_frac"), col("top3_frac"), col("top4_frac"),
-            col("dup5_frac")))
+            col("dup5_frac"), col("dup10_frac")))
         .orderBy(asc("doc_id"))
     },
     Some(repetitionSignalsSql),
@@ -189,10 +190,11 @@ object CorpusOpsSuite extends QuerySuite {
             ${gramsSql("toks2", 2)} AS g2,
             ${gramsSql("toks2", 3)} AS g3,
             ${gramsSql("toks2", 4)} AS g4,
-            ${gramsSql("toks2", 5)} AS g5
+            ${gramsSql("toks2", 5)} AS g5,
+            ${gramsSql("toks2", 10)} AS g10
           FROM tk),
         s AS (
-          SELECT doc_id, lines, toks2, total_chars, g5,
+          SELECT doc_id, lines, toks2, total_chars, g5, g10,
             ${bestSql(2)}, ${bestSql(3)}, ${bestSql(4)}
           FROM g),
         m AS (
@@ -219,16 +221,25 @@ object CorpusOpsSuite extends QuerySuite {
                     p -> len(list_filter(g5, x -> x = g5[p])) >= 2),
                   p -> generate_series(p, p + 4)))),
                 i -> length(toks2[i]))), 0)::DOUBLE / total_chars
-              END, 6) AS dup5_frac
+              END, 6) AS dup5_frac,
+            ROUND(CASE WHEN len(toks2) < 10 OR total_chars = 0 THEN 0.0 ELSE
+              COALESCE(list_sum(list_transform(
+                list_distinct(flatten(list_transform(
+                  list_filter(generate_series(1, len(toks2) - 9),
+                    p -> len(list_filter(g10, x -> x = g10[p])) >= 2),
+                  p -> generate_series(p, p + 9)))),
+                i -> length(toks2[i]))), 0)::DOUBLE / total_chars
+              END, 6) AS dup10_frac
           FROM s)
         SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
-          top2_frac, top3_frac, top4_frac, dup5_frac,
+          top2_frac, top3_frac, top4_frac, dup5_frac, dup10_frac,
           CASE WHEN dup_line_frac > 0.30 THEN 'dup_lines'
                WHEN dup_line_char_frac > 0.20 THEN 'dup_line_chars'
                WHEN top2_frac > 0.20 THEN 'top_2gram'
                WHEN top3_frac > 0.18 THEN 'top_3gram'
                WHEN top4_frac > 0.16 THEN 'top_4gram'
                WHEN dup5_frac > 0.15 THEN 'dup_5gram'
+               WHEN dup10_frac > 0.10 THEN 'dup_10gram'
                ELSE 'keep' END AS verdict
         FROM m ORDER BY doc_id"""
   }

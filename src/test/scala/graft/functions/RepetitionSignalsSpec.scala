@@ -11,14 +11,15 @@ class RepetitionSignalsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  /** All six signals for one (lines, toks) document. */
+  /** All seven signals for one (lines, toks) document. */
   private def signals(lines: Seq[String], toks: Seq[String]): Seq[Double] = {
     val df = Seq((lines, toks)).toDF("lines", "toks")
     val r = RepetitionSignals.withSignals(df, "lines", "toks")
       .select("rep_dup_line_frac", "rep_dup_line_char_frac",
-        "rep_top2_frac", "rep_top3_frac", "rep_top4_frac", "rep_dup5_frac")
+        "rep_top2_frac", "rep_top3_frac", "rep_top4_frac", "rep_dup5_frac",
+        "rep_dup10_frac")
       .head()
-    (0 until 6).map(r.getDouble)
+    (0 until 7).map(r.getDouble)
   }
 
   test("dup line fraction and char fraction, hand computed") {
@@ -36,7 +37,18 @@ class RepetitionSignalsSpec extends AnyFunSuite {
 
   test("empty line set and short toks → all zero, not NaN/error") {
     val s = signals(Seq.empty, Seq.empty)
-    assert(s == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(s == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("dup 10-gram coverage, hand computed") {
+    // T T w with T = t1..t10: 10-grams at 1..12; gram(1) = gram(11) = T
+    // (the only duplicated value) → covered 1..10 ∪ 11..20 = 20 of 21
+    // single-char positions
+    val T = (1 to 10).map(i => ('a' + i - 1).toChar.toString)
+    val s = signals(Seq("l"), T ++ T ++ Seq("w"))
+    assert(math.abs(s(6) - 20.0 / 21.0) < 1e-12)
+    // no duplicated 10-gram in a short doc
+    assert(signals(Seq("l"), T)(6) == 0.0)
   }
 
   test("top bigram char fraction, hand computed") {
@@ -86,15 +98,17 @@ class RepetitionSignalsSpec extends AnyFunSuite {
 
   test("verdict applies Gopher thresholds in rule order") {
     val v = Seq(
-      (0.4, 0.0, 0.0, 0.0, 0.0, 0.0),   // dup_lines fires first
-      (0.0, 0.3, 0.3, 0.0, 0.0, 0.0),   // dup_line_chars before top2
-      (0.0, 0.0, 0.0, 0.0, 0.0, 0.16),  // dup_5gram
-      (0.30, 0.20, 0.20, 0.18, 0.16, 0.15)) // all AT thresholds → keep
-      .toDF("a", "b", "c", "d", "e", "f")
+      (0.4, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),   // dup_lines fires first
+      (0.0, 0.3, 0.3, 0.0, 0.0, 0.0, 0.0),   // dup_line_chars before top2
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.16, 0.2),  // dup_5gram before dup_10gram
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.11),  // dup_10gram
+      (0.30, 0.20, 0.20, 0.18, 0.16, 0.15, 0.10)) // all AT thresholds → keep
+      .toDF("a", "b", "c", "d", "e", "f", "g")
       .select(RepetitionSignals.repetitionVerdict(
-        col("a"), col("b"), col("c"), col("d"), col("e"), col("f"))
-        .as("v"))
+        col("a"), col("b"), col("c"), col("d"), col("e"), col("f"),
+        col("g")).as("v"))
       .as[String].collect().toSeq
-    assert(v == Seq("dup_lines", "dup_line_chars", "dup_5gram", "keep"))
+    assert(v == Seq("dup_lines", "dup_line_chars", "dup_5gram",
+      "dup_10gram", "keep"))
   }
 }
