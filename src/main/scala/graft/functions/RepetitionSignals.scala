@@ -75,8 +75,14 @@ object RepetitionSignals {
       .otherwise(slice(sequence(lit(1), lit(1)), 1, 0))
     val bpos = filter(idx, i =>
       (i === 1) || element_at(sorted, i) =!= element_at(sorted, i - 1))
-    val bnext = concat(slice(bpos, lit(2), greatest(size(bpos) - 1, lit(0))),
-      array(size(sorted) + 1))
+    // Empty input ⇒ empty runs. Without the guard, bpos=[] against
+    // bnext=[size+1] zip_with-pads to [struct(null,null)] — every current
+    // caller happens to neutralize it, but the helper contract shouldn't
+    // rely on that.
+    val bnext = when(size(bpos) > 0,
+      concat(slice(bpos, lit(2), greatest(size(bpos) - 1, lit(0))),
+        array(size(sorted) + 1)))
+      .otherwise(slice(array(size(sorted)), 1, 0))
     zip_with(bpos, bnext, (st, en) =>
       struct((en - st).as("cnt"), element_at(sorted, st).as("value")))
   }

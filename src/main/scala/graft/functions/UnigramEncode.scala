@@ -92,9 +92,17 @@ object UnigramEncode {
     }
   }
 
-  private def litScalar[T](e: Expression, what: String): Any = {
+  // Coerce through Number so SQL-side bigint/int literals (e.g.
+  // `unigram_encode(w, v, 8L, -100)`) get the same descriptive failure
+  // text as arity/foldability errors instead of a raw ClassCastException
+  private def litNumber(e: Expression, what: String): Number = {
     require(e.foldable, s"unigram_encode $what must be a literal")
-    e.eval()
+    e.eval() match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"unigram_encode $what must be a numeric literal, got " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+    }
   }
 
   def registration: (String, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -104,12 +112,10 @@ object UnigramEncode {
       require(exprs.length >= 2 && exprs.length <= 4,
         "unigram_encode(word, vocab[, maxPieceLen[, unkLogp]])")
       val maxLen =
-        if (exprs.length > 2)
-          litScalar(exprs(2), "maxPieceLen").asInstanceOf[Int]
+        if (exprs.length > 2) litNumber(exprs(2), "maxPieceLen").intValue()
         else 8
       val unk =
-        if (exprs.length > 3)
-          litScalar(exprs(3), "unkLogp").asInstanceOf[Double]
+        if (exprs.length > 3) litNumber(exprs(3), "unkLogp").doubleValue()
         else -100.0
       UnigramEncode(exprs.head, extractVocab(exprs(1)), maxLen, unk)
     })

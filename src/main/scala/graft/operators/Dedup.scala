@@ -730,11 +730,19 @@ object Dedup {
     // persist mode: LogicalRDD leaf (lazy) + cache; the per-round Σlabel
     // action is what populates the cache, so no extra job is paid.
     // checkpoint mode: eager localCheckpoint (materialization IS the job).
-    def materialize(df: DataFrame): DataFrame =
+    // width > 0 ⇒ bytes-targeted repartition BEFORE materializing: a
+    // materialized round otherwise freezes at the configured shuffle
+    // width, below AQE's coalescing reach — the measured shuffle=128
+    // over-partitioning tax (see graft.plans.Lineage). Round frames are
+    // (id,label) pairs whose cardinality the loop KNOWS, so their width
+    // comes from the row count, never from spark.sql.shuffle.partitions.
+    def materialize(df: DataFrame, width: Int = 0): DataFrame = {
+      val sized = if (width > 0) df.repartition(width) else df
       if (usePersist)
-        spark.createDataFrame(df.rdd, df.schema)
+        spark.createDataFrame(sized.rdd, df.schema)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df.localCheckpoint(true)
+      else sized.localCheckpoint(true)
+    }
     def release(df: DataFrame): Unit =
       if (usePersist) df.unpersist(blocking = false)
     val sym = materialize(edges.select(col("a"), col("b"))
@@ -761,9 +769,14 @@ object Dedup {
       .join(nodes.select(col("id")), Seq("id"), "left_semi"))
     val nParts = participants.count()
     val dense = nodesCount.exists(n => nParts * 2 >= n && n > 0)
+    // ~48 B per materialized (id,label) UnsafeRow — the width only needs
+    // the order of magnitude (64 MB target ⇒ ~1.4M rows/partition)
+    val labelRows = if (dense) nodesCount.get else nParts
+    val labelWidth = graft.plans.Lineage.widthForBytes(
+      spark, BigInt(labelRows) * 48L)
     var labels = materialize(
       (if (dense) nodes.select(col("id")) else participants)
-        .select(col("id"), col("id").as("label")))
+        .select(col("id"), col("id").as("label")), labelWidth)
     if (dense) release(participants)
     // Edgeless graphs short-circuit: every node is its own cluster, so
     // the identity labels ARE the fixpoint — skip the propagation loop.
@@ -792,7 +805,7 @@ object Dedup {
         .join(neighborMin.withColumnRenamed("nmin", "nl"), Seq("id"), "left")
         .select(col("id"),
                 least(col("label"), coalesce(col("nl"), col("label")))
-                  .as("label")))
+                  .as("label")), labelWidth)
       i += 1
       // one action per round: fixpoint test + (persist mode) cache fill.
       // Only after it may the previous round's blocks be dropped — the
@@ -818,7 +831,9 @@ object Dedup {
         val f = materialize(nodes.select(col("id"))
           .join(labels.select(col("id"), col("label").as("plabel")),
                 Seq("id"), "left")
-          .select(col("id"), coalesce(col("plabel"), col("id")).as("label")))
+          .select(col("id"), coalesce(col("plabel"), col("id")).as("label")),
+          nodesCount.map(n => graft.plans.Lineage
+            .widthForBytes(spark, BigInt(n) * 48L)).getOrElse(0))
         f.count()
         release(participants)
         release(labels)

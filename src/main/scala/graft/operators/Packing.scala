@@ -104,12 +104,28 @@ object Packing {
     * new id sorts after every packed id, the prior packing ∪ this
     * continuation is IDENTICAL to packing the whole corpus in one
     * pass — pinned for arbitrary split points in PackingSpec.
+    * Callers holding the manifest should pass its max packed id as
+    * `maxPackedId`: the boundary is then ASSERTED (one column-pruned
+    * map-side `min` over the new batch) instead of trusted — an
+    * overlapping id range would otherwise silently produce pack
+    * assignments that disagree with the full recompute.
     */
   def packIncremental(newDocs: DataFrame, priorTokens: Long, budget: Long,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      maxPackedId: Option[Long] = None): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(priorTokens >= 0, "priorTokens must be non-negative")
+    maxPackedId.foreach { maxId =>
+      val minNew = newDocs.agg(min(col(idCol).cast("long"))).head()
+      if (!minNew.isNullAt(0))
+        require(minNew.getLong(0) > maxId,
+          s"packIncremental: new batch min($idCol)=${minNew.getLong(0)} " +
+          s"does not sort after maxPackedId=$maxId — an overlapping id " +
+          "range breaks the append-only continuation contract (the " +
+          "result would disagree with a full recompute); repack from " +
+          "scratch or fix the id assignment")
+    }
     withGlobalPrefix(newDocs, idCol, textCol)
       .select(col("id").as(idCol), col("n_tokens"),
         expr(s"(${priorTokens}L + prefix + local_cum) div ${budget}L")

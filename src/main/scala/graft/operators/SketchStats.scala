@@ -21,6 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object SketchStats {
 
+  // ---- stored-state lifecycle ----------------------------------------
+  // The whole point of a mergeable sketch is that the state OUTLIVES the
+  // pass that built it: per-shard rows land in a parquet table next to
+  // the shard, and every later question is answered from that table —
+  // never by rescanning the corpus. saveStates/loadStates make the
+  // lifecycle literal; the q_*_stored gates drive it end-to-end
+  // (build → write → read → answer, with the answer oracled).
+
+  /** Persist a shard-states frame (any of this file's `shard*` shapes —
+    * the binary state column round-trips through parquet unchanged). */
+  def saveStates(states: DataFrame, path: String): Unit =
+    states.write.mode("overwrite").parquet(path)
+
+  /** Read back a shard-states table written by [[saveStates]]. */
+  def loadStates(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** One row per shard: `shardCol, n_rows, sketch` (binary HLL state of
     * the key column). The ONE corpus-sized pass; everything after works
     * on |shards| rows.

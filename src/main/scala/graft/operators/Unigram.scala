@@ -95,15 +95,36 @@ object Unigram {
     *    by (count desc, piece asc) PLUS all single codepoints.
     * 2. Each round: Viterbi-segment every word with the current
     *    scores, accumulate frequency-weighted piece usage (E), rescore
-    *    logp = ln(usage/total) (M), prune to vocabSize by (usage desc,
-    *    piece asc) keeping single codepoints unprunable.
+    *    logp = ln((usage+α)/(total+α·|V|)) (M — `alpha` is add-α
+    *    smoothing, 0 = the historical unsmoothed estimate), prune to
+    *    vocabSize by (usage desc, piece asc) keeping single codepoints
+    *    unprunable.
+    *
+    * `lossPrune = true` switches step 2's pruning to the SentencePiece
+    * shape (Kudo 2018 §3.2): EM refines the FULL current vocab, then
+    * each outer iteration removes the multi-codepoint pieces whose
+    * removal costs the least total corpus log-likelihood — for each
+    * candidate piece, re-Viterbi the words whose current best
+    * segmentation uses it with the piece withheld, and charge the
+    * frequency-weighted score drop. The vocab shrinks by at most
+    * `1 - shrinkFactor` per iteration (never below vocabSize), so a
+    * high-loss piece can survive several rounds of re-estimation that
+    * usage-rank pruning would have cut on round one. EM here is
+    * hard-EM (Viterbi counts, not forward-backward expectations) —
+    * the same E-step both modes share; ties stay (loss desc, piece
+    * asc) so training is replayable cross-engine.
     *
     * Returns (piece, logp) sorted by piece — the stored artifact shape.
     */
   def trainLocal(wordFreqs: Seq[(String, Long)], vocabSize: Int,
                  rounds: Int = 2, maxPieceLen: Int = 8,
-                 seedFactor: Int = 4): Seq[(String, Double)] = {
+                 seedFactor: Int = 4, alpha: Double = 0.0,
+                 lossPrune: Boolean = false,
+                 shrinkFactor: Double = 0.75): Seq[(String, Double)] = {
     require(vocabSize >= 1 && rounds >= 1 && maxPieceLen >= 1)
+    require(alpha >= 0.0, "alpha is add-α smoothing mass, must be >= 0")
+    require(shrinkFactor > 0.0 && shrinkFactor < 1.0,
+      "shrinkFactor must be in (0,1): the per-iteration keep fraction")
     def codepoints(w: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
@@ -137,24 +158,73 @@ object Unigram {
       val total = seed.toSeq.map(counts.getOrElse(_, 1L)).sum.toDouble
       seed.map(p => p -> math.log(counts.getOrElse(p, 1L) / total)).toMap
     }
-    (1 to rounds).foreach { _ =>
+    // shared E-step: frequency-weighted piece usage under current scores,
+    // single codepoints floored to 1 (unprunable — coverage guarantee)
+    def emUsage(): scala.collection.mutable.HashMap[String, Long] = {
       val usage = scala.collection.mutable.HashMap.empty[String, Long]
       wordFreqs.foreach { case (w, f) =>
         viterbiLocal(w, scores, maxPieceLen).foreach { p =>
           usage.update(p, usage.getOrElse(p, 0L) + f)
         }
       }
-      // single codepoints are unprunable (coverage guarantee)
       chars.foreach(c => usage.update(c, math.max(usage.getOrElse(c, 0L), 1L)))
-      val kept = usage.toSeq
-        .sortBy { case (p, c) => (-c, p) }
-        .filter { case (p, _) =>
-          chars.contains(p) || usage(p) > 0 }
-      val multi = kept.filterNot(k => chars.contains(k._1))
-        .take(math.max(0, vocabSize - chars.size))
-      val vocab = (multi ++ kept.filter(k => chars.contains(k._1))).toMap
-      val total = vocab.values.sum.toDouble
-      scores = vocab.map { case (p, c) => p -> math.log(c / total) }
+      usage
+    }
+    // shared M-step: add-α rescore over a usage-count vocab
+    def rescore(vocab: Map[String, Long]): Map[String, Double] = {
+      val total = vocab.values.sum.toDouble + alpha * vocab.size
+      vocab.map { case (p, c) => p -> math.log((c + alpha) / total) }
+    }
+    val targetMulti = math.max(0, vocabSize - chars.size)
+    if (!lossPrune) {
+      (1 to rounds).foreach { _ =>
+        val usage = emUsage()
+        // usage-rank pruning: top multi-codepoint pieces by (usage desc,
+        // piece asc); zero-usage pieces are absent from the map already
+        val kept = usage.toSeq.sortBy { case (p, c) => (-c, p) }
+        val multi = kept.filterNot(k => chars.contains(k._1)).take(targetMulti)
+        scores = rescore((multi ++ kept.filter(k => chars.contains(k._1))).toMap)
+      }
+    } else {
+      var done = false
+      while (!done) {
+        (1 to rounds).foreach { _ => scores = rescore(emUsage().toMap) }
+        val multi = scores.keys.filterNot(chars.contains).toSeq
+        if (multi.size <= targetMulti) done = true
+        else {
+          // best segmentation + score per word under the CURRENT vocab,
+          // and the piece → affected-words index the loss pass probes
+          val segs = wordFreqs.map { case (w, f) =>
+            val seg = viterbiLocal(w, scores, maxPieceLen)
+            (w, f, seg, seg.map(p => scores.getOrElse(p, -100.0)).sum)
+          }
+          val affected = scala.collection.mutable.HashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+          segs.zipWithIndex.foreach { case ((_, _, seg, _), i) =>
+            seg.distinct.foreach(p =>
+              affected.getOrElseUpdate(p, scala.collection.mutable.ArrayBuffer.empty) += i)
+          }
+          // loss(p) = Σ_w f(w)·(score_with − score_without_p) over words
+          // whose best segmentation uses p; words that don't use p lose 0
+          val losses = multi.map { p =>
+            val without = scores - p
+            val l = affected.getOrElse(p, scala.collection.mutable.ArrayBuffer.empty)
+              .iterator.map { i =>
+                val (w, f, _, sc) = segs(i)
+                f * (sc - viterbiScore(w, without, maxPieceLen))
+              }.sum
+            p -> l
+          }
+          // ceil(n·f) = n for small n — clamp to n-1 so every iteration
+          // removes at least one piece (guaranteed termination)
+          val keep = math.max(targetMulti, math.min(multi.size - 1,
+            math.ceil(multi.size * shrinkFactor).toInt))
+          val keptMulti = losses.sortBy { case (p, l) => (-l, p) }
+            .take(keep).map(_._1).toSet
+          scores = scores.filter { case (p, _) =>
+            chars.contains(p) || keptMulti.contains(p) }
+        }
+      }
     }
     scores.toSeq.sortBy(_._1)
   }
@@ -165,7 +235,9 @@ object Unigram {
     */
   def trainFast(docs: DataFrame, toksCol: String, vocabSize: Int,
                 rounds: Int = 2, maxPieceLen: Int = 8,
-                minFreq: Long = 1L, maxWords: Int = 2000000): Seq[(String, Double)] = {
+                minFreq: Long = 1L, maxWords: Int = 2000000,
+                alpha: Double = 0.0, lossPrune: Boolean = false,
+                shrinkFactor: Double = 0.75): Seq[(String, Double)] = {
     val rows = docs.select(explode(col(toksCol)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
@@ -176,6 +248,7 @@ object Unigram {
       s"minFreq=$minFreq — raise minFreq; silently truncating the word " +
       "table would change the trained vocabulary")
     trainLocal(rows.map(r => (r.getString(0), r.getLong(1))).toSeq,
-      vocabSize, rounds, maxPieceLen)
+      vocabSize, rounds, maxPieceLen, alpha = alpha,
+      lossPrune = lossPrune, shrinkFactor = shrinkFactor)
   }
 }

@@ -432,7 +432,7 @@ object CorpusOpsSuite extends QuerySuite {
         .select(col("doc_id"), col("host"), col("text"),
           col("rep_dup_line_frac"), col("rep_top2_frac"),
           size(col("toks2")).as("wc"))
-        .localCheckpoint(false)
+        .transform(graft.plans.Lineage.cut(_))
       val s4 = sig
         .filter(col("rep_dup_line_frac") <= 0.30 &&
           col("rep_top2_frac") <= 0.20)
@@ -534,6 +534,129 @@ object CorpusOpsSuite extends QuerySuite {
               AS cum_excl
           FROM s5)
         SELECT doc_id, host, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(cum_excl // 1500 AS BIGINT) AS pack_id
+        FROM c ORDER BY doc_id"""
+  }
+
+  // ---- multimodal web-corpus pipeline COMPOSITION (round 11) ---------
+  // The q_web_pipeline convention with MEDIA PAYLOADS curated jointly
+  // with the text — the builder brief's multimodal-columns requirement
+  // composed, not just per-operator: per-host newest-40 cap → script
+  // routing → token floor → REAL image+audio encode/decode for the
+  // SURVIVORS ONLY (decode is the expensive stage; text curation runs
+  // first, the production ordering) → media quality filter on decoded
+  // stats → exact text dedup (min-id keeper; clones at +1e6 keep their
+  // media arithmetic mod 16/50, so a surviving original forces real
+  // dedup work) → token-budget packing. Lineage cuts at the two
+  // natural boundaries: post-text-curation (three consumers — both
+  // media synthesizers and the join spine) and post-dedup (packing +
+  // final projection). Every decoded statistic is integer arithmetic
+  // in doc_id, so the full five-stage composition — two codecs, three
+  // filters, dedup, packing — replays in pure SQL.
+  private val multimodalPipeline = GraftQuery(
+    "q_multimodal_pipeline",
+    (s, d) => {
+      import graft.operators.Multimodal
+      val pool = array(urlDomainPool.map(lit): _*)
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy(desc("doc_id"))
+      val s1 = corpus
+        .withColumn("host",
+          element_at(pool, (col("doc_id") % 7 + 1).cast("int")))
+        .filter(!col("host").isin(urlBlocklist: _*))
+        .withColumn("host_rank", row_number().over(w))
+        .filter(col("host_rank") <= 40)
+      val planted = when(col("doc_id") % 4 === 1, lit(" привет мир"))
+        .when(col("doc_id") % 4 === 2, lit(" γεια σου κόσμε"))
+        .when(col("doc_id") % 4 === 3, lit(" 你好世界"))
+        .otherwise(lit(""))
+      val s2 = s1.withColumn("t2", concat(col("text"), planted))
+        .filter((length(col("t2")) - length(regexp_replace(col("t2"),
+          "[\\p{IsCyrillic}\\p{IsGreek}\\p{IsHan}]", ""))) === 0)
+        .select(col("doc_id"), col("host"), col("text"))
+      val s3 = graft.plans.Lineage.cut(
+        s2.withColumn("n_tokens",
+            size(TextFunctions.tokens(col("text"))).cast("long"))
+          .filter(col("n_tokens") >= 20))
+      val imgF = Multimodal.imageFeaturesById(
+          s, Multimodal.synthesizeImages(s, s3)).toDF()
+        .select(col("doc_id"), col("width"), col("n_px"))
+      val audF = Multimodal.audioFeaturesById(
+          s, Multimodal.synthesizeAudio(s, s3)).toDF()
+        .select(col("doc_id"), col("n_frames"))
+      val s4 = s3.join(imgF, "doc_id").join(audF, "doc_id")
+        .filter(col("width") >= 32 && col("n_frames") >= 120)
+      val keepers = s4.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val s5 = graft.plans.Lineage.cut(
+        s4.withColumn("fp", md5(col("text")))
+          .join(keepers, Seq("fp", "doc_id"), "left_semi"))
+      graft.operators.Packing.packByTokenBudget(s5, budget = 1500L)
+        .join(s5.select(col("doc_id"), col("host"), col("width"),
+          col("n_px"), col("n_frames")), Seq("doc_id"))
+        .select(col("doc_id"), col("host"), col("width"), col("n_px"),
+          col("n_frames"), col("n_tokens"), col("pack_id"))
+        .orderBy(asc("doc_id"))
+    },
+    Some(multimodalPipelineSql))
+
+  private lazy val multimodalPipelineSql: String = {
+    val pool = urlDomainPool.map(h => s"'$h'").mkString("[", ", ", "]")
+    val blocked = urlBlocklist.map(h => s"'$h'").mkString(", ")
+    s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+        h1 AS (
+          SELECT doc_id, text, $pool[(doc_id % 7) + 1] AS host
+          FROM corpus),
+        h2 AS (
+          SELECT doc_id, text, host,
+            ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id DESC)
+              AS host_rank
+          FROM h1 WHERE host NOT IN ($blocked)),
+        s1 AS (SELECT doc_id, text, host FROM h2 WHERE host_rank <= 40),
+        sc AS (
+          SELECT doc_id, text, host,
+            text || CASE WHEN doc_id % 4 = 1 THEN ' привет мир'
+                         WHEN doc_id % 4 = 2 THEN ' γεια σου κόσμε'
+                         WHEN doc_id % 4 = 3 THEN ' 你好世界'
+                         ELSE '' END AS t2
+          FROM s1),
+        s2 AS (
+          SELECT doc_id, text, host FROM sc
+          WHERE length(t2) - length(regexp_replace(t2,
+            '[\\p{Cyrillic}\\p{Greek}\\p{Han}]', '', 'g')) = 0),
+        s3 AS (
+          SELECT doc_id, host, text, len($toksSql) AS n_tokens
+          FROM s2 WHERE len($toksSql) >= 20),
+        mm AS (
+          SELECT doc_id, host, text, n_tokens,
+            (doc_id % 16) * 4 + 8 AS width,
+            ((doc_id % 16) * 4 + 8) * ((doc_id % 12) * 4 + 8) AS n_px,
+            (doc_id % 50) * 4 + 40 AS n_frames
+          FROM s3),
+        s4 AS (SELECT * FROM mm WHERE width >= 32 AND n_frames >= 120),
+        k AS (
+          SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
+          FROM s4 GROUP BY 1),
+        s5 AS (
+          SELECT s4.* FROM s4
+          JOIN k ON md5(s4.text) = k.fp AND s4.doc_id = k.keep_id),
+        c AS (
+          SELECT doc_id, host, width, n_px, n_frames, n_tokens,
+            COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_excl
+          FROM s5)
+        SELECT doc_id, host, CAST(width AS INTEGER) AS width,
+          CAST(n_px AS BIGINT) AS n_px,
+          CAST(n_frames AS BIGINT) AS n_frames,
+          CAST(n_tokens AS BIGINT) AS n_tokens,
           CAST(cum_excl // 1500 AS BIGINT) AS pack_id
         FROM c ORDER BY doc_id"""
   }
@@ -1050,6 +1173,35 @@ object CorpusOpsSuite extends QuerySuite {
                .map { case (p, lp) => s"('$p', ${round6(lp)})" }
                .mkString(", ")}) AS t(piece, logp) ORDER BY piece"""))
 
+  // The SentencePiece-shape training path (round 11): likelihood-loss
+  // vocab pruning + add-α smoothing, same literal-corpus-vs-baked-VALUES
+  // convention as q_unigram_train. vocabSize is set LOW enough that the
+  // seeded vocabulary must shrink through several prune iterations (the
+  // path under test — usage-rank pruning never runs in this mode), and
+  // α=0.5 exercises the smoothed M-step on both the registration-time
+  // and engine-side runs of the same arithmetic.
+  private val uniPrunedVocabSize = 16
+  private val uniPrunedExpected: Seq[(String, Double)] =
+    graft.operators.Unigram.trainLocal(
+      bpeLitCorpus.map { case (w, n) => (w, n.toLong) }, uniPrunedVocabSize,
+      alpha = 0.5, lossPrune = true)
+
+  private val unigramPruned = GraftQuery(
+    "q_unigram_pruned",
+    (s, d) => {
+      import s.implicits._
+      val toks = bpeLitCorpus.flatMap { case (w, n) => Seq.fill(n)(w) }
+      val docs = Seq((1L, toks)).toDF("doc_id", "toks")
+      graft.operators.Unigram.trainFast(docs, "toks", uniPrunedVocabSize,
+          alpha = 0.5, lossPrune = true)
+        .toDF("piece", "logp")
+        .select(col("piece"), round(col("logp"), 6).as("logp"))
+        .orderBy(asc("piece"))
+    },
+    Some(s"""SELECT * FROM (VALUES ${uniPrunedExpected
+               .map { case (p, lp) => s"('$p', ${round6(lp)})" }
+               .mkString(", ")}) AS t(piece, logp) ORDER BY piece"""))
+
   private val uniProbeWords = Seq(
     "scan", "scans", "rowhash", "cancan", "scatter", "zzz")
   private val uniProbeSegs: Seq[(Int, String, String)] =
@@ -1240,8 +1392,10 @@ object CorpusOpsSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(repetition, repetitionSignals, urlCuration, scriptDetect,
-        webPipeline, decontaminate, domainMix, trigramFreq, gopherFilter,
+        webPipeline, multimodalPipeline,
+        decontaminate, domainMix, trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
         packSequences, packIncrementalQ, bpePairs, bpeTrain, bpeTokenize,
-        bpeEncodeExpr, unigramTrain, unigramEncode, cdcChunks, packManifest)
+        bpeEncodeExpr, unigramTrain, unigramPruned, unigramEncode,
+        cdcChunks, packManifest)
 }

@@ -726,7 +726,7 @@ object CurationExtSuite extends QuerySuite {
         .select(col("doc_id"), col("source"), col("clean_text"),
           TextFunctions.tokens(col("clean_text")).as("ctoks"))
         .filter(size(col("ctoks")) >= 1)
-        .localCheckpoint(false)
+        .transform(graft.plans.Lineage.cut(_))
       val afterExact = graft.operators.Dedup.dropDuplicatesByKey(
         cleaned, md5(col("clean_text")), "doc_id")
       val pairs = graft.operators.Dedup.nearDuplicatePairs(afterExact,
@@ -738,8 +738,11 @@ object CurationExtSuite extends QuerySuite {
         .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
         .filter(col("fa") === col("fb"))
         .select(col("b").as("doc_id")).distinct()
-      val afterNear = afterExact.join(dropIds, Seq("doc_id"), "left_anti")
-        .localCheckpoint(false)
+      // Both boundaries use the bytes-targeted self-sizing cut: the
+      // post-checkpoint width must track data volume, not the shuffle
+      // config (the measured 1.66× shuffle=128 tax — see plans.Lineage)
+      val afterNear = graft.plans.Lineage.cut(
+        afterExact.join(dropIds, Seq("doc_id"), "left_anti"))
       val weights = graft.operators.Dsir.importanceWeights(
         raw = afterNear.select(col("doc_id"), col("ctoks").as("toks")),
         target = afterNear.filter(col("source").isin("src0", "src1"))
@@ -926,7 +929,7 @@ object CurationExtSuite extends QuerySuite {
           "doc_id", "toks", k = 8)
         .withColumn("ctoks", TextFunctions.tokens(col("clean_text")))
         .filter(size(col("ctoks")) >= 1)
-        .localCheckpoint(false)
+        .transform(graft.plans.Lineage.cut(_))
       val wfp = graft.operators.Winnow.fingerprints(
           excised, "doc_id", "ctoks", k = 5, w = 4)
         .select(col("doc_id"), col("n_fps"), col("fp_digest"))

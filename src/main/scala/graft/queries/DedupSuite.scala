@@ -488,8 +488,8 @@ object DedupSuite extends QuerySuite {
       // real 10× corpus arrives from storage, it isn't re-derived inside
       // every signature/verify/fingerprint pass (ProfileScale protocol).
       // ContextCleaner frees the checkpoint blocks when the plan is GC'd.
-      val corpus = (0 until 10).map(copyAt).reduce(_.unionByName(_))
-        .localCheckpoint(false)
+      val corpus = graft.plans.Lineage.cut(
+        (0 until 10).map(copyAt).reduce(_.unionByName(_)))
       // tagged text is token-normalized BY CONSTRUCTION (split → filter
       // → join with single spaces), so md5(text) groups exactly like the
       // token fingerprint — without re-tokenizing 150k docs just for the

@@ -42,6 +42,23 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packIncremental: maxPackedId asserts the append-only boundary") {
+    // valid continuation: new ids all sort after the manifest max
+    val ok = Packing.packIncremental(docs.filter(col("doc_id") > 3L),
+      priorTokens = 9L, budget = 5L, maxPackedId = Some(3L))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(ok.map(_._1).toSeq == Seq(4L, 5L, 6L))
+    // overlapping id range: must throw, not silently mis-pack
+    val e = intercept[IllegalArgumentException] {
+      Packing.packIncremental(docs.filter(col("doc_id") > 2L),
+        priorTokens = 9L, budget = 5L, maxPackedId = Some(3L))
+    }
+    assert(e.getMessage.contains("append-only"))
+    // empty new batch is a valid (no-op) continuation
+    assert(Packing.packIncremental(docs.filter(col("doc_id") > 100L),
+      priorTokens = 9L, budget = 5L, maxPackedId = Some(3L)).count() == 0L)
+  }
+
   test("packIncremental: empty prior state is plain packing") {
     val a = Packing.packIncremental(docs, priorTokens = 0L, budget = 5L)
       .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq

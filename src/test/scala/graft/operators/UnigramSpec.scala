@@ -77,6 +77,81 @@ class UnigramSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minFreq"))
   }
 
+  test("lossPrune: deterministic, respects vocabSize, keeps chars, round-trips") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("lowest", 3L),
+      ("newest", 4L), ("widest", 1L))
+    val a = Unigram.trainLocal(words, vocabSize = 15, lossPrune = true)
+    val b = Unigram.trainLocal(words, vocabSize = 15, lossPrune = true)
+    assert(a == b, "loss-pruned training must be deterministic")
+    val chars = words.flatMap(_._1.toSeq.map(_.toString)).toSet
+    val pieces = a.map(_._1).toSet
+    assert(chars.subsetOf(pieces), "single codepoints are unprunable")
+    assert(a.size <= math.max(15, chars.size))
+    val m = a.toMap
+    words.foreach { case (w, _) =>
+      assert(Unigram.viterbiLocal(w, m).mkString == w)
+    }
+  }
+
+  test("lossPrune terminates when every multi piece must go (small-n clamp)") {
+    // chars {a,b} already fill vocabSize=2 ⇒ targetMulti=0; ceil(1×0.75)=1
+    // would loop forever without the ≥1-removal clamp
+    val out = Unigram.trainLocal(Seq(("ab", 3L)), vocabSize = 2,
+      lossPrune = true)
+    assert(out.map(_._1).toSet == Set("a", "b"))
+  }
+
+  test("lossPrune keeps the higher-loss piece usage-rank parity would tie on") {
+    // "ababab"×9 segments as [aba|bab] or via "ab": the survivor must be
+    // the piece whose REMOVAL costs the most corpus likelihood, and the
+    // final vocab still round-trips every word
+    val words = Seq(("ababab", 9L), ("ab", 6L))
+    val out = Unigram.trainLocal(words, vocabSize = 4, lossPrune = true)
+    val m = out.toMap
+    words.foreach { case (w, _) =>
+      assert(Unigram.viterbiLocal(w, m).mkString == w)
+    }
+    assert(out.size <= 4 || out.size == 2)
+  }
+
+  test("alpha smoothing changes scores, not coverage") {
+    val words = Seq(("scan", 6L), ("can", 4L), ("join", 5L))
+    val plain = Unigram.trainLocal(words, vocabSize = 20)
+    val smoothed = Unigram.trainLocal(words, vocabSize = 20, alpha = 1.0)
+    assert(plain.map(_._1) == smoothed.map(_._1),
+      "add-α must not change which pieces survive at fixed usage ranks")
+    assert(plain != smoothed, "α=1 must move the log-probs")
+    // smoothing shrinks the spread: rare pieces gain, frequent lose
+    val (pm, sm) = (plain.toMap, smoothed.toMap)
+    val spread = (v: Map[String, Double]) => v.values.max - v.values.min
+    assert(spread(sm) <= spread(pm) + 1e-12)
+    words.foreach { case (w, _) =>
+      assert(Unigram.viterbiLocal(w, sm).mkString == w)
+    }
+  }
+
+  test("unigram_encode rejects non-numeric literals with a clear message") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT unigram_encode('ab',
+             array(struct('ab', -1.0d)), 'eight') AS p""").collect()
+    }
+    assert(e.getMessage.contains("maxPieceLen") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxPieceLen")))
+  }
+
+  test("unigram_encode coerces bigint/int literals (SQL literal types)") {
+    graft.plans.GraftFunctions.register(spark)
+    // 8L arrives as bigint, -100 as int — both must coerce, not CCE
+    val r = spark.sql(
+      """SELECT unigram_encode('ab',
+           array(struct('ab', -1.0d), struct('a', -2.0d),
+                 struct('b', -2.0d)), 8L, -100) AS p""")
+      .as[Seq[String]].head()
+    assert(r == Seq("ab"))
+  }
+
   test("unigram_encode expression matches viterbiLocal through codegen") {
     graft.plans.GraftFunctions.register(spark)
     val trained = Unigram.trainLocal(

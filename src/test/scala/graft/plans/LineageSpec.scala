@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Pins the self-sizing lineage-cut contract: the width of a
+  * materialized boundary tracks DATA VOLUME (plan-stats bytes with a
+  * defaultParallelism floor), never `spark.sql.shuffle.partitions` —
+  * the measured shuffle=128 over-partitioning tax (BASELINE.md round
+  * 10) comes precisely from checkpoints freezing the configured
+  * shuffle width below AQE's coalescing reach.
+  */
+class LineageSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def defaultPar = spark.sparkContext.defaultParallelism
+
+  test("widthForBytes: defaultParallelism floor, bytes term, loud cap") {
+    assert(Lineage.widthForBytes(spark, BigInt(0)) == defaultPar)
+    assert(Lineage.widthForBytes(spark, BigInt(1)) == defaultPar)
+    // 10 target-sized partitions dominate the floor
+    val t = Lineage.DefaultTargetPartitionBytes
+    assert(Lineage.widthForBytes(spark, BigInt(t) * 10) == 10)
+    // ceil, not floor: one byte over ⇒ one more partition
+    assert(Lineage.widthForBytes(spark, BigInt(t) * 10 + 1) == 11)
+    // degenerate stats (LogicalRDD / product joins report ~Long.Max)
+    // clamp to maxPartitions instead of a million-task plan
+    assert(Lineage.widthForBytes(spark, BigInt(Long.MaxValue),
+      maxPartitions = 4096) == 4096)
+  }
+
+  test("cut width is independent of spark.sql.shuffle.partitions") {
+    val df = (1 to 2000).map(i => (i % 50, i.toLong)).toDF("k", "v")
+      .repartition(8)
+    def widthAtShuffle(n: String): Int = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      try {
+        // a real shuffle: left alone, the materialized width would be
+        // the configured value (or AQE's coalescing thereof)
+        val agg = df.groupBy("k").agg(sum("v").as("s"))
+        Lineage.cut(agg).rdd.getNumPartitions
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val w4 = widthAtShuffle("4")
+    val w37 = widthAtShuffle("37")
+    assert(w4 == w37, s"post-cut width must not track shuffle config: $w4 vs $w37")
+    assert(w4 == defaultPar) // tiny data ⇒ the parallelism floor
+  }
+
+  test("cut width tracks bytes when the data term dominates") {
+    val df = (1 to 1000).map(i => (i, "x" * 100)).toDF("id", "pad")
+    // force the bytes term with a 1-byte target; the loud cap bounds it
+    val cutDf = Lineage.cut(df, targetPartitionBytes = 1L, maxPartitions = 11)
+    assert(cutDf.rdd.getNumPartitions == 11)
+  }
+}
