@@ -50,14 +50,41 @@ object Lineage {
     byBytes.max(minW).min(BigInt(maxPartitions)).toInt
   }
 
-  /** Plan-stats width for `df` (see class doc for when stats are
-    * trustworthy). */
+  /** Bytes estimate for a cut point. Catalyst's top-level
+    * `stats.sizeInBytes` is a PRODUCT across join children — after two
+    * joins it exceeds any real size by orders of magnitude, and a
+    * stats-less leaf (LogicalRDD without origin stats) reports
+    * `defaultSizeInBytes` ≈ Long.Max. Both failure modes would widen
+    * the boundary to `maxPartitions` and materialize a MILLION-task
+    * stage (measured: the first wiring of `cut` did exactly that on the
+    * post-join pipeline boundaries — a 2^20-partition repartition spent
+    * 30+ minutes deserializing task closures at test scale). A cut
+    * point in a curation pipeline is a row-subset of its inputs, so
+    * the SUM OF KNOWN LEAF SIZES bounds it: the estimate is
+    * min(topStats, Σ known leaves), and None when no leaf size is
+    * known — callers with a real cardinality use [[widthForBytes]]
+    * directly (the connectedComponents pattern).
+    */
+  def estimateBytes(df: DataFrame): Option[BigInt] = {
+    val plan = df.queryExecution.optimizedPlan
+    val unknown = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val knownLeaves = plan.collectLeaves()
+      .map(_.stats.sizeInBytes).filter(_ < unknown)
+    if (knownLeaves.isEmpty) None
+    else Some(plan.stats.sizeInBytes.min(knownLeaves.sum))
+  }
+
+  /** Leaf-clamped plan-stats width for `df`; the defaultParallelism
+    * floor when no input size is known. */
   def targetWidth(df: DataFrame,
                   targetPartitionBytes: Long = DefaultTargetPartitionBytes,
                   maxPartitions: Int = 1 << 20): Int =
-    widthForBytes(df.sparkSession,
-      df.queryExecution.optimizedPlan.stats.sizeInBytes,
-      targetPartitionBytes, maxPartitions)
+    estimateBytes(df) match {
+      case Some(bytes) =>
+        widthForBytes(df.sparkSession, bytes, targetPartitionBytes,
+          maxPartitions)
+      case None => math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    }
 
   /** The self-sizing lineage cut: bytes-targeted round-robin
     * repartition, then lazy `localCheckpoint` — the drop-in for the

@@ -50,6 +50,30 @@ class LineageSpec extends AnyFunSuite {
     assert(w4 == defaultPar) // tiny data ⇒ the parallelism floor
   }
 
+  test("join-product stats are clamped by the leaf sum (the 2^20-task bug)") {
+    // Catalyst's top-level sizeInBytes multiplies across join children;
+    // unclamped, a post-join cut widens to maxPartitions and launches a
+    // million-task repartition (measured on the first wiring). The leaf
+    // clamp keeps the estimate input-bounded.
+    val a = (1 to 1000).map(i => (i, "x" * 50)).toDF("k", "pa")
+    val b = (1 to 1000).map(i => (i, "y" * 50)).toDF("k", "pb")
+    val joined = a.join(b, "k").join(a.select(col("k"), col("pa").as("p2")), "k")
+    val est = Lineage.estimateBytes(joined).get
+    val leafSum = Seq(a, a, b).map(_.queryExecution.optimizedPlan
+      .stats.sizeInBytes).sum
+    assert(est <= leafSum, s"estimate $est must be leaf-bounded ($leafSum)")
+    // and the default-target width stays at the parallelism floor
+    assert(Lineage.targetWidth(joined) == defaultPar)
+  }
+
+  test("stats-less leaves fall back to the parallelism floor, not the cap") {
+    val src = (1 to 100).map(i => (i, i.toString)).toDF("k", "v")
+    // LogicalRDD without origin stats reports defaultSizeInBytes
+    val noStats = spark.createDataFrame(src.rdd, src.schema)
+    assert(Lineage.estimateBytes(noStats).isEmpty)
+    assert(Lineage.targetWidth(noStats) == defaultPar)
+  }
+
   test("cut width tracks bytes when the data term dominates") {
     val df = (1 to 1000).map(i => (i, "x" * 100)).toDF("id", "pad")
     // force the bytes term with a 1-byte target; the loud cap bounds it
