@@ -730,14 +730,16 @@ object Dedup {
     // persist mode: LogicalRDD leaf (lazy) + cache; the per-round Σlabel
     // action is what populates the cache, so no extra job is paid.
     // checkpoint mode: eager localCheckpoint (materialization IS the job).
-    // width > 0 ⇒ bytes-targeted repartition BEFORE materializing: a
+    // width > 0 ⇒ bytes-targeted COALESCE before materializing: a
     // materialized round otherwise freezes at the configured shuffle
     // width, below AQE's coalescing reach — the measured shuffle=128
     // over-partitioning tax (see graft.plans.Lineage). Round frames are
     // (id,label) pairs whose cardinality the loop KNOWS, so their width
     // comes from the row count, never from spark.sql.shuffle.partitions.
+    // Coalesce, not repartition: the merge is narrow (no exchange) —
+    // the Lineage.cut lesson measured on the llm pipeline.
     def materialize(df: DataFrame, width: Int = 0): DataFrame = {
-      val sized = if (width > 0) df.repartition(width) else df
+      val sized = if (width > 0) df.coalesce(width) else df
       if (usePersist)
         spark.createDataFrame(sized.rdd, df.schema)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -40,13 +40,21 @@ object Lineage {
     * `files.maxPartitionBytes` shape. */
   val DefaultTargetPartitionBytes: Long = 64L << 20
 
-  /** clamp(ceil(bytes/target), defaultParallelism, maxPartitions) */
+  /** clamp(ceil(bytes/target), 2·defaultParallelism, maxPartitions).
+    * The floor is 2× the slot count, not 1×: post-boundary stages are
+    * CPU-dense per-row work (signatures, HOF token programs) whose
+    * per-partition cost is uneven — exactly one task per core leaves
+    * zero slack for stragglers (measured: a 32-task coalesce at 32
+    * cores trailed the un-coalesced 128-task plan on the llm
+    * pipeline). 2–3 tasks per slot is the standard balance rule; the
+    * bytes term still dominates at real scale.
+    */
   def widthForBytes(spark: SparkSession, bytes: BigInt,
                     targetPartitionBytes: Long = DefaultTargetPartitionBytes,
                     maxPartitions: Int = 1 << 20): Int = {
     require(targetPartitionBytes > 0, "targetPartitionBytes must be positive")
     val byBytes = (bytes.max(0) + targetPartitionBytes - 1) / targetPartitionBytes
-    val minW = BigInt(math.max(1, spark.sparkContext.defaultParallelism))
+    val minW = BigInt(math.max(1, 2 * spark.sparkContext.defaultParallelism))
     byBytes.max(minW).min(BigInt(maxPartitions)).toInt
   }
 
@@ -83,18 +91,31 @@ object Lineage {
       case Some(bytes) =>
         widthForBytes(df.sparkSession, bytes, targetPartitionBytes,
           maxPartitions)
-      case None => math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+      case None =>
+        math.max(1, 2 * df.sparkSession.sparkContext.defaultParallelism)
     }
 
-  /** The self-sizing lineage cut: bytes-targeted round-robin
-    * repartition, then lazy `localCheckpoint` — the drop-in for the
-    * bare `.localCheckpoint(false)` boundary. (On a real cluster,
+  /** The self-sizing lineage cut: bytes-targeted `coalesce`, then lazy
+    * `localCheckpoint` — the drop-in for the bare
+    * `.localCheckpoint(false)` boundary.
+    *
+    * COALESCE, not repartition (measured): an over-wide upstream
+    * (shuffle=128 on a 32-core box) is merged down to the target with
+    * a NARROW dependency — no exchange. The first implementation used
+    * `repartition`, and the extra full-data exchange of heavy rows
+    * (text + token arrays) at the boundary cost ~3.4 s on the sf0.1
+    * llm pipeline at shuffle=128 — interleaved-A/B'd against the
+    * pre-cut binary (BASELINE round 11). Coalesce cannot GROW a
+    * too-narrow upstream; that direction doesn't arise at a cut point
+    * (the width below a shuffle is the configured/AQE width, and at
+    * real scale inputs set it high) — so the guarantee is width ≤
+    * target, with the upstream width as the floor. (On a real cluster,
     * substitute reliable `checkpoint()` for fault tolerance; the width
     * logic is the part that transfers.)
     */
   def cut(df: DataFrame,
           targetPartitionBytes: Long = DefaultTargetPartitionBytes,
           maxPartitions: Int = 1 << 20): DataFrame =
-    df.repartition(targetWidth(df, targetPartitionBytes, maxPartitions))
+    df.coalesce(targetWidth(df, targetPartitionBytes, maxPartitions))
       .localCheckpoint(false)
 }

@@ -560,6 +560,45 @@ object StatsExtSuite extends QuerySuite {
     s"${System.getProperty("java.io.tmpdir")}/graft_states/${gate}_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
 
+  // The INCREMENTAL half of the stored-state lifecycle: yesterday's
+  // shard states sit in parquet untouched; today's new shard is
+  // sketched alone and APPENDED to the stored table; corpus-wide
+  // answers merge the stored states — the old shards are never
+  // rescanned (the incremental-dedup convention applied to
+  // statistics). The gate builds the "old" table from sources ≠ src0,
+  // appends src0's state, and checks the merged estimate against the
+  // whole-corpus exact count — plus that the stored table really holds
+  // old+new shard rows.
+  private val sketchIncrementalQ = GraftQuery(
+    "q_sketch_incremental",
+    (s, d) => {
+      val docs = documents(s, d)
+      val path = statesPath("hll_incr", d)
+      graft.operators.SketchStats.saveStates(
+        graft.operators.SketchStats.shardSketches(
+          docs.filter(col("source") =!= "src0"), "source", "doc_id"), path)
+      // append-only state update: ONE new shard sketched, old untouched
+      graft.operators.SketchStats.shardSketches(
+          docs.filter(col("source") === "src0"), "source", "doc_id")
+        .write.mode("append").parquet(path)
+      val loaded = graft.plans.Lineage.cut(
+        graft.operators.SketchStats.loadStates(s, path))
+      val merged = graft.operators.SketchStats.mergedEstimate(loaded)
+      loaded.agg(count(lit(1)).as("n_shards"),
+          sum(col("n_rows")).as("n_rows"))
+        .crossJoin(merged)
+        .crossJoin(docs.agg(
+          countDistinct(col("doc_id")).as("exact_distinct")))
+        .select(col("n_shards"), col("n_rows"), col("exact_distinct"),
+          (abs(col("est_distinct") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).as("within_tol"))
+    },
+    Some("""SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_shards,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+              TRUE AS within_tol
+            FROM documents"""))
+
   // Vocabulary overlap between two shards from stored theta states —
   // "how much does src0's token set overlap src1's" with NO join
   // between the corpora and no rescan: the set algebra runs on two
@@ -805,5 +844,6 @@ object StatsExtSuite extends QuerySuite {
     Seq(statsCorr, minmaxBy, firstLast, arrayFuncs, extractNumbers, dateFuncs,
         mathFuncs, nullFuncs, zorderKey, sketchDistinct, cmsHeavyHitters,
         thetaSetOpsQ, kllQuantilesQ, freqItemsQ, bottomKSketchQ,
-        thetaStoredQ, kllStoredQ, kmvStoredQ, fiStoredQ)
+        thetaStoredQ, kllStoredQ, kmvStoredQ, fiStoredQ,
+        sketchIncrementalQ)
 }
