@@ -148,7 +148,7 @@ object Bpe {
     * compareTo orders by UTF-16 code unit, which disagrees with code
     * points for supplementary characters).
     */
-  private def utf8Less(x: String, y: String): Boolean = {
+  private[operators] def utf8Less(x: String, y: String): Boolean = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(a.length, b.length)
@@ -178,8 +178,9 @@ object Bpe {
     * [[mergeOnce]] (same no-re-merge semantics: a consumed element
     * never participates in the next match).
     */
-  private def applyGreedy(syms: IndexedSeq[String], a: String, b: String,
-                          merged: String): IndexedSeq[String] = {
+  private[operators] def applyGreedy(syms: IndexedSeq[String], a: String,
+                                     b: String,
+                                     merged: String): IndexedSeq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     out.sizeHint(syms.length)
     var j = 0

@@ -20,7 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     (Seq(WktPoint.registration, RollingFingerprint.registration,
          FoldText.registration, graft.functions.BpeEncode.registration,
-         graft.functions.UnigramEncode.registration) ++
+         graft.functions.UnigramEncode.registration,
+         graft.functions.WordPieceEncode.registration) ++
         VectorOps.registrations).foreach {
       case (name, info, builder) =>
         e.injectFunction((FunctionIdentifier(name), info, builder))
@@ -38,7 +39,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     (Seq(WktPoint.registration, RollingFingerprint.registration,
          FoldText.registration, graft.functions.BpeEncode.registration,
-         graft.functions.UnigramEncode.registration) ++
+         graft.functions.UnigramEncode.registration,
+         graft.functions.WordPieceEncode.registration) ++
         VectorOps.registrations).foreach {
       case (name, _, builder) =>
         spark.sessionState.functionRegistry

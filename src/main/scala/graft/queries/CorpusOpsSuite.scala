@@ -1273,6 +1273,126 @@ object CorpusOpsSuite extends QuerySuite {
              SELECT * FROM real UNION ALL SELECT * FROM probes
              ORDER BY kind, doc_id, word_pos"""))
 
+  // ---- WordPiece tokenizer (BERT family, Schuster & Nakajima 2012) ---
+  // The THIRD subword lineage next to BPE and unigram-LM: pair merges
+  // prioritized by likelihood gain count(ab)/(count(a)·count(b)) with
+  // `##` continuation symbols, applied by greedy longest-match.
+  // q_wordpiece_train runs the full trainFast path over a literal
+  // corpus against the merge list computed at REGISTRATION time by the
+  // shared trainLocal and baked into static VALUES (the q_bpe_train
+  // convention). q_wordpiece_encode runs the custom codegen expression
+  // over real corpus words: probe rows carry exact segmentations
+  // computed at registration by the independent local encoder
+  // (including two [UNK]-collapse cases — an out-of-alphabet word and a
+  // word whose first char only ever appears word-internally in the
+  // corpus); every real row carries SQL-statable invariants (pieces
+  // reassemble to the word or are exactly [UNK]; every piece is
+  // in-vocab or the row is the [UNK] collapse; the first piece is never
+  // a continuation), the q_unigram_encode reduced-form pattern.
+  private val wpNumMerges = 10
+
+  private def wpSymbolsLocal(w: String): IndexedSeq[String] =
+    w.zipWithIndex.map { case (c, i) =>
+      if (i == 0) c.toString else "##" + c }.toIndexedSeq
+
+  private val wpLitEntries: Seq[(Long, IndexedSeq[String])] =
+    bpeLitCorpus.map { case (w, n) => (n.toLong, wpSymbolsLocal(w)) }
+
+  private val wpExpectedMerges: Seq[(String, String)] =
+    graft.operators.WordPiece.trainLocal(wpLitEntries, wpNumMerges)
+
+  private val wpVocab: Seq[String] =
+    graft.operators.WordPiece.buildVocab(wpLitEntries, wpExpectedMerges)
+
+  private val wordpieceTrain = GraftQuery(
+    "q_wordpiece_train",
+    (s, d) => {
+      import s.implicits._
+      val toks = bpeLitCorpus.flatMap { case (w, n) => Seq.fill(n)(w) }
+      val docs = Seq((1L, toks)).toDF("doc_id", "toks")
+      graft.operators.WordPiece.trainFast(docs, "toks", wpNumMerges)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "a", "b")
+        .orderBy(asc("rank"))
+    },
+    Some(s"""SELECT * FROM (VALUES ${wpExpectedMerges.zipWithIndex
+               .map { case ((a, b), i) =>
+                 s"(CAST(${i + 1} AS BIGINT), '$a', '$b')" }
+               .mkString(", ")}) AS t(rank, a, b) ORDER BY rank"""))
+
+  // probe words: plain segmentations, plus "zzz" (z is out of the
+  // corpus alphabet entirely) and "wow" (w occurs only word-internally
+  // in "row", so there is no word-INITIAL "w" piece) — both must
+  // collapse to [UNK] under the all-or-nothing BERT contract
+  private val wpProbeWords = Seq(
+    "scan", "scans", "rowhash", "cancan", "scatter", "zzz", "wow")
+  private val wpProbeSegs: Seq[(Int, String, String)] =
+    wpProbeWords.zipWithIndex.map { case (w, i) =>
+      (i + 1, w, graft.operators.WordPiece
+        .encodeLocal(w, wpVocab.toSet).mkString(" "))
+    }
+
+  private val wordpieceEncode = GraftQuery(
+    "q_wordpiece_encode",
+    (s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      import s.implicits._
+      val vocabLit = array(wpVocab.map(lit): _*)
+      val unkArr = array(lit("[UNK]"))
+      val real = documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("i", "word")))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("word_pos"),
+          col("word"))
+        .withColumn("pieces", graft.functions.WordPieceEncode
+          .wordpiece_encode(col("word"), wpVocab))
+        .select(lit("real").as("kind"), col("doc_id"), col("word_pos"),
+          col("word"), lit(null).cast("string").as("pieces_str"),
+          (array_join(transform(col("pieces"),
+            p => regexp_replace(p, "^##", "")), "") === col("word") ||
+            col("pieces") === unkArr).as("concat_ok"),
+          (size(filter(col("pieces"),
+            p => !array_contains(vocabLit, p))) === 0 ||
+            col("pieces") === unkArr).as("in_vocab_ok"),
+          (!element_at(col("pieces"), 1).startsWith("##")).as("first_ok"))
+      val probes = wpProbeSegs
+        .toDF("word_pos_i", "word", "expected")
+        .select(lit("probe").as("kind"), lit(-1L).as("doc_id"),
+          col("word_pos_i").cast("long").as("word_pos"), col("word"))
+        .withColumn("pieces_str",
+          array_join(graft.functions.WordPieceEncode
+            .wordpiece_encode(col("word"), wpVocab), " "))
+        .withColumn("concat_ok", lit(true))
+        .withColumn("in_vocab_ok", lit(true))
+        .withColumn("first_ok", lit(true))
+      real.unionByName(probes)
+        .orderBy(asc("kind"), asc("doc_id"), asc("word_pos"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE doc_id % 20 = 0),
+             w AS (
+               SELECT doc_id, i AS word_pos, toks[i] AS word
+               FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+               WHERE regexp_matches(toks[i], '^[a-z]+$$')),
+             real AS (
+               SELECT 'real' AS kind, doc_id,
+                 CAST(word_pos AS BIGINT) AS word_pos, word,
+                 CAST(NULL AS VARCHAR) AS pieces_str,
+                 TRUE AS concat_ok, TRUE AS in_vocab_ok, TRUE AS first_ok
+               FROM w),
+             probes AS (
+               SELECT 'probe' AS kind, CAST(-1 AS BIGINT) AS doc_id,
+                 CAST(rn AS BIGINT) AS word_pos, word, seg AS pieces_str,
+                 TRUE AS concat_ok, TRUE AS in_vocab_ok, TRUE AS first_ok
+               FROM (VALUES ${wpProbeSegs.map { case (i, w, seg) =>
+                 s"($i, '$w', '$seg')" }.mkString(", ")}) AS v(rn, word, seg))
+             SELECT * FROM real UNION ALL SELECT * FROM probes
+             ORDER BY kind, doc_id, word_pos"""))
+
   // ---- content-defined chunking (LBFS/rsync-family splitter) ---------
   // A chunk boundary opens wherever the 4-gram hash ≡ 0 (mod 64) —
   // edit-stable boundaries (an insertion moves only chunks up to the
@@ -1397,5 +1517,6 @@ object CorpusOpsSuite extends QuerySuite {
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
         packSequences, packIncrementalQ, bpePairs, bpeTrain, bpeTokenize,
         bpeEncodeExpr, unigramTrain, unigramPruned, unigramEncode,
+        wordpieceTrain, wordpieceEncode,
         cdcChunks, packManifest)
 }
