@@ -130,7 +130,7 @@ object Dedup {
     * min-capture events are uncorrelated across seeds — the same shape
     * as MLlib MinHashLSH's per-function random affine coefficients.
     */
-  private val seedPerms: IndexedSeq[(Long, Long)] = {
+  private[graft] val seedPerms: IndexedSeq[(Long, Long)] = {
     val rng = new scala.util.Random(0x5DEECE66DL)
     IndexedSeq.fill(512)((rng.nextLong() | 1L, rng.nextLong()))
   }

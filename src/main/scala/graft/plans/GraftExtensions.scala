@@ -21,7 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (Seq(WktPoint.registration, RollingFingerprint.registration,
          FoldText.registration, graft.functions.BpeEncode.registration,
          graft.functions.UnigramEncode.registration,
-         graft.functions.WordPieceEncode.registration) ++
+         graft.functions.WordPieceEncode.registration,
+         graft.functions.MinhashSig.registration) ++
         VectorOps.registrations).foreach {
       case (name, info, builder) =>
         e.injectFunction((FunctionIdentifier(name), info, builder))
@@ -40,7 +41,8 @@ object GraftFunctions {
     (Seq(WktPoint.registration, RollingFingerprint.registration,
          FoldText.registration, graft.functions.BpeEncode.registration,
          graft.functions.UnigramEncode.registration,
-         graft.functions.WordPieceEncode.registration) ++
+         graft.functions.WordPieceEncode.registration,
+         graft.functions.MinhashSig.registration) ++
         VectorOps.registrations).foreach {
       case (name, _, builder) =>
         spark.sessionState.functionRegistry

@@ -14,6 +14,9 @@ import graft.streaming.EventsStream
   */
 object AdvancedSuite extends QuerySuite {
 
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+
   // ---- custom Catalyst expression, SQL-registered (SURVEY.md §7.4) ---
   private val wktPointExpr = GraftQuery(
     "q_wkt_point_expr",
@@ -128,6 +131,66 @@ object AdvancedSuite extends QuerySuite {
     Some("""SELECT user_id, COUNT(*) AS n_events,
               ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // ---- streaming MinHash-LSH near-dup vs the COUNT oracle ------------
+  // The ingest-time near-dup stream (NearDupStream): per-doc signatures
+  // stateless, one flatMapGroupsWithState keyed by (band, bucket), pairs
+  // emitted at arrival. Run through availableNow over the planted
+  // corpus (documents ∪ documents+1e6 — every text exactly twice), then
+  // the SAME exact-fingerprint COUNT restriction as q_dedup_minhash:
+  // identical texts have identical signatures ⇒ co-bucket in EVERY band
+  // ⇒ guaranteed candidates with est = 1, so streamed pairs restricted
+  // to fp-equal must equal Σ C(k,2) over eligible contents (k ≤ cap,
+  // ≥ 1 token), and zero buckets may overflow on this corpus — all
+  // SQL-decidable. The cross-batch-state and split-invariance behavior
+  // is spec-pinned (NearDupStreamSpec); this gate drives the REAL
+  // streaming plan through the driver's oracle harness.
+  private val streamNearDup = GraftQuery(
+    "q_stream_neardup",
+    (s, d) => {
+      val st = EventsStream.readTable(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val plantedStream = st.unionByName(
+        st.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val hits = graft.streaming.NearDupStream.candidatePairs(
+        graft.streaming.NearDupStream.bandedSignatures(plantedStream),
+        maxBucket = 200)
+      val emitted = EventsStream.runToCompletion(s, hits.toDF(),
+        outputMode = "append")
+      val pairs = graft.streaming.NearDupStream.distinctPairs(emitted)
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val p = docs.unionByName(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val fps = p.select(col("doc_id"),
+        graft.functions.TextFunctions.exactFingerprint(col("text")).as("fp"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("ntok"))
+      val eligible = fps.groupBy("fp")
+        .agg(count(lit(1)).as("k"), min(col("ntok")).as("mintok"))
+        .filter(col("k") <= 200 && col("mintok") >= 1)
+        .select(col("fp"))
+      val exactPairs = pairs
+        .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
+        .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
+        .filter(col("fa") === col("fb"))
+        .join(eligible.select(col("fp").as("fa")), "fa")
+        .agg(count(lit(1)).as("n_exact_pairs"),
+             (min(col("est")) === 1.0).as("exact_est_ok"))
+      val overflow = graft.streaming.NearDupStream.overflowedBuckets(emitted)
+        .agg(count(lit(1)).as("n_overflow"))
+      // two one-row aggregates — the broadcast-scalar crossJoin shape
+      exactPairs.crossJoin(overflow)
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM documents),
+             per_content AS (
+               SELECT md5(array_to_string($toksSql, ' ')) AS h, COUNT(*) AS k,
+                      MIN(len($toksSql)) AS mintok
+               FROM corpus GROUP BY h)
+             SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_exact_pairs,
+                    TRUE AS exact_est_ok, CAST(0 AS BIGINT) AS n_overflow
+             FROM per_content WHERE k <= 200 AND mintok >= 1"""))
 
   // ---- multimodal plumbing -------------------------------------------
   private val multimodal = GraftQuery(
@@ -461,5 +524,5 @@ object AdvancedSuite extends QuerySuite {
         frameSample,
         imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
         videoProbe, videoFramesQ, videoFeaturesQ, multimodalCuration,
-        streamStreamJoin, streamStaticJoin, statefulTotals)
+        streamStreamJoin, streamStaticJoin, statefulTotals, streamNearDup)
 }
