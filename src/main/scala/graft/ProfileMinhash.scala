@@ -38,6 +38,13 @@ object ProfileMinhash {
         docs.select(Dedup.tokenHashes(col("text")).as("th"))
           .select(explode(Dedup.shingleHashesFromTokenHashes(col("th"), 5)))
           .count())
+      // the two signature forms, head to head: the compiled per-row
+      // expression (zero shuffle — what signatures() now is) vs the
+      // explode+agg pipeline it replaced
+      time("signaturesAgg (explode+agg)")(
+        Dedup.signaturesAgg(docs, "doc_id", "text", 5, 64).count())
+      time("signatures (expression)")(
+        Dedup.signatures(docs, "doc_id", "text", 5, 64).count())
       val sigs = Dedup.signatures(docs, "doc_id", "text", 5, 64)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("signatures materialize")(sigs.count())

@@ -211,26 +211,47 @@ object Dedup {
 
   /** Per-doc minhash signatures frame: (id, sig).
     *
-    * Deliberately NOT the per-row higher-order form
-    * ([[minhashSignature]]): HOF lambdas are interpreted in Spark, and
-    * they re-evaluate the shingle array per seed. Exploding shingles and
-    * taking `numHashes` min-aggregates keeps every hash inside
-    * whole-stage codegen with map-side partial aggregation — one shuffle
-    * keyed by doc id, ~10× faster and the shape that scales.
+    * The whole signature is ONE compiled pass per row
+    * ([[graft.functions.MinhashSig]]): zero explode, zero shuffle —
+    * signatures inherit the scan's partitioning, so the first exchange
+    * in any dedup pipeline is the one keyed by (band, bucket), not an
+    * extra corpus-wide aggregation. This replaced the explode+agg form
+    * (kept as [[signaturesAgg]], spec-pinned bit-identical), which
+    * materialized tokens·k shingle rows and shuffled them all by doc id
+    * for 64 min-aggregates — at 100 TB that exchange IS the cost.
+    *
+    * Row semantics: null-text docs drop (as the agg form's explode
+    * dropped them); ids are treated per-row — callers must not rely on
+    * the agg form's accidental shingle-union of duplicate ids.
+    * carryCols ride along (functionally dependent on the id — e.g. the
+    * shard key for windowed dedup) so no re-join is needed downstream.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int, numHashes: Int,
                  carryCols: Seq[String] = Nil): DataFrame = {
-    // Two levers vs the naive form, both measured at sf0.1:
-    //  1. shingles live in HASH space ([[shingleHashes]]) — explode longs,
-    //     not concat_ws strings (string building was the single biggest
-    //     stage cost);
-    //  2. per-seed affine-xorshift permutations ([[seedPerm]]): three
-    //     long ops per seed, constants baked as literals — as cheap as
-    //     the double-hashing family it replaced, without its correlated
-    //     min-capture pathology (see [[minhashSignature]] scaladoc).
-    // carryCols ride along (functionally dependent on the id — e.g. the
-    // shard key for windowed dedup) so no re-join is needed downstream.
+    require(numHashes <= seedPerms.length, s"numHashes > ${seedPerms.length}")
+    val carry = carryCols.map(col)
+    docs.select(
+        (col(idCol).as("id") +: carry) :+
+          tokenHashes(col(textCol)).as("th"): _*)
+      .select(
+        (col("id") +: carry) :+
+          graft.functions.MinhashSig.minhash_sig(
+            col("th"), shingleK, numHashes).as("sig"): _*)
+      .where(col("sig").isNotNull)
+  }
+
+  /** The explode+agg signature pipeline [[signatures]] replaced —
+    * shingles explode to rows, 64 codegen min-aggregates shuffle by doc
+    * id. Kept as the independent parity oracle for the compiled
+    * expression (MinhashSigSpec pins bit-equality on real documents):
+    * the two forms share only the seed constants, so a drift in either
+    * shingle fold or permutation math fails the spec loudly.
+    */
+  private[graft] def signaturesAgg(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(numHashes <= seedPerms.length, s"numHashes > ${seedPerms.length}")
     val carry = carryCols.map(col)
     val ex = docs.select(

@@ -27,7 +27,7 @@ class MinhashSigSpec extends AnyFunSuite {
   test("bit-identical to the explode+agg batch form on real documents") {
     for ((k, nh) <- Seq((3, 64), (5, 64), (3, 16))) {
       val mismatches = exprSigs(k, nh)
-        .join(Dedup.signatures(docs, "doc_id", "text", k, nh)
+        .join(Dedup.signaturesAgg(docs, "doc_id", "text", k, nh)
           .select(col("id"), col("sig").as("agg_sig")), "id")
         .filter(col("sig") =!= col("agg_sig"))
         .count()

@@ -237,7 +237,7 @@ class DedupSpec extends AnyFunSuite {
     // implementation (or an accidental return to a seed-linear family)
     // shows up as a value mismatch here
     val docs = corpus.filter($"doc_id" =!= 5L)
-    val agg = Dedup.signatures(docs, "doc_id", "text", 5, 64)
+    val agg = Dedup.signaturesAgg(docs, "doc_id", "text", 5, 64)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val hof = docs.select($"doc_id".as("id"),
         Dedup.minhashSignature(Dedup.shingleHashesFromTokenHashes(
