@@ -24,6 +24,16 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Shared default shingle width for the minhash family. Batch
+    * ([[lshCandidatePairs]], [[nearDuplicatePairs]], incremental) and
+    * streaming ([[graft.streaming.NearDupStream.bandedSignatures]])
+    * defaults both point here so a consumer running both paths on
+    * defaults gets ONE comparable signature space — two K values would
+    * silently produce non-joinable signatures despite the documented
+    * batch-parity contract.
+    */
+  val DefaultShingleK: Int = 5
+
   /** Last [[nearDuplicatePairs]] signature cache, evicted on the next call
     * so repeated invocations can't accumulate dead persisted plans.
     *
@@ -297,7 +307,7 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingleK: Int = 5,
+      shingleK: Int = DefaultShingleK,
       numHashes: Int = 64,
       numBands: Int = 8,
       maxBucket: Int = 200): DataFrame =
@@ -383,7 +393,7 @@ object Dedup {
       minJaccard: Double = 0.8,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingleK: Int = 5,
+      shingleK: Int = DefaultShingleK,
       numHashes: Int = 64,
       shardCols: Seq[String] = Nil,
       maxBucket: Int = 200): DataFrame = {
@@ -472,7 +482,7 @@ object Dedup {
       minJaccard: Double = 0.8,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingleK: Int = 5,
+      shingleK: Int = DefaultShingleK,
       numHashes: Int = 64,
       shardCols: Seq[String] = Nil,
       maxBucket: Int = 200,
@@ -629,7 +639,7 @@ object Dedup {
       minJaccard: Double = 0.8,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingleK: Int = 5,
+      shingleK: Int = DefaultShingleK,
       numHashes: Int = 64,
       numBands: Int = 8,
       maxBucket: Int = 200,

@@ -188,7 +188,25 @@ object Unigram {
     } else {
       var done = false
       while (!done) {
-        (1 to rounds).foreach { _ => scores = rescore(emUsage().toMap) }
+        // EM refines the FULL current vocab: zero-usage multi-codepoint
+        // pieces are retained through the M-step (with add-α mass when
+        // α > 0, else at a finite floor half a nat below the worst used
+        // piece), so the ONLY pruning is the shrinkFactor-bounded loss
+        // pass below. Dropping them here would bypass the documented
+        // per-iteration shrink bound in one silent step.
+        (1 to rounds).foreach { _ =>
+          val u = emUsage()
+          val full: Map[String, Long] =
+            scores.keys.map(p => p -> u.getOrElse(p, 0L)).toMap
+          scores =
+            if (alpha > 0.0) rescore(full)
+            else {
+              val rescored = rescore(full.filter(_._2 > 0L))
+              val floor = rescored.values.min + math.log(0.5)
+              full.map { case (p, c) =>
+                p -> (if (c > 0L) rescored(p) else floor) }
+            }
+        }
         val multi = scores.keys.filterNot(chars.contains).toSeq
         if (multi.size <= targetMulti) done = true
         else {

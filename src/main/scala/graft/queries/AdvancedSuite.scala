@@ -142,7 +142,11 @@ object AdvancedSuite extends QuerySuite {
   // ⇒ guaranteed candidates with est = 1, so streamed pairs restricted
   // to fp-equal must equal Σ C(k,2) over eligible contents (k ≤ cap,
   // ≥ 1 token), and zero buckets may overflow on this corpus — all
-  // SQL-decidable. The cross-batch-state and split-invariance behavior
+  // SQL-decidable. maxBucket is set far above any plausible bucket size
+  // (bucket arrivals count ALL co-bucketed docs, which different texts
+  // sharing a band hash can inflate past any per-CONTENT count — a cap
+  // near the per-content cap would make n_overflow=0 corpus-dependent;
+  // ADVICE r11). The cross-batch-state and split-invariance behavior
   // is spec-pinned (NearDupStreamSpec); this gate drives the REAL
   // streaming plan through the driver's oracle harness.
   private val streamNearDup = GraftQuery(
@@ -154,7 +158,7 @@ object AdvancedSuite extends QuerySuite {
         st.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       val hits = graft.streaming.NearDupStream.candidatePairs(
         graft.streaming.NearDupStream.bandedSignatures(plantedStream),
-        maxBucket = 200)
+        maxBucket = 1000000)
       val emitted = EventsStream.runToCompletion(s, hits.toDF(),
         outputMode = "append")
       val pairs = graft.streaming.NearDupStream.distinctPairs(emitted)
@@ -166,7 +170,7 @@ object AdvancedSuite extends QuerySuite {
         size(graft.functions.TextFunctions.tokens(col("text"))).as("ntok"))
       val eligible = fps.groupBy("fp")
         .agg(count(lit(1)).as("k"), min(col("ntok")).as("mintok"))
-        .filter(col("k") <= 200 && col("mintok") >= 1)
+        .filter(col("k") <= 1000000 && col("mintok") >= 1)
         .select(col("fp"))
       val exactPairs = pairs
         .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
@@ -190,7 +194,7 @@ object AdvancedSuite extends QuerySuite {
                FROM corpus GROUP BY h)
              SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_exact_pairs,
                     TRUE AS exact_est_ok, CAST(0 AS BIGINT) AS n_overflow
-             FROM per_content WHERE k <= 200 AND mintok >= 1"""))
+             FROM per_content WHERE k <= 1000000 AND mintok >= 1"""))
 
   // ---- multimodal plumbing -------------------------------------------
   private val multimodal = GraftQuery(

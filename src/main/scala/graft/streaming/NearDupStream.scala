@@ -12,8 +12,8 @@ import graft.operators.Dedup
   * near-dups flagged as documents land, not in a nightly batch pass).
   *
   * Scale shape: the per-doc signature program is stateless and per-row
-  * (the [[Dedup.minhashSignature]] HOF form — no shuffle before the
-  * stateful operator, which streaming requires); the ONLY stateful
+  * (the compiled [[graft.functions.MinhashSig]] expression — no shuffle
+  * before the stateful operator, which streaming requires); the ONLY stateful
   * operator is one `flatMapGroupsWithState` keyed by (band, bucket
   * hash). Per-bucket state is the member list (id + signature, ~0.5 KB
   * per member at 64 hashes), HARD-bounded by `maxBucket`: a bucket that
@@ -62,7 +62,8 @@ object NearDupStream {
     * seconds (all three forms are spec-pinned identical).
     */
   def bandedSignatures(docs: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text", shingleK: Int = 3,
+                       textCol: String = "text",
+                       shingleK: Int = Dedup.DefaultShingleK,
                        numHashes: Int = 64,
                        numBands: Int = 8): Dataset[BandedDoc] = {
     val spark = docs.sparkSession

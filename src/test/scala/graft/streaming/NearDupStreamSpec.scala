@@ -31,7 +31,8 @@ class NearDupStreamSpec extends AnyFunSuite {
       NearDupStream.candidatePairs(
         NearDupStream.bandedSignatures(docs)).toDF())
       .select("a", "b").as[(Long, Long)].collect().toSet
-    val sigs = Dedup.signatures(docs, "doc_id", "text", 3, 64)
+    val sigs = Dedup.signatures(docs, "doc_id", "text",
+      Dedup.DefaultShingleK, 64)
     val batch = Dedup.lshCandidatePairsFromSigs(sigs)
       .as[(Long, Long)].collect().toSet
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
