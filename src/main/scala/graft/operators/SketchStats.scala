@@ -29,15 +29,71 @@ object SketchStats {
   // lifecycle literal; the q_*_stored gates drive it end-to-end
   // (build → write → read → answer, with the answer oracled).
 
-  /** Persist a shard-states frame (any of this file's `shard*` shapes —
-    * the binary state column round-trips through parquet unchanged). */
-  def saveStates(states: DataFrame, path: String): Unit =
-    states.write.mode("overwrite").parquet(path)
+  /** Serialized-layout version of the binary state columns this file
+    * writes (DataSketches theta/KLL/FI images, Spark HLL/CMS states,
+    * the KMV row shape). States are only mergeable WITHIN one format:
+    * a stored table re-read by a build whose sketch layout changed
+    * would mis-merge silently — the exact failure mode the minhash
+    * family already hit and versioned away ([[Dedup.signatureTable]]'s
+    * `sig_family` v2 precedent). Bump whenever any `shard*` builder's
+    * serialization, seed, or library layout changes, and rebuild stored
+    * tables through [[saveStates]].
+    */
+  val sketchFormatVersion: Int = 1
 
-  /** Read back a shard-states table written by [[saveStates]]. */
+  /** Persist a shard-states frame (any of this file's `shard*` shapes —
+    * the binary state column round-trips through parquet unchanged),
+    * stamped with a `sketch_format` column recording
+    * [[sketchFormatVersion]] so a later build can refuse a stale table
+    * loudly instead of mis-merging it.
+    */
+  def saveStates(states: DataFrame, path: String): Unit =
+    states.withColumn("sketch_format", lit(sketchFormatVersion))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append new shard states to an existing [[saveStates]] table — the
+    * incremental half of the lifecycle (yesterday's states untouched,
+    * today's shard stamped and added). A raw `.mode("append")` around
+    * this would write UNSTAMPED rows that [[loadStates]] then rejects —
+    * appends must carry the same marker the table was created with.
+    */
+  def appendStates(states: DataFrame, path: String): Unit =
+    states.withColumn("sketch_format", lit(sketchFormatVersion))
+      .write.mode("append").parquet(path)
+
+  /** Read back a shard-states table written by [[saveStates]] /
+    * [[appendStates]], checking EVERY row's recorded format version and
+    * stripping the marker. The check is a marker-column-only scan — a
+    * states table is |shards| rows of KB states by construction, so
+    * this is metadata-cheap, and a single-row probe would miss a
+    * mixed table (e.g. a stamped base with a raw un-stamped append).
+    * STRICT: loadStates is the paired reader of the writers above, so a
+    * missing or mismatched marker means the table was written outside
+    * the lifecycle — rejected with instructions rather than trusted.
+    */
   def loadStates(spark: org.apache.spark.sql.SparkSession,
-                 path: String): DataFrame =
-    spark.read.parquet(path)
+                 path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("sketch_format"),
+      s"stored sketch-state table at $path has no sketch_format column — " +
+      "it was not written by SketchStats.saveStates; rebuild it through " +
+      "saveStates so the serialized layout is verifiable")
+    val bad = df.select(col("sketch_format"))
+      .filter(col("sketch_format").isNull ||
+        col("sketch_format") =!= sketchFormatVersion)
+      .take(1)
+    bad.foreach { r =>
+      val v = if (r.isNullAt(0)) "absent (un-stamped rows)"
+              else s"v${r.getInt(0)}"
+      require(requirement = false,
+        s"stored sketch-state table at $path contains rows with sketch " +
+        s"format $v, but this build reads v$sketchFormatVersion — " +
+        "binary states are not mergeable across formats (a stale table " +
+        "mis-merges silently); rebuild it with SketchStats.saveStates " +
+        "and append through SketchStats.appendStates")
+    }
+    df.drop("sketch_format")
+  }
 
   /** One row per shard: `shardCol, n_rows, sketch` (binary HLL state of
     * the key column). The ONE corpus-sized pass; everything after works

@@ -578,9 +578,11 @@ object StatsExtSuite extends QuerySuite {
         graft.operators.SketchStats.shardSketches(
           docs.filter(col("source") =!= "src0"), "source", "doc_id"), path)
       // append-only state update: ONE new shard sketched, old untouched
-      graft.operators.SketchStats.shardSketches(
-          docs.filter(col("source") === "src0"), "source", "doc_id")
-        .write.mode("append").parquet(path)
+      // (appendStates, not a raw write — appends must carry the same
+      // sketch_format marker the table was created with)
+      graft.operators.SketchStats.appendStates(
+        graft.operators.SketchStats.shardSketches(
+          docs.filter(col("source") === "src0"), "source", "doc_id"), path)
       val loaded = graft.plans.Lineage.cut(
         graft.operators.SketchStats.loadStates(s, path))
       val merged = graft.operators.SketchStats.mergedEstimate(loaded)

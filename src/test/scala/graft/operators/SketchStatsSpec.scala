@@ -296,4 +296,43 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(merged == perShard.take(8),
       "identical key sets ⇒ identical bottom-k everywhere")
   }
+
+  test("stored-state lifecycle: save stamps the format, load strips it") {
+    val dir = java.nio.file.Files.createTempDirectory("sketch_fmt").toString
+    val path = s"$dir/states"
+    val states = SketchStats.shardSketches(df, "shard", "key")
+    SketchStats.saveStates(states, path)
+    // raw table carries the marker...
+    val raw = spark.read.parquet(path)
+    assert(raw.columns.contains("sketch_format"))
+    assert(raw.select("sketch_format").distinct().as[Int].collect().toSeq
+      == Seq(SketchStats.sketchFormatVersion))
+    // ...and the paired reader strips it and answers identically
+    val loaded = SketchStats.loadStates(spark, path)
+    assert(loaded.columns.sorted.toSeq == states.columns.sorted.toSeq)
+    val m1 = SketchStats.mergedEstimate(loaded).as[Double].head()
+    val m2 = SketchStats.mergedEstimate(states).as[Double].head()
+    assert(m1 == m2)
+  }
+
+  test("stale or unstamped stored-state tables are rejected loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("sketch_stale").toString
+    val states = SketchStats.shardSketches(df, "shard", "key")
+    // a table written OUTSIDE saveStates (no marker) is refused
+    val bare = s"$dir/bare"
+    states.write.mode("overwrite").parquet(bare)
+    val e1 = intercept[IllegalArgumentException] {
+      SketchStats.loadStates(spark, bare)
+    }
+    assert(e1.getMessage.contains("sketch_format"))
+    // a table stamped by a FUTURE/other format version is refused
+    val stale = s"$dir/stale"
+    states.withColumn("sketch_format",
+        lit(SketchStats.sketchFormatVersion + 1))
+      .write.mode("overwrite").parquet(stale)
+    val e2 = intercept[IllegalArgumentException] {
+      SketchStats.loadStates(spark, stale)
+    }
+    assert(e2.getMessage.contains("not mergeable across formats"))
+  }
 }
