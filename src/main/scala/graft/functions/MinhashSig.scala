@@ -120,7 +120,8 @@ object MinhashSig {
     new GenericArrayData(sig)
   }
 
-  def minhash_sig(tokenHashes: Column, shingleK: Int = 3,
+  def minhash_sig(tokenHashes: Column,
+                  shingleK: Int = Dedup.DefaultShingleK,
                   numHashes: Int = 64): Column =
     GraftColumnBridge.column(
       MinhashSig(GraftColumnBridge.expression(tokenHashes), shingleK, numHashes))
@@ -139,7 +140,11 @@ object MinhashSig {
             s"minhash_sig $what must be an integer literal, got $other")
         }
       }
-      val k = if (exprs.length > 1) intLit(exprs(1), "shingle_k") else 3
+      // defaults shared with the batch family (Dedup.DefaultShingleK) so
+      // the SQL surface and every Scala entry point agree on one
+      // signature space — the ADVICE r11 default-divergence lesson
+      val k = if (exprs.length > 1) intLit(exprs(1), "shingle_k")
+              else Dedup.DefaultShingleK
       val nh = if (exprs.length > 2) intLit(exprs(2), "num_hashes") else 64
       MinhashSig(exprs.head, k, nh)
     })

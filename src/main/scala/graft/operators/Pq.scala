@@ -1,0 +1,302 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding similarity search at 100 TB
+  * memory budgets — the compressed-corpus member of the [[Similarity]]
+  * family (reference scope: the engine's embedding curation surface;
+  * PQ itself is the standard Jégou et al. 2011 construction).
+  *
+  * Why it exists: [[Similarity.ivfTopK]] probes a subset of cells but
+  * still holds FULL float vectors in every probed cell — 512 bytes per
+  * 64-dim float64 row. PQ stores `m` one-byte codes per vector (64×
+  * smaller at m = 8) and scores queries against the codes with
+  * asymmetric distance (ADC): the query side stays exact, the corpus
+  * side is quantized, and the score is a sum of `m` table lookups.
+  *
+  * Construction (all relational — no RDDs, no driver-side vectors
+  * beyond the m·ksub codebook, which is collected nowhere here):
+  *
+  *  - vectors are L2-NORMALIZED first, so inner product == cosine and
+  *    the ADC score approximates the exact cosine every other operator
+  *    in the family ranks by;
+  *  - the normalized vector splits into `m` contiguous subvectors of
+  *    `dsub` dims; each subspace has its own `ksub`-entry codebook;
+  *  - encode = per-subspace argmin of squared L2 distance (ties → min
+  *    code), giving `m` small ints per vector;
+  *  - ADC = Σ_sub dot(q_sub, codebook[sub][code_sub]) — computed as a
+  *    LEFT-TO-RIGHT fold in subspace order so the double is
+  *    bit-reproducible in the SQL oracle (group-SUM order is not).
+  *
+  * Codebooks: [[seedCodebooks]] takes the subvectors of the first
+  * `ksub` ids — deterministic and replayable in the oracle, the exact
+  * convention of [[Similarity.ivfAssign]]'s stand-in centroids.
+  * [[trainCodebooks]] refines them with Euclidean Lloyd iterations run
+  * over ALL subspaces in one relational loop (the fit keys on
+  * (sub, code), so m codebooks train in the same pass — m separate
+  * fits would scan the corpus m times for no reason).
+  *
+  * Scale shape: encode is corpus × (m·ksub broadcast) with map-side
+  * argmin — linear, first shuffle is the id-keyed code reassembly; the
+  * probe/score join ships only (cell, codes[m]) rows, never vectors;
+  * query-side LUTs are (queries × m × ksub) rows behind the same
+  * bounded-broadcast guard as every other ANN operator here.
+  */
+object Pq {
+
+  import Similarity.asDouble
+
+  /** L2-normalize, with the norm computed ONCE as a sibling column (a
+    * per-element norm recompute would be m·dsub redundant folds; the
+    * oracle mirrors the same two-step shape).
+    */
+  private[graft] def withNormalized(df: DataFrame, vecCol: String,
+                                    out: String): DataFrame =
+    df.withColumn("_nrm", sqrt(Similarity.norm2(col(vecCol))))
+      .withColumn(out, transform(col(vecCol), x => x / col("_nrm")))
+      .drop("_nrm")
+
+  /** Squared L2 distance as one left-to-right fold over the zipped
+    * pair — DuckDB's `list_sum(list_transform(list_zip(a,b), ...))`
+    * folds in the same order, so encode argmins agree bit-for-bit.
+    */
+  private[graft] def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x)
+
+  /** Explode a normalized-vector frame into one row per (id, sub,
+    * subvector). The slice positions are plan-time literals — column
+    * pruning keeps the full vector out of everything downstream.
+    */
+  private def subVectors(vecs: DataFrame, m: Int, dsub: Int): DataFrame =
+    vecs.select(col("pq_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+               slice(col("nv"), s * dsub + 1, dsub).as("sv"))): _*)).as("x"))
+      .select(col("pq_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+
+  private def normalizedVecs(corpus: DataFrame, idCol: String,
+                             vecCol: String): DataFrame =
+    withNormalized(
+      corpus.select(col(idCol).as("pq_id"), asDouble(col(vecCol)).as("v")),
+      "v", "nv").select(col("pq_id"), col("nv"))
+
+  /** Deterministic seed codebooks: subspace s's codebook is the s-th
+    * subvector of the first `ksub` ids (normalized). Returns
+    * `(sub, code, cv)` — m·ksub rows, broadcast-sized by construction.
+    * Replayable in SQL, so gates over seed codebooks get FULL value
+    * oracles on the approximate scores themselves (stronger than the
+    * planted-recovery bound the xxhash-seeded operators settle for).
+    */
+  def seedCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(ksub >= 1 && ksub <= 256,
+      "pq: ksub must be in [1, 256] (codes are one byte)")
+    subVectors(
+      normalizedVecs(corpus.filter(col(idCol) < ksub), idCol, vecCol),
+      m, dsubOf(corpus, m, vecCol))
+      .select(col("sub"), col("pq_id").cast("int").as("code"),
+              col("sv").as("cv"))
+  }
+
+  /** dsub from the (constant-width) embedding column; PQ requires the
+    * width to split evenly into m subspaces.
+    */
+  private def dsubOf(corpus: DataFrame, m: Int, vecCol: String): Int = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"pq: vector width $dim not divisible by m=$m")
+    dim / m
+  }
+
+  /** Euclidean Lloyd refinement of [[seedCodebooks]], all m subspaces
+    * in ONE relational loop keyed on (sub, code):
+    *
+    *  - assignment: subvectors × broadcast codebooks → map-side
+    *    `min(struct(dist, code))` argmin (one row per (id, sub)
+    *    shuffles);
+    *  - update: per-(sub, code, pos) mean via posexplode, re-assembled
+    *    (m·ksub·dsub tiny rows); empty codes keep their centroid;
+    *  - objective Σ dist² is non-increasing under Lloyd — exposed per
+    *    round for the spec, the [[Similarity.kmeansFitWithHistory]]
+    *    convention.
+    *
+    * Returns (codebooks, objective history). The LogicalRDD
+    * persist/unpersist round pattern keeps the plan O(1) per round.
+    */
+  def trainCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                     maxIter: Int = 5,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): (DataFrame, Seq[Double]) = {
+    val spark = corpus.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def cut(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).persist(lvl)
+    val dsub = dsubOf(corpus, m, vecCol)
+    val subs = cut(subVectors(normalizedVecs(corpus, idCol, vecCol), m, dsub))
+    var cb = cut(seedCodebooks(corpus, m, ksub, idCol, vecCol))
+    val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val assigned = cut(subs.join(broadcast(cb), Seq("sub"))
+        .select(col("pq_id"), col("sub"), col("sv"),
+                struct(l2sq(col("sv"), col("cv")).as("d"),
+                       col("code")).as("dc"))
+        .groupBy("pq_id", "sub")
+        .agg(min(col("dc")).as("best"), first(col("sv")).as("sv"))
+        .select(col("sub"), col("best.code").as("code"),
+                col("best.d").as("d"), col("sv")))
+      val objective = assigned.agg(sum(col("d"))).head().getDouble(0)
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos").agg(avg(col("x")).as("mu"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+                       s => s.getField("mu")).as("ncv"))
+      val newCb = cut(cb.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+                coalesce(col("ncv"), col("cv")).as("cv")))
+      newCb.count() // materialize (m·ksub rows) before parents release
+      cb.unpersist(blocking = false)
+      assigned.unpersist(blocking = false)
+      cb = newCb
+      done = history.nonEmpty && history.last - objective < 1e-12
+      history += objective
+      i += 1
+    }
+    subs.unpersist(blocking = false)
+    (cb, history.toSeq)
+  }
+
+  /** Encode every corpus vector as `m` codes: per-subspace squared-L2
+    * argmin against the codebooks, ties to the smaller code. Returns
+    * `(pq_id, codes array<int>, qerr)` where `qerr` is the total
+    * squared quantization error — the compression-quality number the
+    * gates pin. One broadcast join + one id-keyed reassembly shuffle.
+    */
+  def encode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val dsub = dsubOf(corpus, m, vecCol)
+    val subs = subVectors(normalizedVecs(corpus, idCol, vecCol), m, dsub)
+    subs.join(broadcast(codebooks), Seq("sub"))
+      .select(col("pq_id"), col("sub"),
+              struct(l2sq(col("sv"), col("cv")).as("d"), col("code")).as("dc"))
+      .groupBy("pq_id", "sub")
+      .agg(min(col("dc")).as("best"))
+      .groupBy("pq_id")
+      .agg(
+        transform(array_sort(collect_list(
+            struct(col("sub"), col("best.code").as("code")))),
+          s => s.getField("code")).as("codes"),
+        // fold the per-sub errors in SUB ORDER, not group-SUM order —
+        // doubles must replay bit-identically in the oracle
+        aggregate(
+          transform(array_sort(collect_list(
+              struct(col("sub"), col("best.d").as("d")))),
+            s => s.getField("d")),
+          lit(0.0), (acc, x) => acc + x).as("qerr"))
+  }
+
+  /** IVF-PQ top-k: coarse-quantize the corpus into `nCells` (the
+    * [[Similarity.ivfAssign]] machinery), PQ-encode every vector, and
+    * answer queries by probing `nProbe` cells with asymmetric distance
+    * — the probed rows carry `m` BYTES of payload instead of the full
+    * vector, which is the whole point at 100 TB.
+    *
+    * `trainIters = 0` keeps the deterministic seed codebooks (and seed
+    * IVF centroids), making the ENTIRE approximate pipeline — argmin
+    * encode, probe selection, LUT, fold — value-replayable in the SQL
+    * oracle. `trainIters > 0` Lloyd-fits the codebooks (production
+    * path; recall pinned against [[Similarity.bruteForceTopK]] in the
+    * spec).
+    *
+    * Output: (query_id, rank, neighbor_id, adc) — adc approximates the
+    * cosine the exact operators rank by (corpus side normalized+
+    * quantized, query side normalized exact).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      trainIters: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxQueries: Long = 10000L): DataFrame = {
+    val spark = corpus.sparkSession
+    val dsub = dsubOf(corpus, m, vecCol)
+
+    // --- corpus side: cell assignment + PQ codes (vectors end here) --
+    val assigned = Similarity.ivfAssign(corpus, nCells, idCol, vecCol)
+      .select(col("ivf_id").as("pq_id"), col("cell"))
+    val cb =
+      if (trainIters > 0)
+        broadcast(trainCodebooks(corpus, m, ksub, trainIters, idCol, vecCol)._1)
+      else broadcast(seedCodebooks(corpus, m, ksub, idCol, vecCol))
+    val encoded = encode(corpus, cb, m, idCol, vecCol)
+      .join(assigned, Seq("pq_id"))
+      .select(col("cell"), col("pq_id"), col("codes"))
+
+    // --- query side (bounded, broadcast): probes + ADC lookup table --
+    val qn = withNormalized(
+      queries.select(col("query_id"), asDouble(col("query_vec")).as("v")),
+      "v", "qnv")
+    val qchecked = {
+      // same bounded-broadcast discipline as the other ANN entry points
+      val n = qn.limit((maxQueries + 1).toInt).count()
+      require(n <= maxQueries,
+        s"ivfPqTopK: query side has >$maxQueries rows; run in bounded batches")
+      broadcast(qn)
+    }
+    // nProbe nearest cells by cosine against the SAME centroid set the
+    // assignment used (seed convention: raw vectors with id < nCells)
+    val cents = corpus.select(col(idCol).as("cell"),
+                              asDouble(col(vecCol)).as("cellv"))
+      .filter(col("cell") < nCells)
+    val qcells = qchecked.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+              Similarity.cosine(col("v"), col("cellv")).as("csim"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("csim"), asc("cell"))
+    val probes = qcells.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    // LUT: pdot[sub][code] = dot(q_sub, codebook[sub][code]), assembled
+    // into a nested array ordered (sub, code) so the ADC fold below is
+    // a pure positional lookup
+    val qsubs = qchecked.select(col("query_id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"),
+                 slice(col("qnv"), s * dsub + 1, dsub).as("qsv"))): _*)).as("x"))
+      .select(col("query_id"), col("x.sub").as("sub"), col("x.qsv").as("qsv"))
+    val lut = qsubs.join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+              Similarity.dot(col("qsv"), col("cv")).as("pdot"))
+      .groupBy("query_id", "sub")
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("pdot")))),
+             s => s.getField("pdot")).as("subtab"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("subtab")))),
+             s => s.getField("subtab")).as("lut"))
+
+    // --- ADC scoring: codes ⋈ probed cells, Σ_sub lut[sub][code] -----
+    val probed = probes.join(lut, Seq("query_id"))
+    val scored = encoded.join(broadcast(probed), Seq("cell"))
+      .filter(col("pq_id") =!= col("query_id"))
+      .select(col("query_id"), col("pq_id").as("neighbor_id"),
+        aggregate(zip_with(col("codes"), col("lut"),
+            (c, t) => element_at(t, c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("adc"), 6).as("adc"))
+  }
+}

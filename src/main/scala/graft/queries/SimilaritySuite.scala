@@ -472,8 +472,152 @@ object SimilaritySuite extends QuerySuite {
       })
   }
 
+  // ---- product quantization: encode replay (full value oracle) -------
+  // PQ codes with the DETERMINISTIC seed codebooks (subvectors of the
+  // first ksub ids — the ivfAssign stand-in convention): the entire
+  // normalize → slice → argmin-L2 encode is relational algebra DuckDB
+  // replays exactly, so the 8 one-byte codes per vector AND the total
+  // squared quantization error are value-oracled — no planted bound
+  // needed. qerr folds in subspace order (not group-SUM order) so the
+  // double is bit-identical across engines.
+  private val pqCodes = GraftQuery(
+    "q_pq_codes",
+    (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      graft.operators.Pq.encode(
+          e, graft.operators.Pq.seedCodebooks(e, m = 8, ksub = 16), m = 8)
+        .select(col("pq_id").as("vec_id"),
+          concat_ws(",", transform(col("codes"), c => c.cast("string")))
+            .as("codes_str"),
+          round(col("qerr"), 6).as("qerr"))
+        .orderBy(asc("vec_id"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            n AS (
+              SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
+              FROM (SELECT vec_id, v,
+                      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e)),
+            subs AS (
+              SELECT vec_id, s.sub, nv[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+              FROM n CROSS JOIN
+                (SELECT UNNEST(generate_series(0, 7)) AS sub) s),
+            cb AS (
+              SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+              FROM subs WHERE vec_id < 16),
+            dist AS (
+              SELECT a.vec_id, a.sub, c.code,
+                list_sum(list_transform(list_zip(a.sv, c.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+              FROM subs a JOIN cb c USING (sub)),
+            best AS (
+              SELECT vec_id, sub, code, d FROM (
+                SELECT vec_id, sub, code, d,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                    ORDER BY d, code) AS rn
+                FROM dist) WHERE rn = 1)
+            SELECT vec_id,
+              string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes_str,
+              ROUND(list_sum(list(d ORDER BY sub)), 6) AS qerr
+            FROM best GROUP BY vec_id ORDER BY vec_id"""))
+
+  // ---- IVF-PQ top-k: the WHOLE approximate pipeline value-oracled ----
+  // Asymmetric-distance ANN over 8-byte codes (64x less probe payload
+  // than float64 vectors — the 100 TB memory point). With seed
+  // codebooks and seed IVF centroids every stage is deterministic
+  // relational algebra: DuckDB replays assignment, encode, probe
+  // selection, the per-query lookup table, and the sub-ordered ADC fold
+  // to full value equality ON THE APPROXIMATE SCORES — a stronger gate
+  // than the clone-recovery bound (which ADC cannot guarantee anyway:
+  // argmin-L2 codes need not argmax the dot). Trained codebooks
+  // (Lloyd) are the production path, recall-pinned in PqSpec.
+  private val ivfPq = GraftQuery(
+    "q_embedding_ivfpq",
+    (s, d) =>
+      graft.operators.Pq.ivfPqTopK(
+          embeddings(s, d), queryVectors(s, d), k = 3,
+          nCells = 16, nProbe = 4, m = 8, ksub = 16)
+        .orderBy(asc("query_id"), asc("rank")),
+    Some(s"""WITH e AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             n AS (
+               SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
+               FROM (SELECT vec_id, v,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                     FROM e)),
+             subs AS (
+               SELECT vec_id, s.sub, nv[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+               FROM n CROSS JOIN
+                 (SELECT UNNEST(generate_series(0, 7)) AS sub) s),
+             cb AS (
+               SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+               FROM subs WHERE vec_id < 16),
+             dist AS (
+               SELECT a.vec_id, a.sub, c.code,
+                 list_sum(list_transform(list_zip(a.sv, c.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+               FROM subs a JOIN cb c USING (sub)),
+             codes AS (
+               SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d, code) AS rn
+                 FROM dist) WHERE rn = 1),
+             cents AS (
+               SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+             asg AS (
+               SELECT vec_id, cell FROM (
+                 SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.cv),
+                       p -> p[1] * p[2])) /
+                     sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+                          list_sum(list_transform(c.cv, x -> x * x))) DESC,
+                     c.cell) AS rn
+                 FROM e CROSS JOIN cents c) WHERE rn = 1),
+             q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 3),
+             probes AS (
+               SELECT query_id, cell FROM (
+                 SELECT q.query_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                     list_sum(list_transform(list_zip(q.v, c.cv),
+                       p -> p[1] * p[2])) /
+                     sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                          list_sum(list_transform(c.cv, x -> x * x))) DESC,
+                     c.cell) AS rn
+                 FROM q CROSS JOIN cents c) WHERE rn <= 4),
+             qsubs AS (
+               SELECT q.query_id, s.sub,
+                 n.nv[s.sub * 8 + 1 : s.sub * 8 + 8] AS qsv
+               FROM q JOIN n ON n.vec_id = q.query_id
+               CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS sub) s),
+             lut AS (
+               SELECT qs.query_id, cb.sub, cb.code,
+                 list_sum(list_transform(list_zip(qs.qsv, cb.cv),
+                   p -> p[1] * p[2])) AS pdot
+               FROM qsubs qs JOIN cb ON cb.sub = qs.sub),
+             score AS (
+               SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_sum(list(l.pdot ORDER BY l.sub)) AS adc
+               FROM probes p
+               JOIN asg a ON a.cell = p.cell
+               JOIN codes b ON b.vec_id = a.vec_id
+               JOIN lut l ON l.query_id = p.query_id
+                 AND l.sub = b.sub AND l.code = b.code
+               WHERE a.vec_id <> p.query_id
+               GROUP BY 1, 2),
+             ranked AS (
+               SELECT query_id, neighbor_id, adc,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc DESC, neighbor_id) AS rank
+               FROM score)
+             SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(adc, 6) AS adc
+             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
         ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize,
-        semanticDedup, randomProjQ)
+        semanticDedup, randomProjQ, pqCodes, ivfPq)
 }
