@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-shape linear quality classifier — the trained counterpart
+  * of [[NbClassifier]] on the same keep/drop axis (CCNet / GPT-3-style
+  * curation stacks run a hashed-feature LINEAR model, not NB: Joulin et
+  * al. 2016 "Bag of Tricks for Efficient Text Classification").
+  *
+  * Model: logistic regression over hashed unigram+bigram features with
+  * fastText's mean-of-features input shape — each of a doc's `n_d`
+  * n-gram occurrences contributes `x = 1/n_d`, plus an explicit
+  * intercept feature (bucket −1, x = 1), so the score is
+  * `b + mean(w[feature])`. Features hash with the same md5-prefix
+  * arithmetic as [[Dsir.hashedNgrams]]: a pure function of content,
+  * replayable in SQL and retry/repartition-stable.
+  *
+  * Training is deterministic FULL-BATCH gradient descent — a fixed
+  * number of iterations, each iteration two aggregations:
+  *
+  *   p_d   = sigmoid(Σ_f w[f]·x_df)            (doc-keyed reduce)
+  *   g[f]  = round(Σ_d (p_d − y_d)·x_df / N, 9) (bucket-keyed reduce)
+  *   w[f] −= round(lr·g[f], …)                  (≤ B+1-row map)
+  *
+  * Both reduces round at 9 dp before the update, so the iteration
+  * function is bit-replayable across engines (the [[Dsir]] summation-
+  * order convention, applied per step because GD compounds).
+  *
+  * Scale shape (100 TB):
+  *  - The feature stream is materialized ONCE, pre-partitioned on the
+  *    doc id. Per iteration the doc-keyed reduce and the residual join
+  *    reuse that partitioning — no corpus-sized exchange per step; only
+  *    the N-row residual frame shuffles.
+  *  - The bucket-keyed gradient collapses map-side to ≤ B+1 rows per
+  *    partition before its exchange (Zipf heads are partial-agg food).
+  *  - The weight vector is ≤ B+1 rows — broadcast every iteration;
+  *    the driver loop is `iters`-bounded with a loud cap, never
+  *    corpus-bounded.
+  * Training cost is therefore one pass over the feature stream per
+  * iteration — linear in corpus size, never corpus-quadratic.
+  */
+object LinearClassifier {
+
+  /** Loud caps: the driver loop and the broadcast weight table must be
+    * config-bounded, never data-bounded.
+    */
+  private val MaxIters = 64
+  private val MaxBuckets = 1 << 20
+
+  /** Hashed feature instances `(idCol, y, bucket, x)`: unigram + bigram
+    * occurrences at `x = 1/n_d` (n_d = 2·len−1 for len ≥ 2 else len — a
+    * pure expression of the token count, no counting join), plus the
+    * intercept row (bucket −1, x = 1). Docs need ≥ 1 token; callers
+    * filter first (the [[NbClassifier]] contract).
+    */
+  def features(docs: DataFrame, idCol: String, toksCol: String,
+               labelCol: String, numBuckets: Int): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= MaxBuckets,
+      s"linearClassifier: numBuckets must be in [2, $MaxBuckets]")
+    val n = size(col(toksCol))
+    val base = docs.select(col(idCol), col(labelCol).as("y"),
+      col(toksCol).as("toks"),
+      when(n >= 2, n * 2 - 1).otherwise(n).cast("double").as("nf"))
+    val uni = base.select(col(idCol), col("y"), col("nf"),
+      explode(col("toks")).as("ng"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(col(idCol), col("y"), col("nf"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+                              element_at(col("toks"), i + 1)))).as("ng"))
+    val grams = uni.unionByName(bi).select(col(idCol), col("y"),
+      (conv(substring(md5(col("ng")), 1, 8), 16, 10).cast("long")
+        % numBuckets).as("bucket"),
+      (lit(1.0) / col("nf")).as("x"))
+    val intercept = base.select(col(idCol), col("y"),
+      lit(-1L).as("bucket"), lit(1.0).as("x"))
+    grams.unionByName(intercept)
+  }
+
+  private def sigmoid(s: Column): Column = lit(1.0) / (lit(1.0) + exp(-s))
+
+  /** Train the weight vector: returns `(weights (bucket, wt), loss
+    * history)` where entry i of the history is the mean logistic loss
+    * BEFORE iteration i's update (so a learning run shows it falling).
+    * Weights start at zero over exactly the buckets present in the
+    * corpus (≤ numBuckets+1 rows).
+    */
+  def train(docs: DataFrame, idCol: String, toksCol: String,
+            labelCol: String, numBuckets: Int = 1024, iters: Int = 3,
+            lr: Double = 5.0): (DataFrame, Seq[Double]) = {
+    require(iters >= 1 && iters <= MaxIters,
+      s"linearClassifier: iters must be in [1, $MaxIters]")
+    val spark = docs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def cut(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).persist(lvl)
+    // one materialization, pre-partitioned on the doc id: every
+    // iteration's doc-keyed reduce and residual join reuse this
+    // partitioning instead of re-shuffling the corpus
+    val feats = cut(features(docs, idCol, toksCol, labelCol, numBuckets)
+      .repartition(col(idCol)))
+    val nDocs = feats.select(col(idCol)).distinct().count().toDouble
+    require(nDocs > 0, "linearClassifier: no documents with >= 1 token")
+    var w = cut(feats.select(col("bucket")).distinct()
+      .withColumn("wt", lit(0.0)))
+    val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 0 until iters) {
+      // residuals r_d = p_d − y_d at the CURRENT weights (one doc-keyed
+      // reduce, no exchange thanks to the id partitioning)
+      val resid = cut(feats.join(broadcast(w), Seq("bucket"))
+        .groupBy(col(idCol))
+        .agg(first(col("y")).as("y"), sum(col("wt") * col("x")).as("s"))
+        .select(col(idCol), col("y").cast("double").as("yd"),
+                sigmoid(col("s")).as("p")))
+      val loss = resid.agg(avg(
+        -(col("yd") * log(col("p")) +
+          (lit(1.0) - col("yd")) * log(lit(1.0) - col("p")))))
+        .head().getDouble(0)
+      history += loss
+      // mean gradient per bucket, rounded 9 dp (cross-engine step
+      // determinism); partial agg collapses to ≤ B+1 rows per partition
+      val grads = feats
+        .join(resid.select(col(idCol), (col("p") - col("yd")).as("r")),
+              Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg(round(sum(col("r") * col("x")) / nDocs, 9).as("g"))
+      val wNew = cut(w.join(grads, Seq("bucket"), "left")
+        .select(col("bucket"),
+          round(col("wt") - lit(lr) * coalesce(col("g"), lit(0.0)), 9)
+            .as("wt")))
+      wNew.count() // materialize (≤ B+1 rows) before parents release
+      w.unpersist(blocking = false)
+      resid.unpersist(blocking = false)
+      w = wNew
+    }
+    feats.unpersist(blocking = false)
+    (w, history.toSeq)
+  }
+
+  /** Train and score every document under the final weights:
+    * `idCol, y, n_features, score, pred_label` where `score` is the
+    * 6-dp-rounded log-odds `b + mean(w[f])` and `pred_label` derives
+    * from the ROUNDED score (both engines decide ties identically — the
+    * [[NbClassifier]] convention). The per-doc score folds its ~n_d
+    * weight terms in (bucket, value) order, not group-SUM order — at
+    * thousands of terms per doc the summation-order noise otherwise
+    * crosses 6-dp rounding boundaries (measured: 1 row in 5000 at
+    * sf0.1), the same reason [[Pq.encode]] folds qerr in sub order.
+    */
+  def trainScoreBinary(docs: DataFrame, idCol: String, toksCol: String,
+                       labelCol: String, numBuckets: Int = 1024,
+                       iters: Int = 3, lr: Double = 5.0): DataFrame = {
+    val (w, _) = train(docs, idCol, toksCol, labelCol, numBuckets, iters, lr)
+    val feats = features(docs, idCol, toksCol, labelCol, numBuckets)
+    val ordered = transform(
+      array_sort(collect_list(struct(col("bucket"),
+        (col("wt") * col("x")).as("v")))),
+      s => s.getField("v"))
+    val score = round(
+      aggregate(ordered, lit(0.0), (acc, v) => acc + v), 6)
+    feats.join(broadcast(w), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(first(col("y")).as("y"),
+        sum(when(col("bucket") >= 0, 1L).otherwise(0L)).as("n_features"),
+        score.as("score"))
+      .select(col(idCol), col("y"), col("n_features"), col("score"),
+        when(col("score") > 0, 1).otherwise(0).as("pred_label"))
+  }
+}

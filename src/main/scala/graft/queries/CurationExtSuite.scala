@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions
-import graft.operators.{LineDedup, NbClassifier, NgramLm, SpanDedup}
+import graft.operators.{LinearClassifier, LineDedup, NbClassifier, NgramLm, SpanDedup}
 import graft.functions.FoldText
 import graft.plans.GraftFunctions
 
@@ -505,6 +505,88 @@ object CurationExtSuite extends QuerySuite {
                       + s1 - s0, 6) > 0
                     THEN 1 ELSE 0 END AS pred_label
              FROM sc CROSS JOIN dc ORDER BY sc.doc_id"""),
+    headline = true)
+
+  // ---- fastText-shape linear quality classifier (trained, GD) -------
+  // The TRAINED counterpart of q_nb_classify on the same planted axis:
+  // hashed unigram+bigram features, two deterministic full-batch
+  // logistic-GD steps with per-step 9-dp gradient rounding, so the
+  // oracle replays TRAINING itself — both iterations unrolled as CTEs —
+  // not just the scoring pass. B = 2048 keeps the planted marker's
+  // bucket collision-free (B = 64 plateaus at ~0.8 accuracy, measured);
+  // at this operating point 2 steps reach 1.0 train accuracy.
+  private val linearClassify = GraftQuery(
+    "q_linear_classify",
+    (s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 2).cast("int").as("y"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" mk0 mk0"))
+            .otherwise(lit(" mk1 mk1"))).as("text"))
+      val t = planted.select(col("doc_id"), col("y"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      LinearClassifier.trainScoreBinary(t, "doc_id", "toks", "y",
+          numBuckets = 2048, iters = 2, lr = 5.0)
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH planted AS (
+               SELECT doc_id, CAST(doc_id % 2 AS INT) AS y,
+                 text || CASE WHEN doc_id % 2 = 0 THEN ' mk0 mk0'
+                              ELSE ' mk1 mk1' END AS text
+               FROM documents),
+             t AS (
+               SELECT doc_id, y, $toksSql AS toks FROM planted
+               WHERE len($toksSql) >= 1),
+             base AS (
+               SELECT doc_id, y, toks,
+                 CAST(CASE WHEN len(toks) >= 2 THEN 2 * len(toks) - 1
+                           ELSE len(toks) END AS DOUBLE) AS nf
+               FROM t),
+             ng AS (
+               SELECT doc_id, y, nf, unnest(toks) AS ng FROM base
+               UNION ALL
+               SELECT doc_id, y, nf, toks[i] || ' ' || toks[i + 1] AS ng
+               FROM base, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+               WHERE len(toks) >= 2),
+             feats AS (
+               SELECT doc_id, y,
+                 ('0x' || substr(md5(ng), 1, 8))::BIGINT % 2048 AS bucket,
+                 1.0 / nf AS x
+               FROM ng
+               UNION ALL
+               SELECT doc_id, y, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x
+               FROM base),
+             n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+             g1 AS (
+               SELECT bucket, ROUND(SUM((0.5 - y) * x) / MAX(n.n), 9) AS g
+               FROM feats CROSS JOIN n GROUP BY bucket),
+             w1 AS (SELECT bucket, ROUND(-5.0 * g, 9) AS wt FROM g1),
+             s2 AS (
+               SELECT f.doc_id, MAX(f.y) AS y, SUM(w.wt * f.x) AS s
+               FROM feats f JOIN w1 w USING (bucket) GROUP BY f.doc_id),
+             r2 AS (
+               SELECT doc_id, 1.0 / (1.0 + exp(-s)) - y AS r FROM s2),
+             g2 AS (
+               SELECT f.bucket, ROUND(SUM(r2.r * f.x) / MAX(n.n), 9) AS g
+               FROM feats f JOIN r2 USING (doc_id) CROSS JOIN n
+               GROUP BY f.bucket),
+             w2 AS (
+               SELECT w1.bucket,
+                 ROUND(w1.wt - 5.0 * COALESCE(g2.g, 0.0), 9) AS wt
+               FROM w1 LEFT JOIN g2 USING (bucket)),
+             scored AS (
+               SELECT f.doc_id, MAX(f.y) AS y,
+                 SUM(CASE WHEN f.bucket >= 0 THEN 1 ELSE 0 END)
+                   AS n_features,
+                 ROUND(list_reduce(
+                   list(w.wt * f.x ORDER BY f.bucket, w.wt * f.x),
+                   (a, b) -> a + b), 6) AS score
+               FROM feats f JOIN w2 w USING (bucket) GROUP BY f.doc_id)
+             SELECT doc_id, y, CAST(n_features AS BIGINT) AS n_features,
+               score,
+               CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred_label
+             FROM scored ORDER BY doc_id"""),
     headline = true)
 
   // ---- character-level Shannon entropy (repetitive-garbage axis) -----
@@ -1039,6 +1121,7 @@ object CurationExtSuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(lineDedup, lmScore, spanCoverage, spanRemoval, tokenChunks,
         winnowFp, winnowPairs, pretrainPipeline, textFold, nbClassify,
+        linearClassify,
         charEntropyQ, foldDedup, streamCuration, llmPipeline,
         llmPipelineSpans)
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.functions.TextFunctions
+
+class LinearClassifierSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Planted separable corpus: the q_nb_classify convention — label =
+    * doc_id mod 2 with a doubled class-marker token appended.
+    */
+  private def planted = graft.Tables.documents(spark, sf)
+    .select($"doc_id", ($"doc_id" % 2).cast("int").as("y"),
+      concat($"text", when($"doc_id" % 2 === 0, lit(" mk0 mk0"))
+        .otherwise(lit(" mk1 mk1"))).as("text"))
+    .select($"doc_id", $"y", TextFunctions.tokens($"text").as("toks"))
+    .filter(size($"toks") >= 1)
+
+  test("features: per-doc n-gram mass sums to 1 plus the intercept") {
+    val f = LinearClassifier.features(planted, "doc_id", "toks", "y", 64)
+    val sums = f.groupBy("doc_id").agg(
+      sum(when($"bucket" >= 0, $"x").otherwise(0.0)).as("gram_mass"),
+      sum(when($"bucket" === -1L, 1).otherwise(0)).as("n_intercept"))
+    val bad = sums.filter(abs($"gram_mass" - 1.0) > 1e-9 ||
+      $"n_intercept" =!= 1).count()
+    assert(bad == 0)
+    assert(f.filter($"bucket" >= 64).count() == 0)
+  }
+
+  test("train: mean logistic loss falls on a separable planted corpus") {
+    val (_, hist) = LinearClassifier.train(planted, "doc_id", "toks", "y",
+      numBuckets = 64, iters = 4, lr = 5.0)
+    assert(hist.length == 4)
+    assert(math.abs(hist.head - math.log(2.0)) < 1e-9,
+      s"iteration-0 loss must be ln 2 at w=0, got ${hist.head}")
+    assert(hist.last < hist.head,
+      s"loss did not fall: ${hist.head} -> ${hist.last}")
+  }
+
+  test("trainScoreBinary separates the planted classes") {
+    // B must comfortably exceed the n-gram vocabulary share per bucket:
+    // at B = 64 the marker's bucket collides with common words and
+    // accuracy plateaus ~0.8 (measured); at B = 2048 the marker bucket
+    // is clean and 2 full-batch steps reach 1.0 train accuracy.
+    val scored = LinearClassifier.trainScoreBinary(planted, "doc_id",
+      "toks", "y", numBuckets = 2048, iters = 2, lr = 5.0)
+    val n = scored.count()
+    val acc = scored.filter($"pred_label" === $"y").count().toDouble / n
+    assert(acc >= 0.95, s"train accuracy $acc below 0.95")
+    // every doc scored exactly once, n_features = its n-gram count
+    assert(scored.select(countDistinct($"doc_id")).head().getLong(0) == n)
+    val nf = scored.join(
+        planted.select($"doc_id", (when(size($"toks") >= 2,
+          size($"toks") * 2 - 1).otherwise(size($"toks")))
+          .cast("long").as("expect_nf")), Seq("doc_id"))
+      .filter($"n_features" =!= $"expect_nf").count()
+    assert(nf == 0)
+  }
+
+  test("training is deterministic: identical weights across runs") {
+    def run() = LinearClassifier.train(planted, "doc_id", "toks", "y",
+        numBuckets = 64, iters = 2, lr = 5.0)._1
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq
+    assert(run() == run())
+  }
+
+  test("loud caps on iters and numBuckets") {
+    intercept[IllegalArgumentException] {
+      LinearClassifier.train(planted, "doc_id", "toks", "y", iters = 65)
+    }
+    intercept[IllegalArgumentException] {
+      LinearClassifier.features(planted, "doc_id", "toks", "y", 1 << 21)
+    }
+  }
+}
