@@ -196,6 +196,49 @@ object AdvancedSuite extends QuerySuite {
                     TRUE AS exact_est_ok, CAST(0 AS BIGINT) AS n_overflow
              FROM per_content WHERE k <= 1000000 AND mintok >= 1"""))
 
+  // ---- streaming incremental packing vs the batch-recompute oracle ---
+  // The ingest-time continuation of q_pack_incremental: the docs with
+  // id >= 250 arrive as a stream and extend the packed prefix's
+  // assignments (priorTokens/maxPackedId seeded from the id < 250
+  // slice), through the REAL streaming plan — stateless token counting,
+  // then ONE flatMapGroupsWithState whose state is two longs. The
+  // oracle is the identical full-corpus prefix-sum recompute restricted
+  // to the streamed slice, plus n_violations = 0 (the parquet source
+  // feeds ids in contract order; the violation path is spec-pinned in
+  // PackStreamSpec where order can be broken deliberately).
+  private val streamPack = GraftQuery(
+    "q_stream_pack",
+    (s, d) => {
+      val prior = documents(s, d).filter(col("doc_id") < 250)
+        .agg(coalesce(sum(size(graft.functions.TextFunctions
+          .tokens(col("text"))).cast("long")), lit(0L))).head().getLong(0)
+      val st = EventsStream.readTable(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") >= 250)
+      val hits = graft.streaming.PackStream.assignPacks(
+        graft.streaming.PackStream.tokenCounts(st), budget = 2000L,
+        priorTokens = prior, maxPackedId = 249L)
+      val emitted = EventsStream.runToCompletion(s, hits.toDF(),
+        outputMode = "append")
+      val packs = graft.streaming.PackStream.packedDocs(emitted)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("pack_id"))
+      val nviol = graft.streaming.PackStream.violations(emitted)
+        .agg(count(lit(1)).as("n_violations"))
+      packs.crossJoin(broadcast(nviol)).orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+             c AS (
+               SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_excl
+               FROM t)
+             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_excl // 2000 AS BIGINT) AS pack_id,
+               CAST(0 AS BIGINT) AS n_violations
+             FROM c WHERE doc_id >= 250 ORDER BY doc_id"""))
+
   // ---- multimodal plumbing -------------------------------------------
   private val multimodal = GraftQuery(
     "q_multimodal_features",
@@ -528,5 +571,6 @@ object AdvancedSuite extends QuerySuite {
         frameSample,
         imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
         videoProbe, videoFramesQ, videoFeaturesQ, multimodalCuration,
-        streamStreamJoin, streamStaticJoin, statefulTotals, streamNearDup)
+        streamStreamJoin, streamStaticJoin, statefulTotals, streamNearDup,
+        streamPack)
 }
