@@ -49,10 +49,19 @@ object SpanDedup {
     * keeper is ANOTHER doc covers it. Overlapping spans union by
     * construction (position-set semantics, no interval merge); the
     * keeper doc keeps its text byte-identical; docs with < k tokens
-    * have no window and pass through unchanged. Cutting at gram
-    * granularity over-removes up to k−1 boundary tokens vs a true
-    * suffix-array span — the standard trade for a shuffle-bounded
-    * distributed pass.
+    * have no window and pass through unchanged.
+    *
+    * Exactness: gram granularity loses NOTHING vs a true suffix-array
+    * span pass — a position lies inside a cross-doc duplicated
+    * substring of length ≥ k iff it lies inside some duplicated
+    * k-window (a length-L ≥ k duplicated substring contains L−k+1
+    * duplicated k-windows jointly covering all L positions, and a
+    * duplicated k-window IS such a substring), so under this keeper
+    * convention the removal set equals the exact duplicated-span set
+    * position-for-position. Pinned against an independent brute-force
+    * recompute in SpanExactSpec (measured over-removal: 0 tokens,
+    * BASELINE.md round 12); the hash granularity's only approximation
+    * is the md5 collision probability on the 32-hex gram key.
     *
     * Output: `idCol, n_tokens, n_removed, clean_text` (space-joined
     * surviving tokens in original order).
