@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
          graft.functions.UnigramEncode.registration,
          graft.functions.WordPieceEncode.registration,
          graft.functions.MinhashSig.registration) ++
+        graft.functions.ByteBpe.registrations ++
         VectorOps.registrations).foreach {
       case (name, info, builder) =>
         e.injectFunction((FunctionIdentifier(name), info, builder))
@@ -43,6 +44,7 @@ object GraftFunctions {
          graft.functions.UnigramEncode.registration,
          graft.functions.WordPieceEncode.registration,
          graft.functions.MinhashSig.registration) ++
+        graft.functions.ByteBpe.registrations ++
         VectorOps.registrations).foreach {
       case (name, _, builder) =>
         spark.sessionState.functionRegistry

@@ -1136,6 +1136,101 @@ object CorpusOpsSuite extends QuerySuite {
           FROM s0 ORDER BY doc_id, word_pos"""
   }
 
+  // ---- byte-level BPE (GPT-2 lineage) --------------------------------
+  // The fourth tokenizer family member: a word's UTF-8 BYTES are the
+  // base alphabet, each rendered printable by the fixed 256-entry
+  // bytes-to-unicode bijection — so NO word is ever OOV and
+  // decode∘encode is the identity (round-trip spec-pinned in
+  // ByteBpeSpec). Merges train at registration over a literal corpus
+  // with real multi-byte mass (accents, CJK, emoji) via the shared
+  // trainLocal loop on byte symbols; the gate encodes real [a-z] corpus
+  // words PLUS planted non-ASCII words, and the oracle replays the
+  // whole path — hex(encode(word)) byte walk → 256-entry map literal →
+  // the regexp_replace merge chain — to full value equality, including
+  // the byte-symbol rendering and the SQL-side identity round-trip.
+  private val byteBpeLitCorpus: Seq[(String, Int)] = Seq(
+    "déjà" -> 6, "niño" -> 5, "café" -> 4, "scan" -> 6, "row" -> 7,
+    "中文" -> 3, "naïve" -> 2, "caf🙂" -> 1)
+
+  private val byteBpeNumMerges = 8
+
+  private val byteBpeExpectedMerges: Seq[(String, String)] =
+    graft.operators.Bpe.trainLocal(
+      byteBpeLitCorpus.map { case (w, n) =>
+        (n.toLong, graft.functions.ByteMap.toByteSymbols(w)
+          .map(_.toString).toIndexedSeq)
+      }, byteBpeNumMerges)
+
+  /** 256-entry byte→symbol map as a DuckDB list literal. */
+  private lazy val byteMapSqlList: String = (0 until 256).map { b =>
+    "'" + graft.functions.ByteMap.byteToChar(b).toString
+      .replace("'", "''") + "'"
+  }.mkString("[", ", ", "]")
+
+  private def reEsc(s: String): String = s.flatMap { c =>
+    if ("\\^$.|?*+()[]{}".contains(c)) "\\" + c else c.toString
+  }
+
+  private val byteBpeEncode = GraftQuery(
+    "q_bytebpe_encode",
+    (s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") % 20 === 0)
+      val planted = docs.select(col("doc_id"), lit(0L).as("word_pos"),
+        element_at(
+          array(lit("déjà"), lit("niño"), lit("中文"), lit("caf🙂")),
+          (expr("(doc_id div 20) % 4")).cast("int") + 1).as("word"))
+      val real = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "word")))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("word_pos"),
+          col("word"))
+      val enc = graft.functions.ByteBpe
+        .byte_bpe_encode(col("word"), byteBpeExpectedMerges)
+      planted.unionByName(real)
+        .select(col("doc_id"), col("word_pos"), col("word"),
+          graft.functions.ByteBpe.byte_syms(col("word")).as("syms"),
+          array_join(enc, " ").as("pieces_str"),
+          graft.functions.ByteBpe.byte_bpe_decode(enc).as("roundtrip"))
+        .orderBy(asc("doc_id"), asc("word_pos"))
+    },
+    Some {
+      val chain = byteBpeExpectedMerges.foldLeft("st0") {
+        case (prev, (a, b)) =>
+          s"regexp_replace($prev, '\\|${reEsc(a)}\\|\\|${reEsc(b)}\\|', " +
+          s"'|$a$b|', 'g')"
+      }
+      s"""WITH bm AS (SELECT $byteMapSqlList AS m),
+          docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          planted AS (
+            SELECT doc_id, CAST(0 AS BIGINT) AS word_pos,
+              (['déjà', 'niño', '中文', 'caf🙂'])[
+                CAST((doc_id // 20) % 4 AS INT) + 1] AS word
+            FROM docs),
+          real AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS word_pos, toks[i] AS word
+            FROM (SELECT doc_id, $toksSql AS toks FROM docs),
+              unnest(generate_series(1, len(toks))) AS u(i)
+            WHERE regexp_matches(toks[i], '^[a-z]+$$')),
+          w AS (SELECT * FROM planted UNION ALL SELECT * FROM real),
+          sy AS (
+            SELECT doc_id, word_pos, word,
+              array_to_string(list_transform(
+                generate_series(1, octet_length(encode(word))),
+                i -> m[('0x' || substr(hex(encode(word)), 2*i-1, 2))::INT
+                       + 1]), '') AS syms,
+              array_to_string(list_transform(
+                generate_series(1, octet_length(encode(word))),
+                i -> '|' || m[('0x' || substr(hex(encode(word)), 2*i-1, 2))
+                       ::INT + 1] || '|'), '') AS st0
+            FROM w CROSS JOIN bm)
+          SELECT doc_id, word_pos, word, syms,
+            replace(trim($chain, '|'), '||', ' ') AS pieces_str,
+            word AS roundtrip
+          FROM sy ORDER BY doc_id, word_pos"""
+    })
+
   // ---- unigram-LM tokenizer (SentencePiece family, Kudo 2018) --------
   // The OTHER trained-tokenizer lineage next to BPE: a piece vocabulary
   // with log-probabilities, applied by Viterbi. q_unigram_train runs
@@ -1516,7 +1611,8 @@ object CorpusOpsSuite extends QuerySuite {
         decontaminate, domainMix, trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
         packSequences, packIncrementalQ, bpePairs, bpeTrain, bpeTokenize,
-        bpeEncodeExpr, unigramTrain, unigramPruned, unigramEncode,
+        bpeEncodeExpr, byteBpeEncode, unigramTrain, unigramPruned,
+        unigramEncode,
         wordpieceTrain, wordpieceEncode,
         cdcChunks, packManifest)
 }
