@@ -228,7 +228,6 @@ object Pq {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxQueries: Long = 10000L): DataFrame = {
-    val spark = corpus.sparkSession
     val dsub = dsubOf(corpus, m, vecCol)
 
     // --- corpus side: cell assignment + PQ codes (vectors end here) --
@@ -241,8 +240,25 @@ object Pq {
     val encoded = encode(corpus, cb, m, idCol, vecCol)
       .join(assigned, Seq("pq_id"))
       .select(col("cell"), col("pq_id"), col("codes"))
+    // the SAME centroid set the assignment used (seed convention: raw
+    // vectors with id < nCells)
+    val cents = corpus.select(col(idCol).as("cell"),
+                              asDouble(col(vecCol)).as("cellv"))
+      .filter(col("cell") < nCells)
+    answerFromIndex(cents, cb, encoded, queries, k, nProbe, m, dsub,
+      maxQueries, "ivfPqTopK")
+  }
 
-    // --- query side (bounded, broadcast): probes + ADC lookup table --
+  /** The query-answering half, shared by [[ivfPqTopK]] (freshly built
+    * corpus-side frames) and [[queryIndex]] (frames read back from a
+    * stored index): probe selection against the centroids, per-query
+    * ADC lookup table from the codebooks, sub-ordered fold over the
+    * probed codes.
+    */
+  private def answerFromIndex(
+      cents: DataFrame, cb: DataFrame, encoded: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int, m: Int, dsub: Int,
+      maxQueries: Long, caller: String): DataFrame = {
     val qn = withNormalized(
       queries.select(col("query_id"), asDouble(col("query_vec")).as("v")),
       "v", "qnv")
@@ -250,14 +266,9 @@ object Pq {
       // same bounded-broadcast discipline as the other ANN entry points
       val n = qn.limit((maxQueries + 1).toInt).count()
       require(n <= maxQueries,
-        s"ivfPqTopK: query side has >$maxQueries rows; run in bounded batches")
+        s"$caller: query side has >$maxQueries rows; run in bounded batches")
       broadcast(qn)
     }
-    // nProbe nearest cells by cosine against the SAME centroid set the
-    // assignment used (seed convention: raw vectors with id < nCells)
-    val cents = corpus.select(col(idCol).as("cell"),
-                              asDouble(col(vecCol)).as("cellv"))
-      .filter(col("cell") < nCells)
     val qcells = qchecked.crossJoin(broadcast(cents))
       .select(col("query_id"), col("cell"),
               Similarity.cosine(col("v"), col("cellv")).as("csim"))
@@ -299,4 +310,141 @@ object Pq {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
               round(col("adc"), 6).as("adc"))
   }
+
+  // ---- stored index: build once, answer forever, append-only ---------
+
+  /** Stored-index layout version + geometry, stamped on every sub-table
+    * (the `sig_family` / `sketch_format` convention): an index written
+    * by a different layout, or whose geometry disagrees across
+    * sub-tables, must fail loudly on load — ADC against mismatched
+    * codebooks returns plausible garbage, not an error.
+    */
+  private[graft] val IndexFormatPrefix = "graft-ivfpq-v1"
+
+  private def stampOf(m: Int, ksub: Int, nCells: Int, dim: Int): String =
+    s"$IndexFormatPrefix;m=$m;ksub=$ksub;nCells=$nCells;dim=$dim"
+
+  /** A loaded index: the three stored frames (format column stripped)
+    * plus the parsed geometry.
+    */
+  final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+                              codes: DataFrame, m: Int, ksub: Int,
+                              nCells: Int, dim: Int)
+
+  /** Build the corpus-side index ONCE and persist it: `centroids`
+    * (nCells rows), `codebooks` (m·ksub rows), `codes` (one row per
+    * vector, m BYTES of payload) under `path`, each stamped with the
+    * layout+geometry marker. At 100 TB this is the whole point of PQ —
+    * the corpus is scanned once at build time; every later query batch
+    * reads codes (64× smaller than vectors) and never rescans
+    * embeddings.
+    */
+  def saveIndex(corpus: DataFrame, path: String, nCells: Int = 16,
+                m: Int = 8, ksub: Int = 16, trainIters: Int = 0,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): Unit = {
+    val dsub = dsubOf(corpus, m, vecCol)
+    val dim = dsub * m
+    val st = stampOf(m, ksub, nCells, dim)
+    val cents = corpus.select(col(idCol).as("cell"),
+        asDouble(col(vecCol)).as("cellv"))
+      .filter(col("cell") < nCells)
+    val cb =
+      if (trainIters > 0) trainCodebooks(corpus, m, ksub, trainIters,
+        idCol, vecCol)._1
+      else seedCodebooks(corpus, m, ksub, idCol, vecCol)
+    val assigned = Similarity.ivfAssign(corpus, nCells, idCol, vecCol)
+      .select(col("ivf_id").as("pq_id"), col("cell"))
+    val encoded = encode(corpus, broadcast(cb), m, idCol, vecCol)
+      .join(assigned, Seq("pq_id"))
+      .select(col("cell"), col("pq_id"), col("codes"))
+    cents.withColumn("index_format", lit(st))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    cb.withColumn("index_format", lit(st))
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    encoded.withColumn("index_format", lit(st))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  private def checkedRead(spark: org.apache.spark.sql.SparkSession,
+                          path: String, sub: String): (DataFrame, String) = {
+    val df = spark.read.parquet(s"$path/$sub")
+    require(df.columns.contains("index_format"),
+      s"stored IVF-PQ $sub table at $path has no index_format column — " +
+      "written by a pre-versioning build or not an index table; rebuild " +
+      "with Pq.saveIndex")
+    val stamps = df.select(col("index_format")).distinct().limit(3)
+      .collect().map(_.getString(0))
+    require(stamps.length == 1,
+      s"stored IVF-PQ $sub table at $path carries ${stamps.length} " +
+      s"distinct index_format stamps (${stamps.mkString(", ")}) — mixed " +
+      "layouts cannot be answered; rebuild with Pq.saveIndex")
+    require(stamps.head != null && stamps.head.startsWith(IndexFormatPrefix),
+      s"stored IVF-PQ $sub table at $path has layout '${stamps.head}', " +
+      s"this build reads '$IndexFormatPrefix' — rebuild with Pq.saveIndex")
+    (df.drop("index_format"), stamps.head)
+  }
+
+  /** Load a stored index, rejecting unstamped/mismatched tables loudly
+    * and parsing the geometry out of the stamp.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPqIndex = {
+    val (cents, s1) = checkedRead(spark, path, "centroids")
+    val (cb, s2) = checkedRead(spark, path, "codebooks")
+    val (codes, s3) = checkedRead(spark, path, "codes")
+    require(s1 == s2 && s2 == s3,
+      s"stored IVF-PQ index at $path has disagreeing sub-table stamps " +
+      s"($s1 / $s2 / $s3) — partially rewritten index; rebuild with " +
+      "Pq.saveIndex")
+    val params = s1.stripPrefix(IndexFormatPrefix + ";").split(';')
+      .map(_.split('=')).map(kv => kv(0) -> kv(1).toInt).toMap
+    IvfPqIndex(cents, cb, codes, params("m"), params("ksub"),
+      params("nCells"), params("dim"))
+  }
+
+  /** Append a NEW batch of vectors to a stored index without touching
+    * the existing codes: encode with the STORED codebooks, assign to
+    * the STORED centroids, append (the incremental-dedup convention).
+    * New ids must not collide with stored ids — duplicates would
+    * double-answer; the overlap check is one column-pruned semi-join
+    * over the codes table. With the deterministic seed convention and
+    * fresh ids, append-then-query equals rebuild-from-scratch
+    * (spec-pinned).
+    */
+  def appendVectors(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newCorpus: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val idx = loadIndex(spark, path)
+    val newDim = newCorpus.select(size(col(vecCol))).head().getInt(0)
+    require(newDim == idx.dim,
+      s"appendVectors: new batch width $newDim != index width ${idx.dim}")
+    val overlap = newCorpus.select(col(idCol).as("pq_id"))
+      .join(idx.codes.select("pq_id"), Seq("pq_id"), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      "appendVectors: new batch ids collide with stored ids — duplicate " +
+      "ids would double-answer queries; re-id the batch or rebuild")
+    val assigned = Similarity.ivfAssign(newCorpus, idx.nCells, idCol,
+        vecCol, centroids = Some(idx.centroids
+          .select(col("cell"), col("cellv").as("cv"))))
+      .select(col("ivf_id").as("pq_id"), col("cell"))
+    val encoded = encode(newCorpus, broadcast(idx.codebooks), idx.m,
+        idCol, vecCol)
+      .join(assigned, Seq("pq_id"))
+      .select(col("cell"), col("pq_id"), col("codes"))
+    encoded.withColumn("index_format",
+        lit(stampOf(idx.m, idx.ksub, idx.nCells, idx.dim)))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Answer top-k from a stored index — no corpus access, no encode:
+    * the probed working set is (cell, id, m bytes) per candidate.
+    */
+  def queryIndex(index: IvfPqIndex, queries: DataFrame, k: Int,
+                 nProbe: Int = 4,
+                 maxQueries: Long = 10000L): DataFrame =
+    answerFromIndex(index.centroids, broadcast(index.codebooks),
+      index.codes, queries, k, nProbe, index.m, index.dim / index.m,
+      maxQueries, "queryIndex")
 }

@@ -539,7 +539,32 @@ object SimilaritySuite extends QuerySuite {
           embeddings(s, d), queryVectors(s, d), k = 3,
           nCells = 16, nProbe = 4, m = 8, ksub = 16)
         .orderBy(asc("query_id"), asc("rank")),
-    Some(s"""WITH e AS (
+    Some(ivfPqOracleSql))
+
+  // ---- IVF-PQ from a STORED index (build → save → load → answer) -----
+  // The build-once/answer-forever lifecycle: the index (centroids,
+  // codebooks, one-byte codes — each parquet table version-stamped with
+  // layout+geometry, rejected loudly on mismatch) is written and read
+  // back INSIDE the gate, and queries are answered from the stored
+  // tables with no corpus access. Same oracle as q_embedding_ivfpq:
+  // the stored path must be answer-identical to the direct one (also
+  // spec-pinned, with append-only growth, in PqIndexSpec).
+  private val ivfPqStored = GraftQuery(
+    "q_ivfpq_stored",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"ivfpq_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.operators.Pq.saveIndex(embeddings(s, d), path,
+        nCells = 16, m = 8, ksub = 16)
+      graft.operators.Pq.queryIndex(
+          graft.operators.Pq.loadIndex(s, path), queryVectors(s, d),
+          k = 3, nProbe = 4)
+        .orderBy(asc("query_id"), asc("rank"))
+    },
+    Some(ivfPqOracleSql))
+
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH e AS (
                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              n AS (
                SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
@@ -614,10 +639,10 @@ object SimilaritySuite extends QuerySuite {
                FROM score)
              SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
                ROUND(adc, 6) AS adc
-             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
 
   override val queries: Seq[GraftQuery] =
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
         ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize,
-        semanticDedup, randomProjQ, pqCodes, ivfPq)
+        semanticDedup, randomProjQ, pqCodes, ivfPq, ivfPqStored)
 }

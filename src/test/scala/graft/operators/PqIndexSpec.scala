@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Stored IVF-PQ index lifecycle: build-once/answer-forever parity with
+  * the direct operator, append-only growth equal to a rebuild, and the
+  * loud version/geometry rejection contract (the sig_family /
+  * sketch_format convention applied to ANN indexes).
+  */
+class PqIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def corpus = graft.Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding")
+  private def queries = corpus.filter($"vec_id" < 3)
+    .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+
+  private def freshPath(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"pqidx_$tag")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def answers(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("query_id", "rank")
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .collect().map(_.toSeq).toSeq
+
+  test("stored index answers identically to the direct operator") {
+    val path = freshPath("rt")
+    Pq.saveIndex(corpus, path, nCells = 8, m = 8, ksub = 16)
+    val idx = Pq.loadIndex(spark, path)
+    assert((idx.m, idx.ksub, idx.nCells, idx.dim) == (8, 16, 8, 64))
+    val stored = answers(Pq.queryIndex(idx, queries, k = 5, nProbe = 4))
+    val direct = answers(Pq.ivfPqTopK(corpus, queries, k = 5, nCells = 8,
+      nProbe = 4, m = 8, ksub = 16))
+    assert(stored == direct)
+    assert(stored.nonEmpty)
+  }
+
+  test("append-only growth equals a rebuild from scratch") {
+    val base = corpus.filter($"vec_id" < 30)
+    val extra = corpus.filter($"vec_id" >= 30)
+    val pathInc = freshPath("inc")
+    Pq.saveIndex(base, pathInc, nCells = 8, m = 8, ksub = 16)
+    Pq.appendVectors(spark, pathInc, extra)
+    val pathFull = freshPath("full")
+    Pq.saveIndex(corpus, pathFull, nCells = 8, m = 8, ksub = 16)
+    val inc = answers(Pq.queryIndex(Pq.loadIndex(spark, pathInc),
+      queries, k = 5, nProbe = 8))
+    val full = answers(Pq.queryIndex(Pq.loadIndex(spark, pathFull),
+      queries, k = 5, nProbe = 8))
+    assert(inc == full)
+    // the appended ids actually answer
+    assert(Pq.queryIndex(Pq.loadIndex(spark, pathInc), queries, k = 50,
+        nProbe = 8)
+      .filter($"neighbor_id" >= 30).count() > 0)
+  }
+
+  test("an unstamped codes table is rejected with rebuild instructions") {
+    val path = freshPath("unstamped")
+    Pq.saveIndex(corpus, path, nCells = 8, m = 8, ksub = 16)
+    val bare = spark.read.parquet(s"$path/codes").drop("index_format")
+    bare.write.mode("overwrite").parquet(s"$path/codes_tmp")
+    spark.read.parquet(s"$path/codes_tmp").write.mode("overwrite")
+      .parquet(s"$path/codes")
+    val ex = intercept[IllegalArgumentException] {
+      Pq.loadIndex(spark, path)
+    }
+    assert(ex.getMessage.contains("index_format"))
+    assert(ex.getMessage.contains("saveIndex"))
+  }
+
+  test("a foreign layout stamp is rejected") {
+    val path = freshPath("foreign")
+    Pq.saveIndex(corpus, path, nCells = 8, m = 8, ksub = 16)
+    spark.read.parquet(s"$path/codebooks")
+      .withColumn("index_format", lit("someones-else-v9;m=8"))
+      .write.mode("overwrite").parquet(s"$path/cb_tmp")
+    spark.read.parquet(s"$path/cb_tmp").write.mode("overwrite")
+      .parquet(s"$path/codebooks")
+    val ex = intercept[IllegalArgumentException] {
+      Pq.loadIndex(spark, path)
+    }
+    assert(ex.getMessage.contains("layout"))
+  }
+
+  test("disagreeing sub-table geometry is rejected") {
+    val path = freshPath("mixed")
+    Pq.saveIndex(corpus, path, nCells = 8, m = 8, ksub = 16)
+    val doctored = spark.read.parquet(s"$path/centroids")
+      .withColumn("index_format",
+        lit(s"${Pq.IndexFormatPrefix};m=16;ksub=16;nCells=8;dim=64"))
+    doctored.write.mode("overwrite").parquet(s"$path/cent_tmp")
+    spark.read.parquet(s"$path/cent_tmp").write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    val ex = intercept[IllegalArgumentException] {
+      Pq.loadIndex(spark, path)
+    }
+    assert(ex.getMessage.contains("disagreeing"))
+  }
+
+  test("append rejects colliding ids and mismatched width loudly") {
+    val path = freshPath("guards")
+    Pq.saveIndex(corpus, path, nCells = 8, m = 8, ksub = 16)
+    val collide = intercept[IllegalArgumentException] {
+      Pq.appendVectors(spark, path, corpus.filter($"vec_id" < 5))
+    }
+    assert(collide.getMessage.contains("collide"))
+    val narrowed = corpus.limit(1)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        slice($"embedding", 1, 32).as("embedding"))
+    val width = intercept[IllegalArgumentException] {
+      Pq.appendVectors(spark, path, narrowed)
+    }
+    assert(width.getMessage.contains("width"))
+  }
+}
