@@ -1136,6 +1136,38 @@ object CorpusOpsSuite extends QuerySuite {
           FROM s0 ORDER BY doc_id, word_pos"""
   }
 
+  // ---- BPE encode from a STORED merge table --------------------------
+  // The ship-the-artifact lifecycle: the trained merge list is written
+  // as a version-stamped parquet table (rank column carries order;
+  // end_mark rides in the stamp — TokenizerStore), read back, and the
+  // encode runs from the LOADED artifact. Same oracle as
+  // q_bpe_encode_expr: storage must be semantics-neutral. Stale/foreign/
+  // wrong-kind rejection is spec-pinned in TokenizerStoreSpec.
+  private val bpeStored = GraftQuery(
+    "q_bpe_stored",
+    (s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"bpe_merges_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.operators.TokenizerStore.saveBpeMerges(s, bpeExpectedMerges,
+        path)
+      val (loaded, endMark) =
+        graft.operators.TokenizerStore.loadBpeMerges(s, path)
+      val docs = documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      docs.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("i", "word")))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("word_pos"),
+          col("word"),
+          array_join(graft.functions.BpeEncode
+            .bpe_encode(col("word"), loaded, endMark), " ")
+            .as("pieces_str"))
+        .orderBy(asc("doc_id"), asc("word_pos"))
+    },
+    Some(bpeTokenizeSql))
+
   // ---- byte-level BPE (GPT-2 lineage) --------------------------------
   // The fourth tokenizer family member: a word's UTF-8 BYTES are the
   // base alphabet, each rendered printable by the fixed 256-entry
@@ -1611,7 +1643,7 @@ object CorpusOpsSuite extends QuerySuite {
         decontaminate, domainMix, trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
         packSequences, packIncrementalQ, bpePairs, bpeTrain, bpeTokenize,
-        bpeEncodeExpr, byteBpeEncode, unigramTrain, unigramPruned,
+        bpeEncodeExpr, bpeStored, byteBpeEncode, unigramTrain, unigramPruned,
         unigramEncode,
         wordpieceTrain, wordpieceEncode,
         cdcChunks, packManifest)
