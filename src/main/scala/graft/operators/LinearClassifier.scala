@@ -80,6 +80,33 @@ object LinearClassifier {
 
   private def sigmoid(s: Column): Column = lit(1.0) / (lit(1.0) + exp(-s))
 
+  /** Last prepared-feature-frame cache, evicted on the next call —
+    * the caller-owned [[Dedup]] slot contract. Keeping it persisted
+    * past return lets [[trainScoreBinary]]'s scoring pass reuse the
+    * SAME materialized stream the training loop consumed instead of
+    * re-running tokenize+hash+explode over the corpus.
+    */
+  private var lastFeatsCache: Option[DataFrame] = None
+
+  private def preparedFeatures(docs: DataFrame, idCol: String,
+                               toksCol: String, labelCol: String,
+                               numBuckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // one materialization, pre-partitioned on the doc id: every
+    // iteration's doc-keyed reduce and residual join (and the final
+    // scoring pass) reuse this partitioning instead of re-shuffling
+    // the corpus
+    val parted = features(docs, idCol, toksCol, labelCol, numBuckets)
+      .repartition(col(idCol))
+    val cutDf = spark.createDataFrame(parted.rdd, parted.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    LinearClassifier.synchronized {
+      lastFeatsCache.foreach(_.unpersist(blocking = false))
+      lastFeatsCache = Some(cutDf)
+    }
+    cutDf
+  }
+
   /** Train the weight vector: returns `(weights (bucket, wt), loss
     * history)` where entry i of the history is the mean logistic loss
     * BEFORE iteration i's update (so a learning run shows it falling).
@@ -88,18 +115,19 @@ object LinearClassifier {
     */
   def train(docs: DataFrame, idCol: String, toksCol: String,
             labelCol: String, numBuckets: Int = 1024, iters: Int = 3,
-            lr: Double = 5.0): (DataFrame, Seq[Double]) = {
+            lr: Double = 5.0): (DataFrame, Seq[Double]) =
+    trainOnFeats(
+      preparedFeatures(docs, idCol, toksCol, labelCol, numBuckets),
+      idCol, iters, lr)
+
+  private def trainOnFeats(feats: DataFrame, idCol: String, iters: Int,
+                           lr: Double): (DataFrame, Seq[Double]) = {
     require(iters >= 1 && iters <= MaxIters,
       s"linearClassifier: iters must be in [1, $MaxIters]")
-    val spark = docs.sparkSession
+    val spark = feats.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def cut(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema).persist(lvl)
-    // one materialization, pre-partitioned on the doc id: every
-    // iteration's doc-keyed reduce and residual join reuse this
-    // partitioning instead of re-shuffling the corpus
-    val feats = cut(features(docs, idCol, toksCol, labelCol, numBuckets)
-      .repartition(col(idCol)))
     val nDocs = feats.select(col(idCol)).distinct().count().toDouble
     require(nDocs > 0, "linearClassifier: no documents with >= 1 token")
     var w = cut(feats.select(col("bucket")).distinct()
@@ -134,7 +162,9 @@ object LinearClassifier {
       resid.unpersist(blocking = false)
       w = wNew
     }
-    feats.unpersist(blocking = false)
+    // feats stays persisted — the lastFeatsCache slot owns its
+    // lifecycle (evicted on the next train/trainScoreBinary call), so
+    // trainScoreBinary's scoring pass can reuse the materialized stream
     (w, history.toSeq)
   }
 
@@ -151,8 +181,11 @@ object LinearClassifier {
   def trainScoreBinary(docs: DataFrame, idCol: String, toksCol: String,
                        labelCol: String, numBuckets: Int = 1024,
                        iters: Int = 3, lr: Double = 5.0): DataFrame = {
-    val (w, _) = train(docs, idCol, toksCol, labelCol, numBuckets, iters, lr)
-    val feats = features(docs, idCol, toksCol, labelCol, numBuckets)
+    // ONE prepared feature frame for training and scoring: re-deriving
+    // features for the scoring pass re-ran tokenize+hash+explode over
+    // the whole corpus (measured ~1 s of the gate's ~6 s at sf0.1)
+    val feats = preparedFeatures(docs, idCol, toksCol, labelCol, numBuckets)
+    val (w, _) = trainOnFeats(feats, idCol, iters, lr)
     val ordered = transform(
       array_sort(collect_list(struct(col("bucket"),
         (col("wt") * col("x")).as("v")))),
