@@ -200,4 +200,72 @@ object LinearClassifier {
       .select(col(idCol), col("y"), col("n_features"), col("score"),
         when(col("score") > 0, 1).otherwise(0).as("pred_label"))
   }
+
+  /** Loud cap for [[scoreColumns]]'s weight-array literal: the whole
+    * dense weight vector rides in the plan (one double per bucket), so
+    * the deploy-a-model path caps B where a literal stays sane.
+    */
+  private val MaxLiteralBuckets = 1 << 16
+
+  /** Collect trained weights into the dense literal form
+    * [[scoreColumns]] consumes: (bucket→weight array of length
+    * numBuckets, intercept weight). Driver-side size is B+1 doubles —
+    * model-sized, never corpus-sized.
+    */
+  def collectWeights(w: DataFrame,
+                     numBuckets: Int): (IndexedSeq[Double], Double) = {
+    require(numBuckets <= MaxLiteralBuckets,
+      s"linearClassifier: numBuckets > $MaxLiteralBuckets cannot ship " +
+      "as a plan literal; score via the join path instead")
+    val rows = w.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val arr = (0 until numBuckets).map(b => rows.getOrElse(b.toLong, 0.0))
+    (arr, rows.getOrElse(-1L, 0.0))
+  }
+
+  /** STATELESS per-row scoring under a trained model — zero joins, zero
+    * aggregations, zero state: tokens → n-grams → md5 buckets → dense
+    * weight-array lookup, entirely built-in codegen HOFs over one row.
+    * This is the deploy shape: a stream (or any scan) filters on
+    * quality at ingest with the model as a plan literal, no shuffle
+    * before the sink (append-mode streaming legal by construction).
+    *
+    * Output columns (n_features, score, pred_label) are BIT-IDENTICAL
+    * to [[trainScoreBinary]]'s scoring pass: the fold runs over the
+    * same (bucket, weight·x) multiset in the same sorted order, with
+    * the intercept's bucket −1 sorting first — spec-pinned.
+    */
+  def scoreColumns(toks: Column, weights: IndexedSeq[Double],
+                   intercept: Double): (Column, Column, Column) = {
+    val numBuckets = weights.length
+    require(numBuckets >= 2 && numBuckets <= MaxLiteralBuckets,
+      s"linearClassifier: weight array length must be in " +
+      s"[2, $MaxLiteralBuckets]")
+    val wArr = array(weights.map(lit): _*)
+    val n = size(toks)
+    val nf = when(n >= 2, n * 2 - 1).otherwise(n).cast("double")
+    // x computed exactly as the join path does (wt * (1/nf), NOT
+    // wt/nf — the two differ in ulps and the fold must be bit-equal)
+    val x = lit(1.0) / nf
+    val bi = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = concat(toks, bi)
+    // the same (bucket, v) structs the join path sorts and folds —
+    // bucket −1 (intercept, v = its weight) plus one struct per n-gram
+    // occurrence (v = w[bucket]·x)
+    val entries = concat(
+      array(struct(lit(-1L).as("bucket"), lit(intercept).as("v"))),
+      transform(grams, ng => {
+        val b =
+          conv(substring(md5(ng), 1, 8), 16, 10).cast("long") % numBuckets
+        struct(b.as("bucket"),
+          (element_at(wArr, b.cast("int") + 1) * x).as("v"))
+      }))
+    val score = round(
+      aggregate(transform(array_sort(entries), s => s.getField("v")),
+        lit(0.0), (acc, v) => acc + v), 6)
+    (size(grams).cast("long"), score,
+      when(score > 0, 1).otherwise(0))
+  }
 }

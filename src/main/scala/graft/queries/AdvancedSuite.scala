@@ -239,6 +239,45 @@ object AdvancedSuite extends QuerySuite {
                CAST(0 AS BIGINT) AS n_violations
              FROM c WHERE doc_id >= 250 ORDER BY doc_id"""))
 
+  // ---- streaming quality classification under a trained model --------
+  // The deploy shape of q_linear_classify: train the hashed-bigram
+  // logistic model on the BATCH table, ship the weight vector as a
+  // plan literal, and score the document STREAM with the stateless
+  // in-row expression (LinearClassifier.scoreColumns — zero joins, zero
+  // aggregations, zero state before the sink; append-mode legal by
+  // construction). The in-row fold is bit-identical to the batch
+  // scoring pass (spec-pinned), so the oracle is the SAME training+
+  // scoring replay q_linear_classify uses.
+  private val streamClassify = GraftQuery(
+    "q_stream_classify",
+    (s, d) => {
+      def plant(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"), (col("doc_id") % 2).cast("int").as("y"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" mk0 mk0"))
+            .otherwise(lit(" mk1 mk1"))).as("text"))
+      val train = plant(documents(s, d))
+        .select(col("doc_id"), col("y"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val (w, _) = graft.operators.LinearClassifier.train(
+        train, "doc_id", "toks", "y", numBuckets = 2048, iters = 2,
+        lr = 5.0)
+      val (arr, intercept) =
+        graft.operators.LinearClassifier.collectWeights(w, 2048)
+      val st = plant(EventsStream.readTable(s, d, "documents"))
+        .select(col("doc_id"), col("y"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val (nf, score, pred) = graft.operators.LinearClassifier
+        .scoreColumns(col("toks"), arr, intercept)
+      val scored = st.select(col("doc_id"), col("y"),
+        nf.as("n_features"), score.as("score"), pred.as("pred_label"))
+      EventsStream.runToCompletion(s, scored, outputMode = "append")
+        .orderBy(asc("doc_id"))
+    },
+    Some(CurationExtSuite.linearClassifyOracleSql))
+
   // ---- multimodal plumbing -------------------------------------------
   private val multimodal = GraftQuery(
     "q_multimodal_features",
@@ -572,5 +611,5 @@ object AdvancedSuite extends QuerySuite {
         imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
         videoProbe, videoFramesQ, videoFeaturesQ, multimodalCuration,
         streamStreamJoin, streamStaticJoin, statefulTotals, streamNearDup,
-        streamPack)
+        streamPack, streamClassify)
 }

@@ -530,7 +530,15 @@ object CurationExtSuite extends QuerySuite {
           numBuckets = 2048, iters = 2, lr = 5.0)
         .orderBy(asc("doc_id"))
     },
-    Some(s"""WITH planted AS (
+    Some(linearClassifyOracleSql),
+    headline = true)
+
+  /** Shared by q_linear_classify and the streaming q_stream_classify
+    * (AdvancedSuite): the stream scores under the SAME trained model,
+    * so its emitted rows must match this replay row-for-row.
+    */
+  private[queries] lazy val linearClassifyOracleSql: String =
+    s"""WITH planted AS (
                SELECT doc_id, CAST(doc_id % 2 AS INT) AS y,
                  text || CASE WHEN doc_id % 2 = 0 THEN ' mk0 mk0'
                               ELSE ' mk1 mk1' END AS text
@@ -586,8 +594,7 @@ object CurationExtSuite extends QuerySuite {
              SELECT doc_id, y, CAST(n_features AS BIGINT) AS n_features,
                score,
                CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred_label
-             FROM scored ORDER BY doc_id"""),
-    headline = true)
+             FROM scored ORDER BY doc_id"""
 
   // ---- character-level Shannon entropy (repetitive-garbage axis) -----
   // Low char entropy flags "ababab…" degenerate docs the TOKEN-level

@@ -70,6 +70,22 @@ class LinearClassifierSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("stateless in-row scoring is bit-identical to the join path") {
+    val B = 2048
+    val (w, _) = LinearClassifier.train(planted, "doc_id", "toks", "y",
+      numBuckets = B, iters = 2, lr = 5.0)
+    val joined = LinearClassifier.trainScoreBinary(planted, "doc_id",
+        "toks", "y", numBuckets = B, iters = 2, lr = 5.0)
+      .select($"doc_id", $"n_features", $"score", $"pred_label")
+    val (arr, intercept) = LinearClassifier.collectWeights(w, B)
+    val (nf, score, pred) = LinearClassifier.scoreColumns($"toks", arr,
+      intercept)
+    val inRow = planted.select($"doc_id", nf.as("n_features"),
+      score.as("score"), pred.as("pred_label"))
+    assert(joined.exceptAll(inRow).count() == 0)
+    assert(inRow.exceptAll(joined).count() == 0)
+  }
+
   test("loud caps on iters and numBuckets") {
     intercept[IllegalArgumentException] {
       LinearClassifier.train(planted, "doc_id", "toks", "y", iters = 65)
