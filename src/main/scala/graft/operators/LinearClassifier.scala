@@ -183,9 +183,30 @@ object LinearClassifier {
                        iters: Int = 3, lr: Double = 5.0): DataFrame = {
     // ONE prepared feature frame for training and scoring: re-deriving
     // features for the scoring pass re-ran tokenize+hash+explode over
-    // the whole corpus (measured ~1 s of the gate's ~6 s at sf0.1)
+    // the whole corpus (measured ~1 s of the gate's ~6 s at sf0.1).
+    // Scoring deliberately stays on the join+groupBy path: the
+    // stateless [[scoreColumns]] variant was interleaved-A/B'd here and
+    // LOST (5.2–5.5 s joined vs 6.3–7.5 s in-row at sf0.1) — its
+    // per-element interpreted HOF lambdas (md5+conv per n-gram,
+    // array_sort of ~2k structs per row) cost more than the codegen'd
+    // explode+broadcast-join over the already-persisted stream. Use
+    // scoreColumns where STATELESSNESS is the requirement (streaming
+    // ingest), not as a batch speedup.
     val feats = preparedFeatures(docs, idCol, toksCol, labelCol, numBuckets)
     val (w, _) = trainOnFeats(feats, idCol, iters, lr)
+    scoreJoined(feats, w, idCol)
+  }
+
+  /** The join+groupBy scoring form — the fallback when the weight
+    * vector exceeds the plan-literal cap. Folds each doc's (bucket,
+    * weight·x) terms in sorted order, not group-SUM order — at
+    * thousands of terms per doc the summation-order noise otherwise
+    * crosses 6-dp rounding boundaries (measured: 1 row in 5000 at
+    * sf0.1), the same reason [[Pq.encode]] folds qerr in sub order.
+    * Bit-identical to [[scoreColumns]] (parity spec).
+    */
+  private[operators] def scoreJoined(feats: DataFrame, w: DataFrame,
+                                     idCol: String): DataFrame = {
     val ordered = transform(
       array_sort(collect_list(struct(col("bucket"),
         (col("wt") * col("x")).as("v")))),

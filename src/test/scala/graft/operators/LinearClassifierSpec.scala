@@ -74,8 +74,9 @@ class LinearClassifierSpec extends AnyFunSuite {
     val B = 2048
     val (w, _) = LinearClassifier.train(planted, "doc_id", "toks", "y",
       numBuckets = B, iters = 2, lr = 5.0)
-    val joined = LinearClassifier.trainScoreBinary(planted, "doc_id",
-        "toks", "y", numBuckets = B, iters = 2, lr = 5.0)
+    val joined = LinearClassifier.scoreJoined(
+        LinearClassifier.features(planted, "doc_id", "toks", "y", B),
+        w, "doc_id")
       .select($"doc_id", $"n_features", $"score", $"pred_label")
     val (arr, intercept) = LinearClassifier.collectWeights(w, B)
     val (nf, score, pred) = LinearClassifier.scoreColumns($"toks", arr,
@@ -84,6 +85,12 @@ class LinearClassifierSpec extends AnyFunSuite {
       score.as("score"), pred.as("pred_label"))
     assert(joined.exceptAll(inRow).count() == 0)
     assert(inRow.exceptAll(joined).count() == 0)
+    // and trainScoreBinary (whichever path it picks) matches both
+    val tsb = LinearClassifier.trainScoreBinary(planted, "doc_id",
+        "toks", "y", numBuckets = B, iters = 2, lr = 5.0)
+      .select($"doc_id", $"n_features", $"score", $"pred_label")
+    assert(tsb.exceptAll(inRow).count() == 0)
+    assert(inRow.exceptAll(tsb).count() == 0)
   }
 
   test("loud caps on iters and numBuckets") {
