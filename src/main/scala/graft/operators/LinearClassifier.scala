@@ -111,17 +111,25 @@ object LinearClassifier {
     * history)` where entry i of the history is the mean logistic loss
     * BEFORE iteration i's update (so a learning run shows it falling).
     * Weights start at zero over exactly the buckets present in the
-    * corpus (≤ numBuckets+1 rows).
+    * corpus (≤ numBuckets+1 rows) — or, with `init` (a stored model's
+    * weight table), WARM-START from it: training is deterministic, so
+    * `train(iters = a+b)` ≡ `train(iters = a)` → save → load →
+    * `train(iters = b, init = loaded)` on the same corpus
+    * (gate-pinned), and a grown corpus simply contributes fresh
+    * zero-weight buckets.
     */
   def train(docs: DataFrame, idCol: String, toksCol: String,
             labelCol: String, numBuckets: Int = 1024, iters: Int = 3,
-            lr: Double = 5.0): (DataFrame, Seq[Double]) =
+            lr: Double = 5.0,
+            init: Option[DataFrame] = None): (DataFrame, Seq[Double]) =
     trainOnFeats(
       preparedFeatures(docs, idCol, toksCol, labelCol, numBuckets),
-      idCol, iters, lr)
+      idCol, iters, lr, init)
 
   private def trainOnFeats(feats: DataFrame, idCol: String, iters: Int,
-                           lr: Double): (DataFrame, Seq[Double]) = {
+                           lr: Double,
+                           init: Option[DataFrame] = None)
+      : (DataFrame, Seq[Double]) = {
     require(iters >= 1 && iters <= MaxIters,
       s"linearClassifier: iters must be in [1, $MaxIters]")
     val spark = feats.sparkSession
@@ -130,8 +138,21 @@ object LinearClassifier {
       spark.createDataFrame(df.rdd, df.schema).persist(lvl)
     val nDocs = feats.select(col(idCol)).distinct().count().toDouble
     require(nDocs > 0, "linearClassifier: no documents with >= 1 token")
-    var w = cut(feats.select(col("bucket")).distinct()
-      .withColumn("wt", lit(0.0)))
+    // zero weights over the corpus' buckets, overlaid with the init
+    // model where provided: buckets the stored model never saw start at
+    // 0; stored buckets absent from THIS corpus keep their weight
+    // (gradients never touch them — the left join below)
+    val zeros = feats.select(col("bucket")).distinct()
+      .withColumn("wt", lit(0.0))
+    var w = cut(init match {
+      case None => zeros
+      case Some(prev) =>
+        zeros.select(col("bucket"))
+          .unionByName(prev.select(col("bucket"))).distinct()
+          .join(prev.select(col("bucket"), col("wt").as("pw")),
+            Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("pw"), lit(0.0)).as("wt"))
+    })
     val history = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 0 until iters) {
       // residuals r_d = p_d − y_d at the CURRENT weights (one doc-keyed
@@ -197,6 +218,16 @@ object LinearClassifier {
     scoreJoined(feats, w, idCol)
   }
 
+  /** Score docs under an EXISTING weight table (e.g. a stored model) —
+    * the join+groupBy path over freshly derived features. Same output
+    * contract as [[trainScoreBinary]].
+    */
+  def scoreWith(docs: DataFrame, idCol: String, toksCol: String,
+                labelCol: String, w: DataFrame,
+                numBuckets: Int): DataFrame =
+    scoreJoined(features(docs, idCol, toksCol, labelCol, numBuckets), w,
+      idCol)
+
   /** The join+groupBy scoring form — the fallback when the weight
     * vector exceeds the plan-literal cap. Folds each doc's (bucket,
     * weight·x) terms in sorted order, not group-SUM order — at
@@ -220,6 +251,44 @@ object LinearClassifier {
         score.as("score"))
       .select(col(idCol), col("y"), col("n_features"), col("score"),
         when(col("score") > 0, 1).otherwise(0).as("pred_label"))
+  }
+
+  // ---- versioned model persistence (the stored-artifact convention) --
+
+  private[graft] val ModelFormatPrefix = "graft-linear-v1"
+
+  /** Persist a trained weight table. `numBuckets` rides in the stamp:
+    * a model warm-started or scored under a different bucket count
+    * would silently mis-bucket every feature — geometry is part of the
+    * artifact, not a caller convention.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, w: DataFrame,
+                path: String, numBuckets: Int): Unit =
+    w.withColumn("model_format",
+        lit(s"$ModelFormatPrefix;buckets=$numBuckets"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a stored model: (weights, numBuckets). Rejects unstamped or
+    * foreign tables loudly; callers MUST train/score with the returned
+    * bucket count.
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, Int) = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("model_format"),
+      s"stored linear model at $path has no model_format column — " +
+      "written by a pre-versioning build or not a model table; retrain " +
+      "and re-save with LinearClassifier.saveModel")
+    val stamps = df.select(col("model_format")).distinct().limit(3)
+      .collect().map(_.getString(0))
+    require(stamps.length == 1 && stamps.head != null &&
+        stamps.head.startsWith(ModelFormatPrefix),
+      s"stored linear model at $path has layout " +
+      s"'${stamps.mkString(", ")}', this build reads " +
+      s"'$ModelFormatPrefix' — retrain and re-save")
+    val b = stamps.head.stripPrefix(ModelFormatPrefix + ";buckets=").toInt
+    (df.drop("model_format"), b)
   }
 
   /** Loud cap for [[scoreColumns]]'s weight-array literal: the whole

@@ -533,9 +533,43 @@ object CurationExtSuite extends QuerySuite {
     Some(linearClassifyOracleSql),
     headline = true)
 
-  /** Shared by q_linear_classify and the streaming q_stream_classify
-    * (AdvancedSuite): the stream scores under the SAME trained model,
-    * so its emitted rows must match this replay row-for-row.
+  // ---- classifier lifecycle: save after iter 1, warm-start iter 2 ----
+  // The retrain-nightly shape: a stored model (version-stamped weight
+  // table, bucket GEOMETRY in the stamp) warm-starts further training.
+  // Training is deterministic, so one iteration + save + load + one
+  // more iteration must equal two direct iterations EXACTLY — the gate
+  // therefore reuses the identical 2-iteration q_linear_classify
+  // oracle, and any storage-introduced drift (lost bits, wrong
+  // geometry, reordered rows) breaks the hash.
+  private val classifyStored = GraftQuery(
+    "q_classify_stored",
+    (s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 2).cast("int").as("y"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" mk0 mk0"))
+            .otherwise(lit(" mk1 mk1"))).as("text"))
+      val t = planted.select(col("doc_id"), col("y"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"linear_model_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val (w1, _) = LinearClassifier.train(t, "doc_id", "toks", "y",
+        numBuckets = 2048, iters = 1, lr = 5.0)
+      LinearClassifier.saveModel(s, w1, path, numBuckets = 2048)
+      val (loaded, b) = LinearClassifier.loadModel(s, path)
+      val (w2, _) = LinearClassifier.train(t, "doc_id", "toks", "y",
+        numBuckets = b, iters = 1, lr = 5.0, init = Some(loaded))
+      LinearClassifier.scoreWith(t, "doc_id", "toks", "y", w2,
+          numBuckets = b)
+        .orderBy(asc("doc_id"))
+    },
+    Some(linearClassifyOracleSql))
+
+  /** Shared by q_linear_classify, the streaming q_stream_classify
+    * (AdvancedSuite), and q_classify_stored (warm-start lifecycle):
+    * all three score under the SAME trained model, so their rows must
+    * match this replay row-for-row.
     */
   private[queries] lazy val linearClassifyOracleSql: String =
     s"""WITH planted AS (
@@ -1128,7 +1162,7 @@ object CurationExtSuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(lineDedup, lmScore, spanCoverage, spanRemoval, tokenChunks,
         winnowFp, winnowPairs, pretrainPipeline, textFold, nbClassify,
-        linearClassify,
+        linearClassify, classifyStored,
         charEntropyQ, foldDedup, streamCuration, llmPipeline,
         llmPipelineSpans)
 }

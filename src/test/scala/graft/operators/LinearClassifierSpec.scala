@@ -93,6 +93,52 @@ class LinearClassifierSpec extends AnyFunSuite {
     assert(inRow.exceptAll(tsb).count() == 0)
   }
 
+  test("warm start: 1 iter + save/load + 1 iter == 2 direct iters") {
+    val B = 2048
+    val direct = LinearClassifier.train(planted, "doc_id", "toks", "y",
+        numBuckets = B, iters = 2, lr = 5.0)._1
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val path = java.nio.file.Files
+      .createTempDirectory("lc_model").toString
+    val (w1, _) = LinearClassifier.train(planted, "doc_id", "toks", "y",
+      numBuckets = B, iters = 1, lr = 5.0)
+    LinearClassifier.saveModel(spark, w1, path, B)
+    val (loaded, b) = LinearClassifier.loadModel(spark, path)
+    assert(b == B)
+    val warm = LinearClassifier.train(planted, "doc_id", "toks", "y",
+        numBuckets = b, iters = 1, lr = 5.0, init = Some(loaded))._1
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(warm == direct)
+  }
+
+  test("loadModel rejects unstamped and foreign tables loudly") {
+    val B = 64
+    val (w, _) = LinearClassifier.train(planted, "doc_id", "toks", "y",
+      numBuckets = B, iters = 1, lr = 5.0)
+    val good = java.nio.file.Files.createTempDirectory("lc_good").toString
+    LinearClassifier.saveModel(spark, w, good, B)
+
+    val bare = java.nio.file.Files.createTempDirectory("lc_bare").toString
+    spark.read.parquet(good).drop("model_format")
+      .write.mode("overwrite").parquet(bare)
+    val e1 = intercept[IllegalArgumentException] {
+      LinearClassifier.loadModel(spark, bare)
+    }
+    assert(e1.getMessage.contains("model_format"))
+
+    val foreign = java.nio.file.Files
+      .createTempDirectory("lc_foreign").toString
+    spark.read.parquet(good)
+      .withColumn("model_format", lit("other-v9;buckets=64"))
+      .write.mode("overwrite").parquet(foreign)
+    val e2 = intercept[IllegalArgumentException] {
+      LinearClassifier.loadModel(spark, foreign)
+    }
+    assert(e2.getMessage.contains("layout"))
+  }
+
   test("loud caps on iters and numBuckets") {
     intercept[IllegalArgumentException] {
       LinearClassifier.train(planted, "doc_id", "toks", "y", iters = 65)
