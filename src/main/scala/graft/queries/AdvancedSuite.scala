@@ -278,6 +278,90 @@ object AdvancedSuite extends QuerySuite {
     },
     Some(CurationExtSuite.linearClassifyOracleSql))
 
+  // ---- multi-stage streaming ingest (curate → boundary → pack) -------
+  // Production streaming pipelines chain ONE stateful operator per
+  // query, with durable storage as the stage boundary — that composed
+  // shape, end-to-end: stage 1 scores the document stream under the
+  // batch-trained model (stateless in-row scoring) and keeps
+  // predicted-quality docs; its emitted rows land in parquet (the
+  // boundary, written single-file so stage 2's id-order contract holds
+  // deterministically); stage 2 streams the boundary through PackStream
+  // (the two-long stateful packer); the final manifest aggregates the
+  // packed output. The oracle replays everything — training, scoring,
+  // the keep-filter, the prefix-sum packing, the manifest — from the
+  // shared classify CTEs.
+  private val streamIngest = GraftQuery(
+    "q_stream_ingest",
+    (s, d) => {
+      def plant(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"), (col("doc_id") % 2).cast("int").as("y"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" mk0 mk0"))
+            .otherwise(lit(" mk1 mk1"))).as("text"))
+      val train = plant(documents(s, d))
+        .select(col("doc_id"), col("y"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val (w, _) = graft.operators.LinearClassifier.train(
+        train, "doc_id", "toks", "y", numBuckets = 2048, iters = 2,
+        lr = 5.0)
+      val (arr, intercept) =
+        graft.operators.LinearClassifier.collectWeights(w, 2048)
+      // stage 1: stateless classify-filter over the stream
+      val st1 = plant(EventsStream.readTable(s, d, "documents"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val (_, score, pred) = graft.operators.LinearClassifier
+        .scoreColumns(col("toks"), arr, intercept)
+      val kept = st1
+        .select(col("doc_id"), size(col("toks")).cast("long")
+          .as("n_tokens"), score.as("score"), pred.as("pred_label"))
+        .filter(col("pred_label") === 1)
+        .select(col("doc_id"), col("n_tokens"))
+      val boundary = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_states/ingest_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      EventsStream.runToCompletion(s, kept, outputMode = "append")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$boundary/kept.parquet")
+      // stage 2: stateful packing over the boundary stream
+      val st2 = EventsStream.readTable(s, boundary, "kept")
+      val packed = graft.streaming.PackStream.assignPacks(
+        st2.select(col("doc_id").as("id"), col("n_tokens"))
+          .as[graft.streaming.PackStream.DocTokens](
+            org.apache.spark.sql.Encoders.product[
+              graft.streaming.PackStream.DocTokens]),
+        budget = 2000L)
+      val emitted = EventsStream.runToCompletion(s, packed.toDF(),
+        outputMode = "append")
+      // final manifest (batch over the packed output)
+      graft.streaming.PackStream.packedDocs(emitted)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          min(col("id")).as("min_doc"), max(col("id")).as("max_doc"))
+        .orderBy(asc("pack_id"))
+    },
+    Some(s"""${CurationExtSuite.linearClassifyCtes},
+             kept AS (
+               SELECT s.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens
+               FROM scored s JOIN t USING (doc_id)
+               WHERE s.score > 0),
+             c AS (
+               SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_excl
+               FROM kept),
+             packs AS (
+               SELECT doc_id, n_tokens,
+                 CAST(cum_excl // 2000 AS BIGINT) AS pack_id
+               FROM c)
+             SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             FROM packs GROUP BY pack_id ORDER BY pack_id"""))
+
   // ---- multimodal plumbing -------------------------------------------
   private val multimodal = GraftQuery(
     "q_multimodal_features",
@@ -611,5 +695,5 @@ object AdvancedSuite extends QuerySuite {
         imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
         videoProbe, videoFramesQ, videoFeaturesQ, multimodalCuration,
         streamStreamJoin, streamStaticJoin, statefulTotals, streamNearDup,
-        streamPack, streamClassify)
+        streamPack, streamClassify, streamIngest)
 }

@@ -572,6 +572,17 @@ object CurationExtSuite extends QuerySuite {
     * match this replay row-for-row.
     */
   private[queries] lazy val linearClassifyOracleSql: String =
+    s"""$linearClassifyCtes
+             SELECT doc_id, y, CAST(n_features AS BIGINT) AS n_features,
+               score,
+               CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred_label
+             FROM scored ORDER BY doc_id"""
+
+  /** The training+scoring CTE chain alone (ends at `scored`) — the
+    * multi-stage streaming ingest oracle (AdvancedSuite) extends it
+    * with packing and manifest CTEs.
+    */
+  private[queries] lazy val linearClassifyCtes: String =
     s"""WITH planted AS (
                SELECT doc_id, CAST(doc_id % 2 AS INT) AS y,
                  text || CASE WHEN doc_id % 2 = 0 THEN ' mk0 mk0'
@@ -624,11 +635,7 @@ object CurationExtSuite extends QuerySuite {
                  ROUND(list_reduce(
                    list(w.wt * f.x ORDER BY f.bucket, w.wt * f.x),
                    (a, b) -> a + b), 6) AS score
-               FROM feats f JOIN w2 w USING (bucket) GROUP BY f.doc_id)
-             SELECT doc_id, y, CAST(n_features AS BIGINT) AS n_features,
-               score,
-               CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred_label
-             FROM scored ORDER BY doc_id"""
+               FROM feats f JOIN w2 w USING (bucket) GROUP BY f.doc_id)"""
 
   // ---- character-level Shannon entropy (repetitive-garbage axis) -----
   // Low char entropy flags "ababab…" degenerate docs the TOKEN-level
