@@ -128,13 +128,39 @@ object Pq {
                      maxIter: Int = 5,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): (DataFrame, Seq[Double]) = {
-    val spark = corpus.sparkSession
+    val dsub = dsubOf(corpus, m, vecCol)
+    lloydOnSubs(subVectors(normalizedVecs(corpus, idCol, vecCol), m, dsub),
+      seedCodebooks(corpus, m, ksub, idCol, vecCol), maxIter)
+  }
+
+  /** Lloyd refinement over residual subvectors (the [[trainCodebooks]]
+    * loop fed by [[residualFrames]] — codebooks that model what PQ
+    * actually has to encode in residual mode).
+    */
+  def trainResidualCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                             nCells: Int, maxIter: Int = 5,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding")
+      : (DataFrame, Seq[Double]) = {
+    val dsub = dsubOf(corpus, m, vecCol)
+    val res = residualFrames(corpus, nCells, idCol, vecCol)
+      .select(col("pq_id"), col("rv").as("nv"))
+    lloydOnSubs(subVectors(res, m, dsub),
+      seedResidualCodebooks(corpus, m, ksub, nCells, idCol, vecCol), maxIter)
+  }
+
+  /** The shared Lloyd loop: refine `seed` against a fixed
+    * (pq_id, sub, sv) subvector frame. Factored so raw-vector and
+    * residual training are the SAME relational iteration.
+    */
+  private def lloydOnSubs(subs0: DataFrame, seed: DataFrame,
+                          maxIter: Int): (DataFrame, Seq[Double]) = {
+    val spark = subs0.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def cut(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema).persist(lvl)
-    val dsub = dsubOf(corpus, m, vecCol)
-    val subs = cut(subVectors(normalizedVecs(corpus, idCol, vecCol), m, dsub))
-    var cb = cut(seedCodebooks(corpus, m, ksub, idCol, vecCol))
+    val subs = cut(subs0)
+    var cb = cut(seed)
     val history = scala.collection.mutable.ArrayBuffer.empty[Double]
     var i = 0
     var done = false
@@ -179,7 +205,95 @@ object Pq {
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val dsub = dsubOf(corpus, m, vecCol)
-    val subs = subVectors(normalizedVecs(corpus, idCol, vecCol), m, dsub)
+    encodeSubs(subVectors(normalizedVecs(corpus, idCol, vecCol), m, dsub),
+      codebooks)
+  }
+
+  /** Per-cell residual vectors: `rv = nv(vec) − nv(cell)` under the
+    * seed-centroid convention (cells are the raw vectors with
+    * id < nCells, assignment by cosine via [[Similarity.ivfAssign]],
+    * and a cell's normalized centroid is just the corpus' own
+    * normalized vector at that id). PQ on residuals is the full
+    * Jégou et al. 2011 IVF-ADC construction: the (m, ksub) code budget
+    * spends its resolution on the part of the vector the coarse
+    * quantizer did NOT already explain. The advantage is CONDITIONAL
+    * on the coarse quantizer explaining variance — ‖r‖² = 2 − 2·cos(v, ĉ),
+    * so clustered corpora (cos → 1) give tiny residuals and a measured
+    * ≥29× qerr win, while near-isotropic corpora (best-of-16 cos ≈ 0.25)
+    * give residuals BIGGER than the unit vectors and raw encoding wins
+    * — both regimes pinned in PqSpec. Deterministic arithmetic end to
+    * end — the residual gates keep full value oracles.
+    *
+    * Returns (pq_id, cell, rv).
+    */
+  def residualFrames(corpus: DataFrame, nCells: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     centroids: Option[DataFrame] = None): DataFrame = {
+    val nv = normalizedVecs(corpus, idCol, vecCol)
+    val assigned = Similarity.ivfAssign(corpus, nCells, idCol, vecCol,
+        centroids = centroids.map(_.select(col("cell"),
+          asDouble(col("cellv")).as("cv"))))
+      .select(col("ivf_id").as("pq_id"), col("cell"))
+    // explicit centroids (stored-index append) normalize the same way
+    // the seed path does — ĉ = c/‖c‖ is the corpus' own nv at seed ids
+    val cellNv = centroids match {
+      case Some(c) => broadcast(withNormalized(
+          c.select(col("cell"), asDouble(col("cellv")).as("v")), "v", "cnv")
+        .select(col("cell"), col("cnv")))
+      case None => broadcast(nv.filter(col("pq_id") < nCells)
+        .select(col("pq_id").as("cell"), col("nv").as("cnv")))
+    }
+    nv.join(assigned, Seq("pq_id"))
+      .join(cellNv, Seq("cell"))
+      .select(col("pq_id"), col("cell"),
+              zip_with(col("nv"), col("cnv"), (x, c) => x - c).as("rv"))
+  }
+
+  /** Seed codebooks over RESIDUALS: subspace s's codebook is the s-th
+    * residual subvector of ids [nCells, nCells + ksub) — the
+    * [[seedCodebooks]] convention applied to what residual mode
+    * actually encodes, so the residual pipeline stays SQL-replayable
+    * at trainIters = 0. The id window SKIPS the first nCells ids
+    * deliberately: those are their own centroids under the seed-cell
+    * convention, so their residuals are all ZERO — seeding from them
+    * gives a degenerate all-zeros codebook whose qerr is Σ‖r‖²
+    * (measured WORSE than raw encoding; caught by PqSpec).
+    */
+  def seedResidualCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                            nCells: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(ksub >= 1 && ksub <= 256,
+      "pq: ksub must be in [1, 256] (codes are one byte)")
+    val res = residualFrames(corpus, nCells, idCol, vecCol)
+      .filter(col("pq_id") >= nCells && col("pq_id") < nCells + ksub)
+      .select(col("pq_id"), col("rv").as("nv"))
+    subVectors(res, m, dsubOf(corpus, m, vecCol))
+      .select(col("sub"), (col("pq_id") - nCells).cast("int").as("code"),
+              col("sv").as("cv"))
+  }
+
+  /** Encode residuals against residual codebooks. Returns
+    * (pq_id, cell, codes, qerr) — the cell rides along because residual
+    * codes are only meaningful together with their cell.
+    */
+  def encodeResidual(corpus: DataFrame, codebooks: DataFrame, m: Int,
+                     nCells: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     centroids: Option[DataFrame] = None): DataFrame = {
+    val dsub = dsubOf(corpus, m, vecCol)
+    val res = residualFrames(corpus, nCells, idCol, vecCol, centroids)
+    val subs = subVectors(res.select(col("pq_id"), col("rv").as("nv")),
+      m, dsub)
+    encodeSubs(subs, codebooks)
+      .join(res.select(col("pq_id"), col("cell")), Seq("pq_id"))
+      .select(col("pq_id"), col("cell"), col("codes"), col("qerr"))
+  }
+
+  /** The shared argmin-encode core over a (pq_id, sub, sv) frame. */
+  private def encodeSubs(subs: DataFrame, codebooks: DataFrame): DataFrame = {
     subs.join(broadcast(codebooks), Seq("sub"))
       .select(col("pq_id"), col("sub"),
               struct(l2sq(col("sv"), col("cv")).as("d"), col("code")).as("dc"))
@@ -227,26 +341,89 @@ object Pq {
       trainIters: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxQueries: Long = 10000L): DataFrame = {
+      maxQueries: Long = 10000L,
+      residual: Boolean = false): DataFrame = {
     val dsub = dsubOf(corpus, m, vecCol)
 
     // --- corpus side: cell assignment + PQ codes (vectors end here) --
-    val assigned = Similarity.ivfAssign(corpus, nCells, idCol, vecCol)
-      .select(col("ivf_id").as("pq_id"), col("cell"))
-    val cb =
-      if (trainIters > 0)
-        broadcast(trainCodebooks(corpus, m, ksub, trainIters, idCol, vecCol)._1)
-      else broadcast(seedCodebooks(corpus, m, ksub, idCol, vecCol))
-    val encoded = encode(corpus, cb, m, idCol, vecCol)
-      .join(assigned, Seq("pq_id"))
-      .select(col("cell"), col("pq_id"), col("codes"))
+    val encoded =
+      if (residual) {
+        val cb = broadcast(
+          if (trainIters > 0)
+            trainResidualCodebooks(corpus, m, ksub, nCells, trainIters,
+              idCol, vecCol)._1
+          else seedResidualCodebooks(corpus, m, ksub, nCells, idCol, vecCol))
+        (cb, encodeResidual(corpus, cb, m, nCells, idCol, vecCol)
+          .select(col("cell"), col("pq_id"), col("codes")))
+      } else {
+        val assigned = Similarity.ivfAssign(corpus, nCells, idCol, vecCol)
+          .select(col("ivf_id").as("pq_id"), col("cell"))
+        val cb = broadcast(
+          if (trainIters > 0)
+            trainCodebooks(corpus, m, ksub, trainIters, idCol, vecCol)._1
+          else seedCodebooks(corpus, m, ksub, idCol, vecCol))
+        (cb, encode(corpus, cb, m, idCol, vecCol)
+          .join(assigned, Seq("pq_id"))
+          .select(col("cell"), col("pq_id"), col("codes")))
+      }
     // the SAME centroid set the assignment used (seed convention: raw
     // vectors with id < nCells)
     val cents = corpus.select(col(idCol).as("cell"),
                               asDouble(col(vecCol)).as("cellv"))
       .filter(col("cell") < nCells)
-    answerFromIndex(cents, cb, encoded, queries, k, nProbe, m, dsub,
-      maxQueries, "ivfPqTopK")
+    answerFromIndex(cents, encoded._1, encoded._2, queries, k, nProbe, m,
+      dsub, maxQueries, "ivfPqTopK", residual = residual)
+  }
+
+  /** Two-stage retrieval: ADC shortlist of `shortlist` candidates per
+    * query, then EXACT cosine re-rank of the shortlist against the
+    * original vectors — the standard production recipe (Jégou et al.
+    * 2011 §V): codes prune 100 TB down to `queries × shortlist` rows,
+    * and only those rows ever touch a full vector again. The vector
+    * fetch is a broadcast semi-join of the (bounded) shortlist id set
+    * into the corpus scan — the corpus is never shuffled.
+    *
+    * With `shortlist` ≥ every probed candidate this equals exact
+    * cosine over the probed cells (= [[Similarity.ivfTopK]] at the
+    * same geometry) — spec-pinned; at production shortlists recall is
+    * strictly ≥ the raw-ADC ranking's by construction.
+    *
+    * Output: (query_id, rank, neighbor_id, cos) — exact cosines, so
+    * downstream thresholds (e.g. SemDeDup taus) transfer unchanged.
+    */
+  def ivfPqRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      trainIters: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxQueries: Long = 10000L,
+      residual: Boolean = false): DataFrame = {
+    require(shortlist >= k,
+      s"ivfPqRerank: shortlist ($shortlist) must be >= k ($k)")
+    val short = ivfPqTopK(corpus, queries, shortlist, nCells, nProbe, m,
+        ksub, trainIters, idCol, vecCol, maxQueries, residual)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+                             asDouble(col(vecCol)).as("nvv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+    val qn = broadcast(queries.select(col("query_id"),
+      asDouble(col("query_vec")).as("qv")))
+    val scored = vecs.join(qn, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              Similarity.cosine(col("nvv"), col("qv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 6).as("cos"))
   }
 
   /** The query-answering half, shared by [[ivfPqTopK]] (freshly built
@@ -258,7 +435,8 @@ object Pq {
   private def answerFromIndex(
       cents: DataFrame, cb: DataFrame, encoded: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int, m: Int, dsub: Int,
-      maxQueries: Long, caller: String): DataFrame = {
+      maxQueries: Long, caller: String,
+      residual: Boolean = false): DataFrame = {
     val qn = withNormalized(
       queries.select(col("query_id"), asDouble(col("query_vec")).as("v")),
       "v", "qnv")
@@ -274,9 +452,12 @@ object Pq {
               Similarity.cosine(col("v"), col("cellv")).as("csim"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("csim"), asc("cell"))
+    // csim rides along: in residual mode the ADC decomposes as
+    // dot(qn, nv) ≈ dot(qn, ĉ_cell) + Σ_sub lut[codes] and the first
+    // term IS the probe-selection cosine (both sides normalized)
     val probes = qcells.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("cell"))
+      .select(col("query_id"), col("cell"), col("csim"))
     // LUT: pdot[sub][code] = dot(q_sub, codebook[sub][code]), assembled
     // into a nested array ordered (sub, code) so the ADC fold below is
     // a pure positional lookup
@@ -297,12 +478,16 @@ object Pq {
 
     // --- ADC scoring: codes ⋈ probed cells, Σ_sub lut[sub][code] -----
     val probed = probes.join(lut, Seq("query_id"))
+    // base + (sub-ordered fold), NOT a csim-seeded fold: the oracle
+    // states `csim + list_sum(...)` and double addition isn't
+    // associative — the grouping must match the SQL's
+    val lutSum = aggregate(zip_with(col("codes"), col("lut"),
+        (c, t) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
     val scored = encoded.join(broadcast(probed), Seq("cell"))
       .filter(col("pq_id") =!= col("query_id"))
       .select(col("query_id"), col("pq_id").as("neighbor_id"),
-        aggregate(zip_with(col("codes"), col("lut"),
-            (c, t) => element_at(t, c + 1)),
-          lit(0.0), (acc, x) => acc + x).as("adc"))
+        (if (residual) col("csim") + lutSum else lutSum).as("adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -321,15 +506,18 @@ object Pq {
     */
   private[graft] val IndexFormatPrefix = "graft-ivfpq-v1"
 
-  private def stampOf(m: Int, ksub: Int, nCells: Int, dim: Int): String =
-    s"$IndexFormatPrefix;m=$m;ksub=$ksub;nCells=$nCells;dim=$dim"
+  private def stampOf(m: Int, ksub: Int, nCells: Int, dim: Int,
+                      residual: Boolean = false): String =
+    s"$IndexFormatPrefix;m=$m;ksub=$ksub;nCells=$nCells;dim=$dim" +
+      s";res=${if (residual) 1 else 0}"
 
   /** A loaded index: the three stored frames (format column stripped)
     * plus the parsed geometry.
     */
   final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
                               codes: DataFrame, m: Int, ksub: Int,
-                              nCells: Int, dim: Int)
+                              nCells: Int, dim: Int,
+                              residual: Boolean = false)
 
   /** Build the corpus-side index ONCE and persist it: `centroids`
     * (nCells rows), `codebooks` (m·ksub rows), `codes` (one row per
@@ -342,22 +530,30 @@ object Pq {
   def saveIndex(corpus: DataFrame, path: String, nCells: Int = 16,
                 m: Int = 8, ksub: Int = 16, trainIters: Int = 0,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): Unit = {
+                vecCol: String = "embedding",
+                residual: Boolean = false): Unit = {
     val dsub = dsubOf(corpus, m, vecCol)
     val dim = dsub * m
-    val st = stampOf(m, ksub, nCells, dim)
+    val st = stampOf(m, ksub, nCells, dim, residual)
     val cents = corpus.select(col(idCol).as("cell"),
         asDouble(col(vecCol)).as("cellv"))
       .filter(col("cell") < nCells)
     val cb =
-      if (trainIters > 0) trainCodebooks(corpus, m, ksub, trainIters,
+      if (residual) {
+        if (trainIters > 0) trainResidualCodebooks(corpus, m, ksub, nCells,
+          trainIters, idCol, vecCol)._1
+        else seedResidualCodebooks(corpus, m, ksub, nCells, idCol, vecCol)
+      } else if (trainIters > 0) trainCodebooks(corpus, m, ksub, trainIters,
         idCol, vecCol)._1
       else seedCodebooks(corpus, m, ksub, idCol, vecCol)
-    val assigned = Similarity.ivfAssign(corpus, nCells, idCol, vecCol)
-      .select(col("ivf_id").as("pq_id"), col("cell"))
-    val encoded = encode(corpus, broadcast(cb), m, idCol, vecCol)
-      .join(assigned, Seq("pq_id"))
-      .select(col("cell"), col("pq_id"), col("codes"))
+    val encoded =
+      if (residual)
+        encodeResidual(corpus, broadcast(cb), m, nCells, idCol, vecCol)
+          .select(col("cell"), col("pq_id"), col("codes"))
+      else encode(corpus, broadcast(cb), m, idCol, vecCol)
+        .join(Similarity.ivfAssign(corpus, nCells, idCol, vecCol)
+          .select(col("ivf_id").as("pq_id"), col("cell")), Seq("pq_id"))
+        .select(col("cell"), col("pq_id"), col("codes"))
     cents.withColumn("index_format", lit(st))
       .write.mode("overwrite").parquet(s"$path/centroids")
     cb.withColumn("index_format", lit(st))
@@ -400,7 +596,9 @@ object Pq {
     val params = s1.stripPrefix(IndexFormatPrefix + ";").split(';')
       .map(_.split('=')).map(kv => kv(0) -> kv(1).toInt).toMap
     IvfPqIndex(cents, cb, codes, params("m"), params("ksub"),
-      params("nCells"), params("dim"))
+      params("nCells"), params("dim"),
+      // pre-residual indexes carry no res key — they are raw-encoded
+      residual = params.getOrElse("res", 0) == 1)
   }
 
   /** Append a NEW batch of vectors to a stored index without touching
@@ -425,16 +623,25 @@ object Pq {
     require(overlap == 0L,
       "appendVectors: new batch ids collide with stored ids — duplicate " +
       "ids would double-answer queries; re-id the batch or rebuild")
-    val assigned = Similarity.ivfAssign(newCorpus, idx.nCells, idCol,
-        vecCol, centroids = Some(idx.centroids
-          .select(col("cell"), col("cellv").as("cv"))))
-      .select(col("ivf_id").as("pq_id"), col("cell"))
-    val encoded = encode(newCorpus, broadcast(idx.codebooks), idx.m,
-        idCol, vecCol)
-      .join(assigned, Seq("pq_id"))
-      .select(col("cell"), col("pq_id"), col("codes"))
+    val encoded =
+      if (idx.residual)
+        // residual append: residuals against the STORED centroids
+        // (ĉ = cellv/‖cellv‖ — identical to the seed-id nv, so
+        // append-then-query == rebuild holds in residual mode too)
+        encodeResidual(newCorpus, broadcast(idx.codebooks), idx.m,
+            idx.nCells, idCol, vecCol, centroids = Some(idx.centroids))
+          .select(col("cell"), col("pq_id"), col("codes"))
+      else {
+        val assigned = Similarity.ivfAssign(newCorpus, idx.nCells, idCol,
+            vecCol, centroids = Some(idx.centroids
+              .select(col("cell"), col("cellv").as("cv"))))
+          .select(col("ivf_id").as("pq_id"), col("cell"))
+        encode(newCorpus, broadcast(idx.codebooks), idx.m, idCol, vecCol)
+          .join(assigned, Seq("pq_id"))
+          .select(col("cell"), col("pq_id"), col("codes"))
+      }
     encoded.withColumn("index_format",
-        lit(stampOf(idx.m, idx.ksub, idx.nCells, idx.dim)))
+        lit(stampOf(idx.m, idx.ksub, idx.nCells, idx.dim, idx.residual)))
       .write.mode("append").parquet(s"$path/codes")
   }
 
@@ -446,5 +653,5 @@ object Pq {
                  maxQueries: Long = 10000L): DataFrame =
     answerFromIndex(index.centroids, broadcast(index.codebooks),
       index.codes, queries, k, nProbe, index.m, index.dim / index.m,
-      maxQueries, "queryIndex")
+      maxQueries, "queryIndex", residual = index.residual)
 }

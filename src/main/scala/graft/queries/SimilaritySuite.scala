@@ -563,6 +563,213 @@ object SimilaritySuite extends QuerySuite {
     },
     Some(ivfPqOracleSql))
 
+  // ---- residual IVF-PQ: the full Jégou IVF-ADC construction ---------
+  // Codes quantize rv = nv − ĉ(cell) instead of nv itself, and ADC
+  // decomposes as dot(qn, ĉ) + Σ_sub lut[code] — the first term exact
+  // per (query, cell), the second spending the whole (m, ksub) budget
+  // on what the coarse quantizer did NOT explain. Same seed
+  // conventions ⇒ the whole pipeline (assignment, residuals, residual
+  // codebooks, argmin, probe csim, LUT, fold) stays deterministic
+  // relational algebra with a FULL value oracle on the scores.
+  // Residual-vs-raw quantization error is pinned in PqSpec.
+  private val ivfPqResidual = GraftQuery(
+    "q_ivfpq_residual",
+    (s, d) =>
+      graft.operators.Pq.ivfPqTopK(
+          embeddings(s, d), queryVectors(s, d), k = 3,
+          nCells = 16, nProbe = 4, m = 8, ksub = 16, residual = true)
+        .orderBy(asc("query_id"), asc("rank")),
+    Some("""WITH e AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             n AS (
+               SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
+               FROM (SELECT vec_id, v,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                     FROM e)),
+             cents AS (
+               SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+             asg AS (
+               SELECT vec_id, cell FROM (
+                 SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.cv),
+                       p -> p[1] * p[2])) /
+                     sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+                          list_sum(list_transform(c.cv, x -> x * x))) DESC,
+                     c.cell) AS rn
+                 FROM e CROSS JOIN cents c) WHERE rn = 1),
+             rv AS (
+               SELECT a.vec_id, a.cell,
+                 list_transform(list_zip(nn.nv, cn.nv),
+                   p -> p[1] - p[2]) AS rv
+               FROM asg a
+               JOIN n nn ON nn.vec_id = a.vec_id
+               JOIN n cn ON cn.vec_id = a.cell),
+             rsubs AS (
+               SELECT vec_id, s.sub, rv[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+               FROM rv CROSS JOIN
+                 (SELECT UNNEST(generate_series(0, 7)) AS sub) s),
+             rcb AS (
+               SELECT sub, CAST(vec_id - 16 AS INTEGER) AS code, sv AS cv
+               FROM rsubs WHERE vec_id >= 16 AND vec_id < 32),
+             dist AS (
+               SELECT a.vec_id, a.sub, c.code,
+                 list_sum(list_transform(list_zip(a.sv, c.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+               FROM rsubs a JOIN rcb c USING (sub)),
+             codes AS (
+               SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d, code) AS rn
+                 FROM dist) WHERE rn = 1),
+             q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 3),
+             probes AS (
+               SELECT query_id, cell, csim FROM (
+                 SELECT query_id, cell, csim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY csim DESC, cell) AS rn
+                 FROM (
+                   SELECT q.query_id, c.cell,
+                     list_sum(list_transform(list_zip(q.v, c.cv),
+                       p -> p[1] * p[2])) /
+                     sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                          list_sum(list_transform(c.cv, x -> x * x))) AS csim
+                   FROM q CROSS JOIN cents c)) WHERE rn <= 4),
+             qsubs AS (
+               SELECT q.query_id, s.sub,
+                 n.nv[s.sub * 8 + 1 : s.sub * 8 + 8] AS qsv
+               FROM q JOIN n ON n.vec_id = q.query_id
+               CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS sub) s),
+             lut AS (
+               SELECT qs.query_id, cb.sub, cb.code,
+                 list_sum(list_transform(list_zip(qs.qsv, cb.cv),
+                   p -> p[1] * p[2])) AS pdot
+               FROM qsubs qs JOIN rcb cb ON cb.sub = qs.sub),
+             score AS (
+               SELECT p.query_id, r.vec_id AS neighbor_id,
+                 p.csim + list_sum(list(l.pdot ORDER BY l.sub)) AS adc
+               FROM probes p
+               JOIN rv r ON r.cell = p.cell
+               JOIN codes b ON b.vec_id = r.vec_id
+               JOIN lut l ON l.query_id = p.query_id
+                 AND l.sub = b.sub AND l.code = b.code
+               WHERE r.vec_id <> p.query_id
+               GROUP BY p.query_id, r.vec_id, p.csim),
+             ranked AS (
+               SELECT query_id, neighbor_id, adc,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc DESC, neighbor_id) AS rank
+               FROM score)
+             SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(adc, 6) AS adc
+             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  // ---- two-stage retrieval: ADC shortlist + exact-cosine re-rank ----
+  // The production recipe: codes prune the corpus to `shortlist`
+  // candidates per query, then ONLY those rows fetch full vectors for
+  // exact cosine. Seed geometry keeps every stage value-replayable —
+  // the oracle carries the raw-ADC pipeline through the shortlist
+  // window, joins the original vectors back, and re-ranks on exact
+  // cosine. Recall ≥ plain ADC by construction (PqSpec pins it vs
+  // brute force, and full-shortlist == exact-over-probes).
+  private val ivfPqRerankQ = GraftQuery(
+    "q_ivfpq_rerank",
+    (s, d) =>
+      graft.operators.Pq.ivfPqRerank(
+          embeddings(s, d), queryVectors(s, d), k = 3, shortlist = 8,
+          nCells = 16, nProbe = 4, m = 8, ksub = 16)
+        .orderBy(asc("query_id"), asc("rank")),
+    Some(s"""WITH e AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             n AS (
+               SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
+               FROM (SELECT vec_id, v,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                     FROM e)),
+             subs AS (
+               SELECT vec_id, s.sub, nv[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+               FROM n CROSS JOIN
+                 (SELECT UNNEST(generate_series(0, 7)) AS sub) s),
+             cb AS (
+               SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+               FROM subs WHERE vec_id < 16),
+             dist AS (
+               SELECT a.vec_id, a.sub, c.code,
+                 list_sum(list_transform(list_zip(a.sv, c.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+               FROM subs a JOIN cb c USING (sub)),
+             codes AS (
+               SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d, code) AS rn
+                 FROM dist) WHERE rn = 1),
+             cents AS (
+               SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+             asg AS (
+               SELECT vec_id, cell FROM (
+                 SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.cv),
+                       p -> p[1] * p[2])) /
+                     sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+                          list_sum(list_transform(c.cv, x -> x * x))) DESC,
+                     c.cell) AS rn
+                 FROM e CROSS JOIN cents c) WHERE rn = 1),
+             q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 3),
+             probes AS (
+               SELECT query_id, cell FROM (
+                 SELECT q.query_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                     list_sum(list_transform(list_zip(q.v, c.cv),
+                       p -> p[1] * p[2])) /
+                     sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                          list_sum(list_transform(c.cv, x -> x * x))) DESC,
+                     c.cell) AS rn
+                 FROM q CROSS JOIN cents c) WHERE rn <= 4),
+             qsubs AS (
+               SELECT q.query_id, s.sub,
+                 n.nv[s.sub * 8 + 1 : s.sub * 8 + 8] AS qsv
+               FROM q JOIN n ON n.vec_id = q.query_id
+               CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS sub) s),
+             lut AS (
+               SELECT qs.query_id, cb.sub, cb.code,
+                 list_sum(list_transform(list_zip(qs.qsv, cb.cv),
+                   p -> p[1] * p[2])) AS pdot
+               FROM qsubs qs JOIN cb ON cb.sub = qs.sub),
+             score AS (
+               SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_sum(list(l.pdot ORDER BY l.sub)) AS adc
+               FROM probes p
+               JOIN asg a ON a.cell = p.cell
+               JOIN codes b ON b.vec_id = a.vec_id
+               JOIN lut l ON l.query_id = p.query_id
+                 AND l.sub = b.sub AND l.code = b.code
+               WHERE a.vec_id <> p.query_id
+               GROUP BY 1, 2),
+             shortlist AS (
+               SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc DESC, neighbor_id) AS rn
+                 FROM score) WHERE rn <= 8),
+             rer AS (
+               SELECT sl.query_id, sl.neighbor_id,
+                 $oracleCosine AS cos
+               FROM shortlist sl
+               JOIN e c ON c.vec_id = sl.neighbor_id
+               JOIN (SELECT query_id, v AS q FROM q) q
+                 ON q.query_id = sl.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+               FROM rer)
+             SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(cos, 6) AS cos
+             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   private lazy val ivfPqOracleSql: String =
     s"""WITH e AS (
                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -644,5 +851,6 @@ object SimilaritySuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
         ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize,
-        semanticDedup, randomProjQ, pqCodes, ivfPq, ivfPqStored)
+        semanticDedup, randomProjQ, pqCodes, ivfPq, ivfPqStored,
+        ivfPqResidual, ivfPqRerankQ)
 }

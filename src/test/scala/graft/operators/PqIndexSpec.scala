@@ -61,6 +61,36 @@ class PqIndexSpec extends AnyFunSuite {
       .filter($"neighbor_id" >= 30).count() > 0)
   }
 
+  test("residual stored index: res flag round-trips, answers == direct") {
+    val path = freshPath("res")
+    Pq.saveIndex(corpus, path, nCells = 8, m = 8, ksub = 16,
+      residual = true)
+    val idx = Pq.loadIndex(spark, path)
+    assert(idx.residual, "res=1 stamp must parse back as residual")
+    val stored = answers(Pq.queryIndex(idx, queries, k = 5, nProbe = 4))
+    val direct = answers(Pq.ivfPqTopK(corpus, queries, k = 5, nCells = 8,
+      nProbe = 4, m = 8, ksub = 16, residual = true))
+    assert(stored == direct)
+    assert(stored.nonEmpty)
+  }
+
+  test("residual append-only growth equals a residual rebuild") {
+    val base = corpus.filter($"vec_id" < 30)
+    val extra = corpus.filter($"vec_id" >= 30)
+    val pathInc = freshPath("resinc")
+    Pq.saveIndex(base, pathInc, nCells = 8, m = 8, ksub = 16,
+      residual = true)
+    Pq.appendVectors(spark, pathInc, extra)
+    val pathFull = freshPath("resfull")
+    Pq.saveIndex(corpus, pathFull, nCells = 8, m = 8, ksub = 16,
+      residual = true)
+    val inc = answers(Pq.queryIndex(Pq.loadIndex(spark, pathInc),
+      queries, k = 5, nProbe = 8))
+    val full = answers(Pq.queryIndex(Pq.loadIndex(spark, pathFull),
+      queries, k = 5, nProbe = 8))
+    assert(inc == full)
+  }
+
   test("an unstamped codes table is rejected with rebuild instructions") {
     val path = freshPath("unstamped")
     Pq.saveIndex(corpus, path, nCells = 8, m = 8, ksub = 16)
