@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Okapi BM25 ranked retrieval — the SPARSE member of the similarity
+  * family (reference scope: the engine's document retrieval/selection
+  * surface; BM25 itself is Robertson & Walker 1994). Dense ANN
+  * ([[Similarity]], [[Pq]]) ranks by embedding cosine; BM25 ranks by
+  * lexical term overlap, and production retrieval stacks run both.
+  *
+  * Shape at 100 TB — an inverted index is a DATAFRAME, not a data
+  * structure: the postings list is the (doc, term, tf) frame, built
+  * with one tokenize pass + one groupBy, and queries join INTO it.
+  *
+  *  - per-doc term frequencies: first shuffle keys (doc_id, term) —
+  *    corpus-sized but uniform (the exact-dedup fingerprint shape);
+  *  - document frequencies: one more agg over the tf frame, keyed by
+  *    term — VOCABULARY-sized output, not corpus-sized;
+  *  - scoring: query terms are a broadcast (queries are bounded the
+  *    way every ANN entry point here bounds them), so the score join
+  *    is map-side against the tf frame — the corpus never reshuffles
+  *    for the query side;
+  *  - top-k per query: [[GroupedTopK]] (rank-window ⇒ per-partition
+  *    limit, no global sort materialization).
+  *
+  * Determinism: tf, df, and doc lengths are exact integer aggregates;
+  * avgdl = Σdl / N is one exact-integer division; each per-term score
+  * is pure double arithmetic both engines state identically; the
+  * per-(query, doc) score folds term scores in TERM order (collect →
+  * sort → fold), never group-SUM order — the [[Pq.encode]] qerr
+  * convention, so the DuckDB oracle replays scores bit-for-bit.
+  */
+object Bm25 {
+
+  /** Per-document term frequencies + document length:
+    * (doc_id, tok, tf, dl). One tokenize pass, one shuffle.
+    */
+  def termFrequencies(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+  }
+
+  /** BM25 idf: ln((N − df + 0.5)/(df + 0.5) + 1) — the
+    * plus-one form, non-negative even for df > N/2 terms.
+    */
+  private def idf(n: Column, df: Column): Column =
+    log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+
+  /** Top-k documents per query under Okapi BM25.
+    *
+    * @param docs     (idCol, textCol) corpus
+    * @param queries  (query_id, query_text) — bounded, broadcast;
+    *                 guarded by `maxQueries` the ANN-operator way
+    * @param k1       term-frequency saturation (standard 1.2)
+    * @param b        length normalization (standard 0.75)
+    *
+    * Output: (query_id, rank, doc_id, score) — score rounded to 6 dp
+    * AFTER the term-ordered fold.
+    */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int,
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text",
+           maxQueries: Long = 10000L): DataFrame = {
+    val qn = queries.limit((maxQueries + 1).toInt).count()
+    require(qn <= maxQueries,
+      s"bm25TopK: query side has >$maxQueries rows; run in bounded batches")
+
+    val tf = termFrequencies(docs, idCol, textCol)
+    // vocabulary-sized; broadcast back onto the tf frame
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      sum(size(TextFunctions.tokens(col(textCol)))).as("sum_dl"))
+    // DISTINCT query terms: a repeated term in query text scores once
+    // (the standard bag-of-query-TERMS form)
+    val qterms = queries.select(col("query_id"),
+        explode(array_distinct(TextFunctions.tokens(col("query_text"))))
+          .as("tok"))
+    val scored = tf
+      .join(broadcast(qterms), Seq("tok"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("tok"),
+        (idf(col("n"), col("df")) *
+          (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) +
+             lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n")))))
+          .as("s"))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(round(aggregate(
+          transform(array_sort(collect_list(struct(col("tok"), col("s")))),
+            x => x.getField("s")),
+          lit(0.0), (acc, x) => acc + x), 6).as("score"))
+    GroupedTopK(perDoc, Seq("query_id"),
+        Seq(desc("score"), asc("doc_id")), k = k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+}

@@ -224,6 +224,68 @@ object TextMiningSuite extends QuerySuite {
              SELECT DISTINCT MIN(label) AS doc_id
              FROM reach GROUP BY node ORDER BY doc_id"""))
 
+  // ---- Okapi BM25 ranked retrieval (sparse similarity search) --------
+  // Three literal multi-term queries over the documents vocabulary;
+  // tf/df/dl/N are exact integer aggregates, avgdl one exact division,
+  // per-term scores identical double arithmetic in both engines, and
+  // the per-(query, doc) score folds term scores in TERM order (the
+  // qerr convention) before the 6-dp round that ranking uses — so the
+  // full ranking replays in DuckDB value-for-value.
+  private val bm25Queries = Seq(
+    (0L, "fast sort merge"),
+    (1L, "spark stream window"),
+    (2L, "hash join key vector"))
+  private val bm25 = GraftQuery(
+    "q_bm25_topk",
+    (s, d) => {
+      import s.implicits._
+      val qs = bm25Queries.toDF("query_id", "query_text")
+      graft.operators.Bm25.topK(documents(s, d), qs, k = 5)
+        .orderBy(asc("query_id"), asc("rank"))
+    },
+    Some {
+      val qvals = bm25Queries
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH q(query_id, query_text) AS (VALUES $qvals),
+             toks AS (
+               SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+             tf AS (
+               SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+             dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+             stats AS (
+               SELECT COUNT(*) AS n,
+                 SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   x -> x <> ''))) AS sum_dl
+               FROM documents),
+             qt AS (
+               SELECT query_id,
+                 unnest(list_distinct(list_filter(
+                   string_split_regex(trim(query_text), '\\s+'),
+                   x -> x <> ''))) AS tok
+               FROM q),
+             scored AS (
+               SELECT qt.query_id, tf.doc_id, tf.tok,
+                 ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+                 (tf.tf * (1.2 + 1.0)) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                   (CAST(stats.sum_dl AS DOUBLE) / stats.n))) AS s
+               FROM tf JOIN qt USING (tok) JOIN dfreq USING (tok)
+               JOIN dl USING (doc_id) CROSS JOIN stats),
+             perdoc AS (
+               SELECT query_id, doc_id,
+                 ROUND(list_sum(list(s ORDER BY tok)), 6) AS score
+               FROM scored GROUP BY 1, 2),
+             ranked AS (
+               SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rank
+               FROM perdoc)
+             SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+    headline = false)
+
   override val queries: Seq[GraftQuery] =
-    Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep)
+    Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep, bm25)
 }

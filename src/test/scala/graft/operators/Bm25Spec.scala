@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Okapi BM25: engine ranking vs an independent driver-side replica of
+  * the formula, plus the three properties that define BM25 against
+  * plain TF-IDF — tf saturation, length normalization, and idf
+  * weighting.
+  */
+class Bm25Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (0L, "a b a"),
+    (1L, "a c"),
+    (2L, "b b b b"),
+    (3L, "a a a a a a a a")).toDF("doc_id", "text")
+
+  /** Independent local BM25 (plain Scala collections, no Spark). */
+  private def localBm25(docs: Seq[(Long, String)],
+                        query: String, k1: Double = 1.2,
+                        b: Double = 0.75): Map[Long, Double] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = docs.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toDouble }
+    val qts = query.trim.split("\\s+").filter(_.nonEmpty).distinct.sorted
+    toks.map { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val score = qts.map { qt =>
+        val tf = ts.count(_ == qt).toDouble
+        if (tf == 0) 0.0
+        else {
+          val idf = math.log((n - dfm(qt) + 0.5) / (dfm(qt) + 0.5) + 1.0)
+          idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * (1.0 - b + b * dl / avgdl))
+        }
+      }.sum
+      id -> (math.rint(score * 1e6) / 1e6)
+    }.filter(_._2 != 0.0)
+  }
+
+  test("engine scores match the independent local replica") {
+    val qs = Seq((0L, "a b"), (1L, "c")).toDF("query_id", "query_text")
+    val got = Bm25.topK(fixture, qs, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val docs = fixture.as[(Long, String)].collect().toSeq
+    val exp0 = localBm25(docs, "a b")
+    val exp1 = localBm25(docs, "c")
+    assert(got.size == exp0.size + exp1.size)
+    exp0.foreach { case (id, s) =>
+      assert(math.abs(got((0L, id)) - s) < 1e-9, s"doc $id q0") }
+    exp1.foreach { case (id, s) =>
+      assert(math.abs(got((1L, id)) - s) < 1e-9, s"doc $id q1") }
+  }
+
+  test("tf saturation: more hits score higher but sub-linearly") {
+    // same doc length (pad with an off-query term), rising tf
+    val docs = Seq(
+      (0L, "q x x x x x x x"),
+      (1L, "q q x x x x x x"),
+      (2L, "q q q q x x x x")).toDF("doc_id", "text")
+    val qs = Seq((0L, "q")).toDF("query_id", "query_text")
+    val s = Bm25.topK(docs, qs, k = 3).orderBy($"doc_id")
+      .select($"score").as[Double].collect()
+    assert(s(0) < s(1) && s(1) < s(2), "score must rise with tf")
+    assert(s(2) - s(1) < s(1) - s(0),
+      "tf gains must saturate (concave), unlike raw tf-idf")
+  }
+
+  test("length normalization: same tf, longer doc scores lower") {
+    val docs = Seq(
+      (0L, "q a"),
+      (1L, "q a b c d e f g h i j k")).toDF("doc_id", "text")
+    val qs = Seq((0L, "q")).toDF("query_id", "query_text")
+    val s = Bm25.topK(docs, qs, k = 2).orderBy($"doc_id")
+      .select($"score").as[Double].collect()
+    assert(s(0) > s(1), "longer document must be penalized at equal tf")
+  }
+
+  test("idf: a rarer term outweighs a common one at equal tf/dl") {
+    // 'rare' in 1 of 6 docs, 'common' in 5 of 6; the probe doc holds
+    // both once at the same length
+    val docs = Seq(
+      (0L, "rare common x"),
+      (1L, "common y z"),
+      (2L, "common y z"),
+      (3L, "common y z"),
+      (4L, "common y z"),
+      (5L, "w y z")).toDF("doc_id", "text")
+    val qs = Seq((0L, "rare"), (1L, "common")).toDF("query_id", "query_text")
+    val byQ = Bm25.topK(docs, qs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byQ(0L) > byQ(1L),
+      "rank-1 score for the rare term must exceed the common term's")
+  }
+
+  test("repeated query terms score once (bag of query TERMS)") {
+    val docs = Seq((0L, "q a b")).toDF("doc_id", "text")
+    val q1 = Seq((0L, "q")).toDF("query_id", "query_text")
+    val q2 = Seq((0L, "q q q")).toDF("query_id", "query_text")
+    val s1 = Bm25.topK(docs, q1, k = 1).select($"score").as[Double].head()
+    val s2 = Bm25.topK(docs, q2, k = 1).select($"score").as[Double].head()
+    assert(s1 == s2)
+  }
+}
