@@ -286,6 +286,49 @@ object TextMiningSuite extends QuerySuite {
     },
     headline = false)
 
+  // ---- HTML → text extraction (web-corpus front end) ------------------
+  // Deterministic markup is planted around each document's text: head
+  // with entity-bearing title, a style block, a script whose BODY
+  // contains both a raw '<' comparison and a fake '<div>' (the
+  // non-greedy strip must consume them), uppercase block tags, list
+  // items, and the fixed entity set. Engine = composed codegen
+  // regexp_replace chain (functions.HtmlText); oracle = the SAME
+  // RE2-safe patterns emitted by HtmlText.htmlToTextSql — the two
+  // renditions live in one file so they cannot drift. Java-regex/RE2
+  // agreement on identical inputs is the cross-engine check (the
+  // q_script_detect convention).
+  private val htmlP1 = "<!DOCTYPE html><html><head><title>Doc "
+  private val htmlP2 = " &amp; friends</title><style type=\"text/css\">p { color: red }</style>" +
+    "<script type=\"text/javascript\">if (1 < 2) { emit(\"<div>ignored</div>\") }</script>" +
+    "</head><body><h1>Doc "
+  private val htmlP3 = "</h1><P CLASS=\"lead\">"
+  private val htmlP4 = "</P><ul><li>alpha</li><li>beta</li></ul>" +
+    "<div>footer &lt;b&gt; &#39;q&#39;&nbsp;&amp; tail</div></body></html>"
+  private val htmlExtract = GraftQuery(
+    "q_html_extract",
+    (s, d) => {
+      val raw = concat(lit(htmlP1), col("doc_id"), lit(htmlP2),
+        col("doc_id"), lit(htmlP3), col("text"), lit(htmlP4))
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.HtmlText.htmlTitle(raw).as("title"),
+          graft.functions.HtmlText.htmlToText(raw).as("txt"))
+        .withColumn("n_chars", length(col("txt")).cast("long"))
+        .orderBy(asc("doc_id"))
+    },
+    Some {
+      val h = s"'$htmlP1' || doc_id || '$htmlP2' || doc_id || " +
+        s"'$htmlP3' || text || '$htmlP4'"
+      s"""WITH ext AS (
+            SELECT doc_id,
+              ${graft.functions.HtmlText.htmlTitleSql(s"($h)")} AS title,
+              ${graft.functions.HtmlText.htmlToTextSql(s"($h)")} AS txt
+            FROM documents)
+          SELECT doc_id, title, txt, CAST(length(txt) AS BIGINT) AS n_chars
+          FROM ext ORDER BY doc_id"""
+    })
+
   override val queries: Seq[GraftQuery] =
-    Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep, bm25)
+    Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep, bm25,
+        htmlExtract)
 }
