@@ -103,4 +103,29 @@ object Sampling {
     }
     df.filter(pmod(xxhash64(col(keyCol)), lit(buckets)) < threshold)
   }
+
+  /** Cluster-balanced selection: cap each EMBEDDING-SPACE cluster at
+    * `cap` members — the topic-diversity analogue of the per-host
+    * document cap (SemDeDup removes near-identical cells; this bounds
+    * over-represented TOPICS that survive dedup — boilerplate-heavy
+    * genres, template families).
+    *
+    * Clusters are [[Similarity.ivfAssign]] cells (deterministic seed
+    * centroids ⇒ the whole selection replays in SQL); within a cell,
+    * rows keep by `ordering` (pass a total order — e.g. quality desc,
+    * id asc) through [[GroupedTopK]], so the plan is the
+    * WindowGroupLimit shape: per-partition top-cap, no global sort.
+    *
+    * Returns the kept rows as (idCol, cell, rank).
+    */
+  def clusterBalance(corpus: DataFrame, nCells: Int, cap: Int,
+                     ordering: Seq[Column],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val assigned = Similarity.ivfAssign(corpus, nCells, idCol, vecCol)
+      .select(col("ivf_id").as(idCol), col("cell"))
+    val joined = corpus.join(assigned, Seq(idCol))
+    GroupedTopK(joined, Seq("cell"), ordering, k = cap)
+      .select(col(idCol), col("cell"), col("rank"))
+  }
 }

@@ -770,6 +770,42 @@ object SimilaritySuite extends QuerySuite {
                ROUND(cos, 6) AS cos
              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  // ---- cluster-balanced diversity selection -------------------------
+  // Cap each embedding-space cluster (ivfAssign cells, deterministic
+  // seed centroids) at 40 members kept by (label desc, vec_id) — the
+  // topic-diversity analogue of the per-host cap, downstream of
+  // SemDeDup in a curation stack. Assignment + window cap replay
+  // exactly in SQL; plan is the WindowGroupLimit shape.
+  private val clusterBalance = GraftQuery(
+    "q_cluster_balance",
+    (s, d) =>
+      graft.operators.Sampling.clusterBalance(
+          embeddings(s, d), nCells = 8, cap = 40,
+          ordering = Seq(desc("label"), asc("vec_id")))
+        .orderBy(asc("vec_id")),
+    Some("""WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            cents AS (
+              SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+            asg AS (
+              SELECT vec_id, label, cell FROM (
+                SELECT e.vec_id, e.label, c.cell,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_sum(list_transform(list_zip(e.v, c.cv),
+                      p -> p[1] * p[2])) /
+                    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+                         list_sum(list_transform(c.cv, x -> x * x))) DESC,
+                    c.cell) AS rn
+                FROM e CROSS JOIN cents c) WHERE rn = 1),
+            capped AS (
+              SELECT vec_id, cell,
+                ROW_NUMBER() OVER (PARTITION BY cell
+                  ORDER BY label DESC, vec_id) AS rank
+              FROM asg)
+            SELECT vec_id, cell, CAST(rank AS INTEGER) AS rank
+            FROM capped WHERE rank <= 40 ORDER BY vec_id"""))
+
   private lazy val ivfPqOracleSql: String =
     s"""WITH e AS (
                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -852,5 +888,5 @@ object SimilaritySuite extends QuerySuite {
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
         ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize,
         semanticDedup, randomProjQ, pqCodes, ivfPq, ivfPqStored,
-        ivfPqResidual, ivfPqRerankQ)
+        ivfPqResidual, ivfPqRerankQ, clusterBalance)
 }

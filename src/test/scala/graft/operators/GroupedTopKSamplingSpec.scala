@@ -87,4 +87,46 @@ class GroupedTopKSamplingSpec extends AnyFunSuite {
     assert(again == sampled.agg(org.apache.spark.sql.functions.sum("id")).as[Long].head(),
       "content-keyed sample must be replayable")
   }
+
+  test("clusterBalance: caps every cell, keeps the ordering's winners") {
+    val corpus = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val kept = Sampling.clusterBalance(corpus, nCells = 8, cap = 10,
+      ordering = Seq(col("label").desc, col("vec_id").asc))
+    val perCell = kept.groupBy("cell").count().as[(Long, Long)]
+      .collect().toMap
+    assert(perCell.values.forall(_ <= 10), s"cap violated: $perCell")
+    assert(perCell.values.sum < corpus.count(), "cap should bind somewhere")
+    // within a cell, every kept label >= every dropped label (ordering
+    // keeps winners; vec_id only breaks ties)
+    val assigned = Similarity.ivfAssign(corpus, 8)
+      .select(col("ivf_id").as("vec_id"), col("cell"))
+    val labels = corpus.join(assigned, "vec_id")
+      .join(kept.select(col("vec_id"), lit(true).as("kept")),
+        Seq("vec_id"), "left")
+      .select(col("cell"), col("label"), coalesce(col("kept"), lit(false)))
+      .as[(Long, Int, Boolean)].collect()
+    labels.groupBy(_._1).foreach { case (cell, rows) =>
+      val (k, d) = rows.partition(_._3)
+      if (d.nonEmpty && k.nonEmpty)
+        assert(k.map(_._2).min >= d.map(_._2).max,
+          s"cell $cell kept a lower label than it dropped")
+    }
+    // retry/repartition stability: same result from a reshuffled corpus
+    val again = Sampling.clusterBalance(corpus.repartition(13), nCells = 8,
+        cap = 10, ordering = Seq(col("label").desc, col("vec_id").asc))
+      .agg(org.apache.spark.sql.functions.sum("vec_id")).as[Long].head()
+    assert(again ==
+      kept.agg(org.apache.spark.sql.functions.sum("vec_id")).as[Long].head())
+  }
+
+  test("clusterBalance plans as WindowGroupLimit (per-partition top-cap)") {
+    val corpus = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val plan = Sampling.clusterBalance(corpus, nCells = 8, cap = 10,
+        ordering = Seq(col("label").desc, col("vec_id").asc))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
 }
