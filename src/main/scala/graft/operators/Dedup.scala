@@ -709,6 +709,85 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Fuzzy benchmark decontamination: flag TRAIN documents whose
+    * n-gram-set Jaccard against any EVAL document clears `minJaccard` —
+    * the near-duplicate extension of exact n-gram decontamination
+    * (`q_decontaminate`), catching paraphrased/lightly-edited benchmark
+    * leakage the exact join misses.
+    *
+    * Same machinery as [[incrementalNearDupPairs]] with two deliberate
+    * differences:
+    *  - the VERIFY runs on distinct n-GRAM sets (shingleK-grams), not
+    *    token sets — on a shared small vocabulary token-set Jaccard of
+    *    unrelated documents is high (measured ≈ 0.7 on the synthetic
+    *    corpus) while n-gram overlap collapses (≈ 0.06 at k = 2), which
+    *    is exactly why the decontamination literature thresholds
+    *    n-gram overlap;
+    *  - default geometry is 32 bands × 2 rows: decontamination is
+    *    recall-critical (a missed leak poisons an eval) and the
+    *    candidate-rate cost of loose bands is bounded by the EVAL side,
+    *    which is tiny — candidates ≤ Σ eval-bucket sizes, never
+    *    corpus × corpus.
+    *
+    * Scale shape: eval bucket keys → Bloom → prune the train-side band
+    * stream (train never shuffles against itself); skew guard on both
+    * sides; verify joins the (bounded) candidate set back to the two
+    * text columns. `trainSigs` reuses a stored family-checked signature
+    * table (the incremental-dedup convention) so repeated eval drops
+    * never re-sign the corpus.
+    *
+    * Returns (eval_id, doc_id, ngram_jaccard) — one row per flagged
+    * (eval, train) pair at ngram_jaccard ≥ minJaccard.
+    */
+  def fuzzyDecontaminate(
+      train: DataFrame, evalSet: DataFrame,
+      minJaccard: Double = 0.3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 2,
+      numHashes: Int = 64,
+      numBands: Int = 32,
+      maxBucket: Int = 2000,
+      expectedEvalBands: Long = 1000000L,
+      trainSigs: Option[DataFrame] = None): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val eSigs = signatures(evalSet, idCol, textCol, shingleK, numHashes)
+    val tSigs = trainSigs.map(checkSigFamily).getOrElse(
+      signatures(train, idCol, textCol, shingleK, numHashes))
+    val eBand = bandedRows(eSigs, numBands, rowsPerBand)
+    val tBand = bandedRows(tSigs, numBands, rowsPerBand)
+    val bandKey = xxhash64(col("band"), col("bh"))
+    val bloom = BloomJoin.bloomOf(
+      eBand.select(bandKey.as("bk")), "bk", expectedEvalBands)
+    val tPruned = tBand.where(BloomJoin.mightContain(bloom, bandKey))
+    def guard(banded: DataFrame): DataFrame = {
+      val oversized = banded.groupBy("band", "bh")
+        .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+        .select("band", "bh")
+      banded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+    }
+    val cand = guard(eBand)
+      .select(col("band"), col("bh"), col("id").as("eval_id"))
+      .join(guard(tPruned)
+        .select(col("band"), col("bh"), col("id").as("flag_id")),
+        Seq("band", "bh"))
+      .select(col("eval_id"), col("flag_id"))
+      .distinct()
+    // verify on distinct n-gram sets; eval shingles ride the broadcast,
+    // train rows shingle only when probed (the incremental verify shape)
+    val eGrams = evalSet.select(col(idCol).as("eval_id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("ga"))
+    val withE = cand.join(broadcast(eGrams), "eval_id")
+    train
+      .join(broadcast(withE), train(idCol) === withE("flag_id"))
+      .select(col("eval_id"), col("flag_id").as("doc_id"), col("ga"),
+              array_distinct(shingles(col(textCol), shingleK)).as("gb"))
+      .withColumn("ngram_jaccard", jaccardTokens(col("ga"), col("gb")))
+      .filter(col("ngram_jaccard") >= minJaccard)
+      .select(col("eval_id"), col("doc_id"),
+              round(col("ngram_jaccard"), 6).as("ngram_jaccard"))
+  }
+
   // ---------- duplicate clustering ------------------------------------
 
   /** Connected components over an undirected near-duplicate edge set:

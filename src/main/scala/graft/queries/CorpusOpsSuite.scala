@@ -696,6 +696,39 @@ object CorpusOpsSuite extends QuerySuite {
              WHERE doc_id % 25 <> 0
              GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---- FUZZY decontamination (minhash-LSH near-dup vs the eval set) --
+  // The near-dup extension of q_decontaminate: a planted eval set is
+  // built from every 25th document with its FIRST TOKEN substituted —
+  // an edit the exact n-gram join can shrug off but a paraphrased leak
+  // shape fuzzy matching must catch. Recovery is the planted-recall
+  // oracle (q_embedding_neardup convention): a one-token edit leaves
+  // bigram-set Jaccard ≥ 0.63 even for the shortest (10-token) docs,
+  // far above the 0.3 verify threshold, and the 32×2 band geometry
+  // makes a bucket miss ~5e-8 — so every planted eval doc MUST flag
+  // its source, SQL-decidably, while the xxhash bucket geometry itself
+  // stays un-replayable. Natural near-dup flags may also surface
+  // (legitimate decontamination behavior); the count pins only the
+  // planted guarantee.
+  private val decontaminateFuzzy = GraftQuery(
+    "q_decontaminate_fuzzy",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "evalmark").as("text"))
+      val pairs = graft.operators.Dedup.fuzzyDecontaminate(docs, evalSet)
+      val planted = evalSet.agg(count(lit(1)).as("n_planted"))
+      val found = pairs
+        .filter(col("doc_id") === col("eval_id") - 10000000L)
+        .agg(countDistinct(col("eval_id")).as("n_found"))
+      planted.crossJoin(found).select(
+        col("n_planted"), col("n_found"),
+        (col("n_planted") === col("n_found")).as("all_found"))
+    },
+    Some("""SELECT COUNT(*) AS n_planted, COUNT(*) AS n_found,
+              TRUE AS all_found
+            FROM documents WHERE doc_id % 25 = 0"""))
+
   // ---- mixture reweighting to a target distribution ------------------
   // Per-source sampling weight that flattens the corpus to a uniform
   // mix: weight = target_frac / actual_frac. The aggregate output is
@@ -1640,7 +1673,7 @@ object CorpusOpsSuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(repetition, repetitionSignals, urlCuration, scriptDetect,
         webPipeline, multimodalPipeline,
-        decontaminate, domainMix, trigramFreq, gopherFilter,
+        decontaminate, decontaminateFuzzy, domainMix, trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
         packSequences, packIncrementalQ, bpePairs, bpeTrain, bpeTokenize,
         bpeEncodeExpr, bpeStored, byteBpeEncode, unigramTrain, unigramPruned,

@@ -298,4 +298,48 @@ class DedupSpec extends AnyFunSuite {
       .select(Dedup.bitsToHex(Dedup.simhashBits($"text"))).as[String].head()
     assert(hex.length == 16 && hex.matches("[0-9a-f]{16}"))
   }
+
+  private val decontamTrain = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    // 2 = lightly edited copy of eval 100 (one token differs)
+    (2L, "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "red orange yellow green blue indigo violet black white gray"))
+    .toDF("doc_id", "text")
+  private val decontamEval = Seq(
+    // near-dup of train 2: first token substituted
+    (100L, "CHANGED mu nu xi omicron pi rho sigma tau upsilon"),
+    // matches nothing in train
+    (101L, "totally unrelated benchmark prompt with fresh words only"))
+    .toDF("doc_id", "text")
+
+  test("fuzzyDecontaminate flags the edited leak and nothing else") {
+    val flagged = Dedup.fuzzyDecontaminate(decontamTrain, decontamEval)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.length == 1, s"got ${flagged.toSeq}")
+    val (evalId, docId, j) = flagged.head
+    assert(evalId == 100L && docId == 2L)
+    // first-token edit on a 10-token doc: the first token sits in ONE
+    // bigram, so each side has 9 bigrams, 8 shared -> 8/10
+    assert(math.abs(j - 8.0 / 10.0) < 1e-6, s"jaccard $j")
+  }
+
+  test("fuzzyDecontaminate: below-threshold similarity is not flagged") {
+    // half the tokens rewritten: bigram overlap collapses below 0.3
+    val weakEval = Seq(
+      (100L, "lambda X nu Y omicron Z rho W tau V")).toDF("doc_id", "text")
+    val flagged = Dedup.fuzzyDecontaminate(decontamTrain, weakEval).count()
+    assert(flagged == 0L)
+  }
+
+  test("fuzzyDecontaminate: stored train signatures answer identically") {
+    val stored = Dedup.signatureTable(decontamTrain, "doc_id", "text",
+      shingleK = 2, numHashes = 64)
+    val fresh = Dedup.fuzzyDecontaminate(decontamTrain, decontamEval)
+      .collect().map(_.toSeq).toSet
+    val reused = Dedup.fuzzyDecontaminate(decontamTrain, decontamEval,
+        trainSigs = Some(stored))
+      .collect().map(_.toSeq).toSet
+    assert(fresh == reused)
+  }
 }
