@@ -82,6 +82,15 @@ object Bm25 {
     val qterms = queries.select(col("query_id"),
         explode(array_distinct(TextFunctions.tokens(col("query_text"))))
           .as("tok"))
+    answerFromPostings(tf, dfreq, stats, qterms, k, k1, b)
+  }
+
+  /** The scoring half, shared by [[topK]] (fresh frames) and
+    * [[queryIndex]] (frames read back from a stored index).
+    */
+  private def answerFromPostings(tf: DataFrame, dfreq: DataFrame,
+                                 stats: DataFrame, qterms: DataFrame,
+                                 k: Int, k1: Double, b: Double): DataFrame = {
     val scored = tf
       .join(broadcast(qterms), Seq("tok"))
       .join(broadcast(dfreq), Seq("tok"))
@@ -101,5 +110,73 @@ object Bm25 {
     GroupedTopK(perDoc, Seq("query_id"),
         Seq(desc("score"), asc("doc_id")), k = k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  // ---- stored index: tokenize once, answer forever -------------------
+
+  /** Stored-index layout marker (the sig_family / ivfpq convention):
+    * the postings, document-frequency, and corpus-stats tables each
+    * carry the stamp with the scoring constants baked in — scoring a
+    * stored index under different (k1, b) than it was built for is NOT
+    * an error (they are query-time knobs), but a layout change is.
+    */
+  private[graft] val IndexFormatPrefix = "graft-bm25-v1"
+
+  /** Persist the postings (doc, term, tf, dl), document frequencies,
+    * and corpus stats under `path`. The corpus is tokenized ONCE here;
+    * every later query batch joins into the stored postings and never
+    * rescans text — the sparse analogue of [[Pq.saveIndex]].
+    */
+  def saveIndex(docs: DataFrame, path: String,
+                idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      sum(size(TextFunctions.tokens(col(textCol)))).as("sum_dl"))
+    tf.withColumn("index_format", lit(IndexFormatPrefix))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    dfreq.withColumn("index_format", lit(IndexFormatPrefix))
+      .write.mode("overwrite").parquet(s"$path/dfreq")
+    stats.withColumn("index_format", lit(IndexFormatPrefix))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  final case class Bm25Index(postings: DataFrame, dfreq: DataFrame,
+                             stats: DataFrame)
+
+  private def checkedRead(spark: org.apache.spark.sql.SparkSession,
+                          path: String, sub: String): DataFrame = {
+    val df = spark.read.parquet(s"$path/$sub")
+    require(df.columns.contains("index_format"),
+      s"stored BM25 $sub table at $path has no index_format column — " +
+      "not an index table or a pre-versioning build; rebuild with " +
+      "Bm25.saveIndex")
+    val stamps = df.select(col("index_format")).distinct().limit(2)
+      .collect().map(_.getString(0))
+    require(stamps.length == 1 && stamps.head == IndexFormatPrefix,
+      s"stored BM25 $sub table at $path has layout " +
+      s"'${stamps.mkString(",")}', this build reads '$IndexFormatPrefix' " +
+      "— rebuild with Bm25.saveIndex")
+    df.drop("index_format")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): Bm25Index =
+    Bm25Index(checkedRead(spark, path, "postings"),
+      checkedRead(spark, path, "dfreq"), checkedRead(spark, path, "stats"))
+
+  /** Answer top-k from a stored index — no text access, no tokenize. */
+  def queryIndex(index: Bm25Index, queries: DataFrame, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 maxQueries: Long = 10000L): DataFrame = {
+    val qn = queries.limit((maxQueries + 1).toInt).count()
+    require(qn <= maxQueries,
+      s"bm25 queryIndex: query side has >$maxQueries rows; run in batches")
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col("query_text"))))
+        .as("tok"))
+    answerFromPostings(index.postings, index.dfreq, index.stats, qterms,
+      k, k1, b)
   }
 }

@@ -702,7 +702,8 @@ object CorpusOpsSuite extends QuerySuite {
   // an edit the exact n-gram join can shrug off but a paraphrased leak
   // shape fuzzy matching must catch. Recovery is the planted-recall
   // oracle (q_embedding_neardup convention): a one-token edit leaves
-  // bigram-set Jaccard ≥ 0.63 even for the shortest (10-token) docs,
+  // bigram-set Jaccard ≥ 0.8 even for the shortest (10-token) docs
+  // (the first token sits in one bigram: (s−1)/(s+1) at s = 9),
   // far above the 0.3 verify threshold, and the 32×2 band geometry
   // makes a bucket miss ~5e-8 — so every planted eval doc MUST flag
   // its source, SQL-decidably, while the xxhash bucket geometry itself

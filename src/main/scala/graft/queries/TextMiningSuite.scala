@@ -235,15 +235,7 @@ object TextMiningSuite extends QuerySuite {
     (0L, "fast sort merge"),
     (1L, "spark stream window"),
     (2L, "hash join key vector"))
-  private val bm25 = GraftQuery(
-    "q_bm25_topk",
-    (s, d) => {
-      import s.implicits._
-      val qs = bm25Queries.toDF("query_id", "query_text")
-      graft.operators.Bm25.topK(documents(s, d), qs, k = 5)
-        .orderBy(asc("query_id"), asc("rank"))
-    },
-    Some {
+  private lazy val bm25OracleSql: String = {
       val qvals = bm25Queries
         .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
       s"""WITH q(query_id, query_text) AS (VALUES $qvals),
@@ -283,8 +275,37 @@ object TextMiningSuite extends QuerySuite {
                FROM perdoc)
              SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  private val bm25 = GraftQuery(
+    "q_bm25_topk",
+    (s, d) => {
+      import s.implicits._
+      val qs = bm25Queries.toDF("query_id", "query_text")
+      graft.operators.Bm25.topK(documents(s, d), qs, k = 5)
+        .orderBy(asc("query_id"), asc("rank"))
     },
-    headline = false)
+    Some(bm25OracleSql))
+
+  // ---- BM25 from a STORED index (tokenize once, answer forever) ------
+  // Postings/df/stats parquet tables are written and read back INSIDE
+  // the gate (the q_ivfpq_stored convention, layout-stamped, loud
+  // rejection on foreign stamps), and queries answer from the stored
+  // frames with no text access. Same oracle as q_bm25_topk — the
+  // stored path must be answer-identical to the direct one.
+  private val bm25Stored = GraftQuery(
+    "q_bm25_stored",
+    (s, d) => {
+      import s.implicits._
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"bm25_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.operators.Bm25.saveIndex(documents(s, d), path)
+      val qs = bm25Queries.toDF("query_id", "query_text")
+      graft.operators.Bm25.queryIndex(
+          graft.operators.Bm25.loadIndex(s, path), qs, k = 5)
+        .orderBy(asc("query_id"), asc("rank"))
+    },
+    Some(bm25OracleSql))
 
   // ---- HTML → text extraction (web-corpus front end) ------------------
   // Deterministic markup is planted around each document's text: head
@@ -330,5 +351,5 @@ object TextMiningSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep, bm25,
-        htmlExtract)
+        bm25Stored, htmlExtract)
 }

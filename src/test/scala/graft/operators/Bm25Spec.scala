@@ -101,6 +101,45 @@ class Bm25Spec extends AnyFunSuite {
       "rank-1 score for the rare term must exceed the common term's")
   }
 
+  private def freshPath(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"bm25_$tag")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  test("stored index answers identically to the direct operator") {
+    val path = freshPath("rt")
+    val qs = Seq((0L, "a b"), (1L, "c")).toDF("query_id", "query_text")
+    Bm25.saveIndex(fixture, path)
+    val stored = Bm25.queryIndex(Bm25.loadIndex(spark, path), qs, k = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val direct = Bm25.topK(fixture, qs, k = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(stored == direct && stored.nonEmpty)
+  }
+
+  test("unstamped and foreign-stamped postings are rejected loudly") {
+    val path = freshPath("rej")
+    Bm25.saveIndex(fixture, path)
+    val bare = spark.read.parquet(s"$path/postings").drop("index_format")
+    bare.write.mode("overwrite").parquet(s"$path/p_tmp")
+    spark.read.parquet(s"$path/p_tmp").write.mode("overwrite")
+      .parquet(s"$path/postings")
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.loadIndex(spark, path)
+    }
+    assert(ex.getMessage.contains("index_format"))
+    spark.read.parquet(s"$path/p_tmp")
+      .withColumn("index_format", lit("someone-else-v9"))
+      .write.mode("overwrite").parquet(s"$path/p_tmp2")
+    spark.read.parquet(s"$path/p_tmp2").write.mode("overwrite")
+      .parquet(s"$path/postings")
+    val ex2 = intercept[IllegalArgumentException] {
+      Bm25.loadIndex(spark, path)
+    }
+    assert(ex2.getMessage.contains("layout"))
+  }
+
   test("repeated query terms score once (bag of query TERMS)") {
     val docs = Seq((0L, "q a b")).toDF("doc_id", "text")
     val q1 = Seq((0L, "q")).toDF("query_id", "query_text")
