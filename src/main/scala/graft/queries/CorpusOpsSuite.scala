@@ -730,6 +730,77 @@ object CorpusOpsSuite extends QuerySuite {
               TRUE AS all_found
             FROM documents WHERE doc_id % 25 = 0"""))
 
+  // ---- HTML-front-end pipeline COMPOSITION ---------------------------
+  // The composition gate for the markup front end: HTML-wrapped corpus
+  // (title carries doc_id in the HEAD ONLY — body text is id-free, so
+  // exact clones stay exact after extraction) → htmlToText/htmlTitle →
+  // extracted-token floor → exact dedup on the EXTRACTED text (planted
+  // clones of every 5th doc must drop) → token-budget packing. One
+  // lazy plan; the oracle replays markup planting, the identical
+  // regex-chain extraction (HtmlText.htmlToTextSql), the floor, the
+  // min-id keeper, and the prefix-sum pack ids.
+  private val htmlPipeP1 = "<html><head><title>Doc "
+  private val htmlPipeP2 = "</title><script>if (1 < 2) { track(\"<b>x</b>\") }</script>" +
+    "</head><body><h1>Article</h1><p>"
+  private val htmlPipeP3 = "</p><div>footer &amp; links</div></body></html>"
+  private val htmlPipeline = GraftQuery(
+    "q_html_pipeline",
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val raw = concat(lit(htmlPipeP1), col("doc_id"), lit(htmlPipeP2),
+        col("text"), lit(htmlPipeP3))
+      val ext = corpus.select(col("doc_id"),
+        graft.functions.HtmlText.htmlTitle(raw).as("title"),
+        graft.functions.HtmlText.htmlToText(raw).as("txt"))
+      val q = ext
+        .withColumn("wc", size(TextFunctions.tokens(col("txt"))))
+        .filter(col("wc") >= 15)
+      val keepers = q.groupBy(md5(col("txt")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val s5 = q.withColumn("fp", md5(col("txt")))
+        .join(keepers, Seq("fp", "doc_id"), "left_semi")
+      graft.operators.Packing.packByTokenBudget(
+          s5.select(col("doc_id"), col("txt").as("text")), budget = 1500L)
+        .join(s5.select(col("doc_id"), col("title")), Seq("doc_id"))
+        .select(col("doc_id"), col("title"), col("n_tokens"), col("pack_id"))
+        .orderBy(asc("doc_id"))
+    },
+    Some {
+      val h = s"'$htmlPipeP1' || doc_id || '$htmlPipeP2' || text || " +
+        s"'$htmlPipeP3'"
+      val toks = "list_filter(string_split_regex(trim(txt), '\\s+'), x -> x <> '')"
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+          ext AS (
+            SELECT doc_id,
+              ${graft.functions.HtmlText.htmlTitleSql(s"($h)")} AS title,
+              ${graft.functions.HtmlText.htmlToTextSql(s"($h)")} AS txt
+            FROM corpus),
+          q AS (
+            SELECT doc_id, title, txt, len($toks) AS wc
+            FROM ext WHERE len($toks) >= 15),
+          k AS (
+            SELECT md5(txt) AS fp, MIN(doc_id) AS keep_id
+            FROM q GROUP BY 1),
+          s5 AS (
+            SELECT q.* FROM q
+            JOIN k ON md5(q.txt) = k.fp AND q.doc_id = k.keep_id),
+          c AS (
+            SELECT doc_id, title, wc,
+              COALESCE(SUM(wc) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cum_excl
+            FROM s5)
+          SELECT doc_id, title, CAST(wc AS BIGINT) AS n_tokens,
+            CAST(cum_excl // 1500 AS BIGINT) AS pack_id
+          FROM c ORDER BY doc_id"""
+    })
+
   // ---- mixture reweighting to a target distribution ------------------
   // Per-source sampling weight that flattens the corpus to a uniform
   // mix: weight = target_frac / actual_frac. The aggregate output is
@@ -1674,7 +1745,8 @@ object CorpusOpsSuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(repetition, repetitionSignals, urlCuration, scriptDetect,
         webPipeline, multimodalPipeline,
-        decontaminate, decontaminateFuzzy, domainMix, trigramFreq, gopherFilter,
+        decontaminate, decontaminateFuzzy, htmlPipeline, domainMix,
+        trigramFreq, gopherFilter,
         crossSourceDup, trainSplit, dqChecks, weightedSample, tokenPacking,
         packSequences, packIncrementalQ, bpePairs, bpeTrain, bpeTokenize,
         bpeEncodeExpr, bpeStored, byteBpeEncode, unigramTrain, unigramPruned,
