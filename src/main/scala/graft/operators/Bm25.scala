@@ -179,4 +179,39 @@ object Bm25 {
     answerFromPostings(index.postings, index.dfreq, index.stats, qterms,
       k, k1, b)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists —
+    * the standard hybrid-retrieval combiner: sparse (BM25) and dense
+    * (cosine ANN) lists fuse on rank POSITION, not score, so the two
+    * incommensurable score scales need no calibration.
+    *
+    *   rrf(d) = Σ_lists 1/(kRrf + rank_list(d))
+    *
+    * Inputs are (query_id, rank, doc_id) frames (extra columns
+    * ignored); a doc absent from a list simply contributes no term —
+    * the integer ranks make the fused score exact double arithmetic,
+    * fully oracle-able. Both lists are per-query bounded (top-k of
+    * bounded queries), so the union + groupBy shuffles candidate
+    * rows only, never a corpus.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int,
+              kRrf: Int = 60,
+              docCol: String = "doc_id"): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: need at least one ranked list")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col(docCol).as("fused_id"),
+        col("rank").cast("long").as("rank"), lit(i).as("src"))
+    }.reduce(_ unionByName _)
+    // fold contributions in LIST order per doc — two or three terms,
+    // but double addition order still must match the oracle's
+    val fused = tagged.groupBy("query_id", "fused_id")
+      .agg(round(aggregate(
+          transform(array_sort(collect_list(struct(col("src"), col("rank")))),
+            s => lit(1.0) / (lit(kRrf.toDouble) + s.getField("rank"))),
+          lit(0.0), (acc, x) => acc + x), 6).as("rrf"))
+    GroupedTopK(fused, Seq("query_id"),
+        Seq(desc("rrf"), asc("fused_id")), k = k)
+      .select(col("query_id"), col("rank"), col("fused_id").as(docCol),
+              col("rrf"))
+  }
 }

@@ -307,6 +307,106 @@ object TextMiningSuite extends QuerySuite {
     },
     Some(bm25OracleSql))
 
+  // ---- hybrid retrieval: BM25 ⊕ dense cosine via RRF ------------------
+  // The standard two-tower production shape: sparse (BM25 over
+  // documents) and dense (exact cosine over embeddings, same id space)
+  // top-10 lists fuse by reciprocal-rank (1/(60+rank), rank-based so
+  // the incommensurable score scales need no calibration). Integer
+  // ranks make the fused score exact double arithmetic — the oracle
+  // replays BOTH retrievers and the fusion fold (list-order) to full
+  // value equality.
+  private val hybridRetrieval = GraftQuery(
+    "q_hybrid_retrieval",
+    (s, d) => {
+      import s.implicits._
+      val qs = bm25Queries.toDF("query_id", "query_text")
+      val qvecs = embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+                col("embedding").as("query_vec"))
+      val sparse = graft.operators.Bm25.topK(documents(s, d), qs, k = 10)
+      val dense = graft.operators.Similarity.bruteForceTopK(
+          embeddings(s, d), qvecs, k = 10)
+        .select(col("query_id"), col("rank"),
+                col("neighbor_id").as("doc_id"))
+      graft.operators.Bm25.rrfFuse(Seq(sparse, dense), k = 5)
+        .orderBy(asc("query_id"), asc("rank"))
+    },
+    Some {
+      val qvals = bm25Queries
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH q(query_id, query_text) AS (VALUES $qvals),
+             toks AS (
+               SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+             tf AS (
+               SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+             dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+             stats AS (
+               SELECT COUNT(*) AS n,
+                 SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   x -> x <> ''))) AS sum_dl
+               FROM documents),
+             qt AS (
+               SELECT query_id,
+                 unnest(list_distinct(list_filter(
+                   string_split_regex(trim(query_text), '\\s+'),
+                   x -> x <> ''))) AS tok
+               FROM q),
+             bscored AS (
+               SELECT qt.query_id, tf.doc_id, tf.tok,
+                 ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+                 (tf.tf * (1.2 + 1.0)) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                   (CAST(stats.sum_dl AS DOUBLE) / stats.n))) AS s
+               FROM tf JOIN qt USING (tok) JOIN dfreq USING (tok)
+               JOIN dl USING (doc_id) CROSS JOIN stats),
+             bperdoc AS (
+               SELECT query_id, doc_id,
+                 ROUND(list_sum(list(s ORDER BY tok)), 6) AS score
+               FROM bscored GROUP BY 1, 2),
+             sparse AS (
+               SELECT query_id, doc_id, rank FROM (
+                 SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rank
+                 FROM bperdoc) WHERE rank <= 10),
+             e AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+             qv AS (
+               SELECT vec_id AS query_id, v AS qvec FROM e
+               WHERE vec_id < 3),
+             dsc AS (
+               SELECT qv.query_id, e.vec_id AS doc_id,
+                 list_sum(list_transform(list_zip(e.v, qv.qvec),
+                   x -> x[1] * x[2])) /
+                 sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+                      list_sum(list_transform(qv.qvec, x -> x * x))) AS cos
+               FROM e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+             dense AS (
+               SELECT query_id, doc_id, rank FROM (
+                 SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, doc_id) AS rank
+                 FROM dsc) WHERE rank <= 10),
+             u AS (
+               SELECT query_id, doc_id, rank, 0 AS src FROM sparse
+               UNION ALL
+               SELECT query_id, doc_id, rank, 1 AS src FROM dense),
+             f AS (
+               SELECT query_id, doc_id,
+                 ROUND(list_sum(list(1.0 / (60 + rank) ORDER BY src)), 6)
+                   AS rrf
+               FROM u GROUP BY 1, 2),
+             r AS (
+               SELECT query_id, doc_id, rrf,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id) AS rank
+               FROM f)
+             SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, rrf
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
+
   // ---- HTML → text extraction (web-corpus front end) ------------------
   // Deterministic markup is planted around each document's text: head
   // with entity-bearing title, a style block, a script whose BODY
@@ -351,5 +451,5 @@ object TextMiningSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep, bm25,
-        bm25Stored, htmlExtract)
+        bm25Stored, hybridRetrieval, htmlExtract)
 }

@@ -140,6 +140,27 @@ class Bm25Spec extends AnyFunSuite {
     assert(ex2.getMessage.contains("layout"))
   }
 
+  test("rrfFuse: hand-computed fusion, both-lists beats one-list") {
+    val sparse = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
+      .toDF("query_id", "rank", "doc_id")
+    val dense = Seq((0L, 1, 11L), (0L, 2, 20L))
+      .toDF("query_id", "rank", "doc_id")
+    val fused = Bm25.rrfFuse(Seq(sparse, dense), k = 10)
+      .collect().map(r => r.getLong(2) -> (r.getInt(1), r.getDouble(3)))
+      .toMap
+    def rr(r: Int) = 1.0 / (60 + r)
+    def rnd(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 11: rank 2 sparse + rank 1 dense — the only both-lists doc
+    assert(fused(11L)._2 == rnd(rr(2) + rr(1)))
+    assert(fused(10L)._2 == rnd(rr(1)))
+    assert(fused(12L)._2 == rnd(rr(3)))
+    assert(fused(20L)._2 == rnd(rr(2)))
+    assert(fused(11L)._1 == 1, "the both-lists doc must fuse to rank 1")
+    // sparse rank-1 (10) vs dense rank-2 (20): same single-term shape,
+    // higher-rank term wins
+    assert(fused(10L)._2 > fused(20L)._2)
+  }
+
   test("repeated query terms score once (bag of query TERMS)") {
     val docs = Seq((0L, "q a b")).toDF("doc_id", "text")
     val q1 = Seq((0L, "q")).toDF("query_id", "query_text")
