@@ -35,15 +35,22 @@ import graft.functions.TextFunctions
 object Bm25 {
 
   /** Per-document term frequencies + document length:
-    * (doc_id, tok, tf, dl). One tokenize pass, one shuffle.
+    * (doc_id, tok, tf, dl). One tokenize pass, ONE shuffle: dl is
+    * computed at scan time (array size, before the explode) and rides
+    * the groupBy KEYS — it is functionally dependent on doc_id, so the
+    * extra key changes nothing about the distribution but saves the
+    * doc_id-window re-exchange a post-agg `sum(tf) over (doc)` would
+    * pay (measured as a second Exchange in the plan).
     */
   def termFrequencies(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("tok"))
+    toks.groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
   }
 
   /** BM25 idf: ln((N − df + 0.5)/(df + 0.5) + 1) — the
