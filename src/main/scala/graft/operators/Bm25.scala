@@ -173,6 +173,68 @@ object Bm25 {
     Bm25Index(checkedRead(spark, path, "postings"),
       checkedRead(spark, path, "dfreq"), checkedRead(spark, path, "stats"))
 
+  /** Append a NEW batch of documents to a stored index without
+    * re-tokenizing the stored corpus — the [[Pq.appendVectors]]
+    * lifecycle for the sparse index. Only the BATCH is tokenized; the
+    * three stored tables update as:
+    *
+    *  - postings: plain parquet append of the batch's (doc, tok, tf,
+    *    dl) rows — corpus-sized but batch-bounded work;
+    *  - dfreq: df is ADDITIVE across disjoint doc sets, so the merge is
+    *    stored ∪ batch → groupBy(tok).sum — vocab-sized end to end.
+    *    Spark cannot overwrite a path its own plan is reading, so the
+    *    merged table writes through `dfreq_tmp` and swaps in with a
+    *    Hadoop-FS rename (metadata-only at any scale, works on
+    *    hdfs://s3a://file: alike);
+    *  - stats: one stored row + one batch row added on the driver.
+    *
+    * New ids must not collide with stored doc ids (duplicates would
+    * double-score; checked with a column-pruned semi-join). The update
+    * is NOT transactional — a failure between table writes leaves a
+    * mixed index; rebuild with [[saveIndex]] if append dies midway.
+    * With fresh ids, append-then-query == rebuild-from-scratch
+    * (spec-pinned, the appendVectors convention).
+    */
+  def appendDocs(spark: org.apache.spark.sql.SparkSession, path: String,
+                 newDocs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): Unit = {
+    val idx = loadIndex(spark, path)
+    val overlap = newDocs.select(col(idCol).as("doc_id"))
+      .join(idx.postings.select("doc_id"), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      "bm25 appendDocs: new batch ids collide with stored doc ids — " +
+      "duplicates would double-score queries; re-id the batch or rebuild")
+    val tf = termFrequencies(newDocs, idCol, textCol)
+    // dfreq merge first: it must read the OLD dfreq, and the swapped
+    // write below invalidates that read path
+    val mergedDf = idx.dfreq.unionByName(
+        tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df")))
+      .groupBy("tok").agg(sum(col("df")).as("df"))
+    val tmp = s"$path/dfreq_tmp"
+    mergedDf.withColumn("index_format", lit(IndexFormatPrefix))
+      .write.mode("overwrite").parquet(tmp)
+    val hp = new org.apache.hadoop.fs.Path(s"$path/dfreq")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hp),
+      s"bm25 appendDocs: dfreq swap rename failed under $path")
+    // stats: two single rows, added on the driver
+    val old = idx.stats.select(col("n").cast("long"),
+      col("sum_dl").cast("long")).head()
+    val batch = newDocs.agg(
+      count(lit(1)).as("n"),
+      sum(size(TextFunctions.tokens(col(textCol)))).cast("long").as("sum_dl"))
+      .head()
+    spark.range(1).select(
+        lit(old.getLong(0) + batch.getLong(0)).as("n"),
+        lit(old.getLong(1) + batch.getLong(1)).as("sum_dl"),
+        lit(IndexFormatPrefix).as("index_format"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    tf.withColumn("index_format", lit(IndexFormatPrefix))
+      .write.mode("append").parquet(s"$path/postings")
+  }
+
   /** Answer top-k from a stored index — no text access, no tokenize. */
   def queryIndex(index: Bm25Index, queries: DataFrame, k: Int,
                  k1: Double = 1.2, b: Double = 0.75,

@@ -58,4 +58,54 @@ object NgramLm {
         round(avg(col("lp")), 6).as("avg_logprob"),
         round(exp(-avg(col("lp"))), 6).as("ppl"))
   }
+
+  /** Per-document LM score under an INTERPOLATED KNESER-NEY bigram
+    * model (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.24) trained on
+    * `docs` itself — the smoothing KenLM implements and the CCNet-style
+    * perplexity filter actually runs, where add-one is the toy stand-in:
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1·) + D·N1+(w1,·)/c(w1·) · Pcont(w2)
+    *   Pcont(w2) = N1+(·,w2) / N1+(··)
+    *
+    * with discount 0 < D < 1. Every scored bigram was counted (the model
+    * is trained on the scoring corpus), so c(w1,w2) ≥ 1 > D and the
+    * first term is strictly positive — no zero-probability guard needed.
+    *
+    * Scale shape matches [[scoreBigramLm]] with two EXTRA vocab-bounded
+    * tables: the continuation counts N1+(w1,·) and N1+(·,w2) are
+    * one-more aggregations over the c2 TYPE table (vocab-sized input,
+    * vocab-sized output — they never touch the instance stream), and
+    * N1+(··) is a broadcast scalar. The instance-stream joins and the
+    * per-doc reduce are identical.
+    *
+    * Output: `idCol, n_bigrams, avg_logprob, ppl` (6-dp rounded, the
+    * [[scoreBigramLm]] convention).
+    */
+  def scoreBigramKn(docs: DataFrame, idCol: String, toksCol: String,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"scoreBigramKn: discount must be in (0,1), got $discount")
+    val bg = bigrams(docs, idCol, toksCol)
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    // distinct-successor / distinct-predecessor TYPE counts — inputs are
+    // the c2 table, so these aggregations are vocab-sized end to end
+    val nAfter = c2.groupBy("w1").agg(count(lit(1)).as("n_after"))
+    val nBefore = c2.groupBy("w2").agg(count(lit(1)).as("n_before"))
+    val nTypes = c2.agg(count(lit(1)).as("n_types"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(nAfter, Seq("w1"))
+      .join(nBefore, Seq("w2"))
+      .crossJoin(broadcast(nTypes))
+      .select(col(idCol),
+        log((col("c_bg") - lit(discount)) / col("c_w1") +
+          lit(discount) * col("n_after") / col("c_w1") *
+            (col("n_before") / col("n_types").cast("double"))).as("lp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 6).as("avg_logprob"),
+        round(exp(-avg(col("lp"))), 6).as("ppl"))
+  }
 }

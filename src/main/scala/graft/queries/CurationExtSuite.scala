@@ -110,6 +110,45 @@ object CurationExtSuite extends QuerySuite {
                ROUND(EXP(-AVG(lp)), 6) AS ppl
              FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---- Kneser-Ney bigram-LM quality scoring --------------------------
+  // The interpolated-KN rendition of q_lm_score (the smoothing KenLM /
+  // the CCNet filter actually uses): discounted ML term + continuation
+  // back-off, D = 0.75. Every scored bigram is in the training counts,
+  // so the discounted term is strictly positive and the whole formula
+  // replays exactly in SQL.
+  private val lmKn = GraftQuery(
+    "q_lm_kn",
+    (s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      NgramLm.scoreBigramKn(t, "doc_id", "toks", discount = 0.75)
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE len($toksSql) >= 2),
+             bg AS (
+               SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+               FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+             c2 AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY 1, 2),
+             c1 AS (SELECT w1, COUNT(*) AS c_w1 FROM bg GROUP BY 1),
+             na AS (SELECT w1, COUNT(*) AS n_after FROM c2 GROUP BY 1),
+             nb AS (SELECT w2, COUNT(*) AS n_before FROM c2 GROUP BY 1),
+             nt AS (SELECT COUNT(*) AS n_types FROM c2),
+             scored AS (
+               SELECT b.doc_id,
+                 ln((c2.c_bg - 0.75) / c1.c_w1 +
+                    0.75 * na.n_after / c1.c_w1 *
+                      (nb.n_before / CAST(nt.n_types AS DOUBLE))) AS lp
+               FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                 JOIN na USING (w1) JOIN nb USING (w2)
+               CROSS JOIN nt)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(lp), 6) AS avg_logprob,
+               ROUND(EXP(-AVG(lp)), 6) AS ppl
+             FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   // ---- duplicated-substring span coverage ----------------------------
   // Suffix-array-dedup proxy (Lee et al. 2021): fraction of each doc's
   // tokens inside an 8-gram shared verbatim with another doc. The base
@@ -1167,7 +1206,7 @@ object CurationExtSuite extends QuerySuite {
              ORDER BY e.doc_id"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(lineDedup, lmScore, spanCoverage, spanRemoval, tokenChunks,
+    Seq(lineDedup, lmScore, lmKn, spanCoverage, spanRemoval, tokenChunks,
         winnowFp, winnowPairs, pretrainPipeline, textFold, nbClassify,
         linearClassify, classifyStored,
         charEntropyQ, foldDedup, streamCuration, llmPipeline,

@@ -307,6 +307,29 @@ object TextMiningSuite extends QuerySuite {
     },
     Some(bm25OracleSql))
 
+  // ---- BM25 incremental append (tokenize only the new batch) ---------
+  // Index built from doc_id % 3 != 0, then the % 3 == 0 remainder is
+  // APPENDED (batch-only tokenize; df merge + stats add + postings
+  // append). Queries against the appended index must equal the
+  // full-corpus oracle — i.e. append-then-query == rebuild-from-scratch,
+  // the q_ivfpq_stored append convention for the sparse index.
+  private val bm25Appended = GraftQuery(
+    "q_bm25_appended",
+    (s, d) => {
+      import s.implicits._
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"bm25app_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = documents(s, d)
+      graft.operators.Bm25.saveIndex(docs.filter(col("doc_id") % 3 =!= 0), path)
+      graft.operators.Bm25.appendDocs(s, path,
+        docs.filter(col("doc_id") % 3 === 0))
+      val qs = bm25Queries.toDF("query_id", "query_text")
+      graft.operators.Bm25.queryIndex(
+          graft.operators.Bm25.loadIndex(s, path), qs, k = 5)
+        .orderBy(asc("query_id"), asc("rank"))
+    },
+    Some(bm25OracleSql))
+
   // ---- hybrid retrieval: BM25 ⊕ dense cosine via RRF ------------------
   // The standard two-tower production shape: sparse (BM25 over
   // documents) and dense (exact cosine over embeddings, same id space)
@@ -451,5 +474,5 @@ object TextMiningSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep, bm25,
-        bm25Stored, hybridRetrieval, htmlExtract)
+        bm25Stored, bm25Appended, hybridRetrieval, htmlExtract)
 }

@@ -118,6 +118,38 @@ class Bm25Spec extends AnyFunSuite {
     assert(stored == direct && stored.nonEmpty)
   }
 
+  test("append-then-query equals rebuild-from-scratch") {
+    val pathApp = freshPath("app")
+    val pathFull = freshPath("full")
+    val qs = Seq((0L, "a b"), (1L, "c")).toDF("query_id", "query_text")
+    Bm25.saveIndex(fixture.filter(col("doc_id") < 2), pathApp)
+    Bm25.appendDocs(spark, pathApp, fixture.filter(col("doc_id") >= 2))
+    Bm25.saveIndex(fixture, pathFull)
+    val appended = Bm25.queryIndex(Bm25.loadIndex(spark, pathApp), qs, k = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val rebuilt = Bm25.queryIndex(Bm25.loadIndex(spark, pathFull), qs, k = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(appended == rebuilt && appended.nonEmpty)
+    // the merged derivative tables are exactly the full-build ones
+    val dfApp = spark.read.parquet(s"$pathApp/dfreq")
+      .orderBy("tok").collect().map(_.toSeq).toSeq
+    val dfFull = spark.read.parquet(s"$pathFull/dfreq")
+      .orderBy("tok").collect().map(_.toSeq).toSeq
+    assert(dfApp == dfFull)
+    assert(spark.read.parquet(s"$pathApp/stats").select("n", "sum_dl")
+      .head() == spark.read.parquet(s"$pathFull/stats")
+      .select("n", "sum_dl").head())
+  }
+
+  test("append rejects colliding doc ids") {
+    val path = freshPath("coll")
+    Bm25.saveIndex(fixture, path)
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.appendDocs(spark, path, fixture.filter(col("doc_id") === 1))
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
   test("unstamped and foreign-stamped postings are rejected loudly") {
     val path = freshPath("rej")
     Bm25.saveIndex(fixture, path)

@@ -38,6 +38,70 @@ class NgramLmSpec extends AnyFunSuite {
     assert(got(1L) < got(99L), s"fluent ppl ${got(1L)} should beat gibberish ${got(99L)}")
   }
 
+  test("hand-computed Kneser-Ney scores (D = 0.75)") {
+    // corpus: "a b" ×2, "a c" ×1, "b c" ×1
+    // c2: (a,b)=2, (a,c)=1, (b,c)=1; c1: a=3, b=1
+    // N1+(a,·)=2, N1+(b,·)=1; N1+(·,b)=1, N1+(·,c)=2; N1+(··)=3
+    // P(b|a) = (2−.75)/3 + .75·2/3 · (1/3) = 1.25/3 + 0.5/3 ≈ 0.583333
+    // P(c|a) = (1−.75)/3 + .75·2/3 · (2/3) = 0.25/3 + 1/3 = 1.25/3
+    // P(c|b) = (1−.75)/1 + .75·1/1 · (2/3) = 0.25 + 0.5 = 0.75
+    val docs = toks(Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b c"))
+      .toDF("doc_id", "text"))
+    val got = NgramLm.scoreBigramKn(docs, "doc_id", "toks")
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._2) == Seq(1L, 1L, 1L, 1L))
+    val pBA = 1.25 / 3 + 0.75 * 2 / 3 * (1.0 / 3)
+    val pCA = 0.25 / 3 + 0.75 * 2 / 3 * (2.0 / 3)
+    val pCB = 0.25 + 0.75 * (2.0 / 3)
+    assert(got(0)._3 == r6(math.log(pBA)) && got(1)._3 == r6(math.log(pBA)))
+    assert(got(2)._3 == r6(math.log(pCA)))
+    assert(got(3)._3 == r6(math.log(pCB)))
+  }
+
+  test("Kneser-Ney is a proper distribution: per-history mass over the vocab sums to 1") {
+    // Σ_{w2 ∈ V} P(w2|w1) = [Σ_seen (c−D)]/c1 + D·N1+(w1,·)/c1 · Σ_V Pcont
+    //                     = (c1 − D·N1+)/c1 + D·N1+/c1 = 1 exactly
+    // (words never seen as a SECOND word carry Pcont = 0, so summing the
+    // interpolated formula over the whole vocab is the seen-successor
+    // discounted mass plus the full redistributed mass).
+    val docs = toks(Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog"), (4L, "the mat and the rug")).toDF("doc_id", "text"))
+    val bg = NgramLm.bigrams(docs, "doc_id", "toks")
+    val c2 = bg.groupBy("w1", "w2").count().as[(String, String, Long)]
+      .collect().map { case (a, b, c) => ((a, b), c) }.toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nAfter = c2.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    val nBefore = c2.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    val nTypes = c2.size.toDouble
+    val vocab = c2.keys.flatMap(k => Seq(k._1, k._2)).toSet
+    val d = 0.75
+    for (w1 <- c1.keys) {
+      val mass = vocab.toSeq.map { w2 =>
+        val disc = math.max(c2.getOrElse((w1, w2), 0L) - d, 0.0) / c1(w1)
+        val cont = d * nAfter(w1) / c1(w1) *
+          (nBefore.getOrElse(w2, 0).toDouble / nTypes)
+        disc + cont
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"history $w1 mass $mass")
+    }
+    // and the engine's per-instance probabilities agree with this replica
+    val got = NgramLm.scoreBigramKn(docs, "doc_id", "toks")
+      .select(col("doc_id"), col("avg_logprob"))
+      .as[(Long, Double)].collect().toMap
+    val expect = bg.as[(Long, String, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues { pairs =>
+        val lps = pairs.map { case (_, w1, w2) =>
+          math.log((c2((w1, w2)) - d) / c1(w1) +
+            d * nAfter(w1) / c1(w1) * (nBefore(w2) / nTypes))
+        }
+        BigDecimal(lps.sum / lps.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    for ((id, lp) <- expect) assert(got(id) == lp, s"doc $id")
+  }
+
   test("bigram explode yields n-1 ordered pairs") {
     val docs = toks(Seq((1L, "w1 w2 w3 w4")).toDF("doc_id", "text"))
     val got = NgramLm.bigrams(docs, "doc_id", "toks")
