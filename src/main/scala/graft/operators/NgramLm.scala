@@ -44,8 +44,15 @@ object NgramLm {
   def scoreBigramLm(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
     val bg = bigrams(docs, idCol, toksCol)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
-    val vocab = docs.select(explode(col(toksCol)).as("tok"))
+    // c(w1·) = Σ_w2 c(w1,w2): derived from the TYPE table, so its input
+    // is vocab-sized — aggregating the instance stream again would cost
+    // one more full tokenize+explode pass for the same numbers
+    val c1 = c2.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"))
+    // every token of a ≥2-token doc occurs in some bigram, so the vocab
+    // is exactly distinct(w1 ∪ w2) — again vocab-sized input, not a
+    // corpus re-scan (callers filter docs to ≥ 2 tokens first)
+    val vocab = c2.select(col("w1").as("tok"))
+      .union(c2.select(col("w2").as("tok")))
       .agg(countDistinct(col("tok")).as("v"))
     bg.join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
@@ -87,9 +94,10 @@ object NgramLm {
       s"scoreBigramKn: discount must be in (0,1), got $discount")
     val bg = bigrams(docs, idCol, toksCol)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
-    // distinct-successor / distinct-predecessor TYPE counts — inputs are
-    // the c2 table, so these aggregations are vocab-sized end to end
+    // c(w1·), the continuation counts, and the type total all derive
+    // from the c2 TYPE table — vocab-sized inputs end to end; only c2
+    // itself aggregates the instance stream
+    val c1 = c2.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"))
     val nAfter = c2.groupBy("w1").agg(count(lit(1)).as("n_after"))
     val nBefore = c2.groupBy("w2").agg(count(lit(1)).as("n_before"))
     val nTypes = c2.agg(count(lit(1)).as("n_types"))
