@@ -253,6 +253,78 @@ object LinearClassifier {
         when(col("score") > 0, 1).otherwise(0).as("pred_label"))
   }
 
+  // ---- Platt calibration (Platt 1999) --------------------------------
+
+  /** Fit Platt scaling on (score, label) pairs: the 2-parameter
+    * logistic map p = σ(a·s + b) that turns a classifier's raw margin
+    * into a CALIBRATED probability — the standard post-hoc step before
+    * thresholding quality scores into keep/drop decisions at a target
+    * precision. Uses Platt's smoothed targets
+    * t₊ = (n₊+1)/(n₊+2), t₋ = 1/(n₋+2) (the out-of-sample correction
+    * that matters exactly when labels are imbalanced), initialized at
+    * a = 0, b = ln((n₊+1)/(n₋+1)) (the smoothed base-rate log-odds),
+    * refined by `iters` full-batch GD steps.
+    *
+    * Sign convention: σ(a·s + b) with a > 0 for a score that increases
+    * with P(y=1) — the [[train]] orientation (Platt's paper writes the
+    * equivalent 1/(1+exp(A·s+B)) with A < 0).
+    *
+    * Determinism is the [[train]] contract: both gradients round to
+    * 9 dp per step, so the whole fit replays as SQL CTEs. Scale shape:
+    * ONE aggregation pass per iteration over the (id, s, t) frame
+    * producing exactly two doubles; the frame is materialized once
+    * ([[graft.plans.Lineage]]-style cut) so iterations never re-derive
+    * the score column. All driver state is the two scalars.
+    */
+  def plattCalibrate(scored: DataFrame, scoreCol: String, labelCol: String,
+                     iters: Int = 2, lr: Double = 1.0): (Double, Double) = {
+    require(iters >= 1 && iters <= MaxIters,
+      s"plattCalibrate: iters must be in [1, $MaxIters]")
+    val spark = scored.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = scored.select(col(scoreCol).cast("double").as("s"),
+      col(labelCol).cast("int").as("y"))
+    val counts = base.agg(
+      sum(col("y")).as("np"), sum(lit(1) - col("y")).as("nn")).head()
+    val np = counts.getLong(0).toDouble
+    val nn = counts.getLong(1).toDouble
+    require(np > 0 && nn > 0,
+      "plattCalibrate: need at least one positive and one negative label")
+    val n = np + nn
+    val tPos = (np + 1.0) / (np + 2.0)
+    val tNeg = 1.0 / (nn + 2.0)
+    val frame = spark.createDataFrame(
+      base.select(col("s"),
+        when(col("y") === 1, lit(tPos)).otherwise(lit(tNeg)).as("t")).rdd,
+      new org.apache.spark.sql.types.StructType()
+        .add("s", "double").add("t", "double")).persist(lvl)
+    // HALF_UP to match Spark's round() and DuckDB's ROUND on the oracle
+    // side (math.rint would round half-to-even and disagree at exact
+    // boundaries)
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var a = 0.0
+    var b = r9(math.log((np + 1.0) / (nn + 1.0)))
+    try {
+      for (_ <- 0 until iters) {
+        val g = frame.agg(
+          sum((sigmoid(lit(a) * col("s") + lit(b)) - col("t")) * col("s"))
+            .as("ga"),
+          sum(sigmoid(lit(a) * col("s") + lit(b)) - col("t")).as("gb"))
+          .head()
+        a = r9(a - lr * r9(g.getDouble(0) / n))
+        b = r9(b - lr * r9(g.getDouble(1) / n))
+      }
+    } finally frame.unpersist(blocking = false)
+    (a, b)
+  }
+
+  /** The calibrated-probability column p = σ(a·s + b) for a fitted
+    * (a, b) — per-row arithmetic, codegen, stream-legal.
+    */
+  def calibrated(score: Column, a: Double, b: Double): Column =
+    sigmoid(lit(a) * score + lit(b))
+
   // ---- versioned model persistence (the stored-artifact convention) --
 
   private[graft] val ModelFormatPrefix = "graft-linear-v1"

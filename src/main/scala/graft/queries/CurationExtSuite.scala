@@ -676,6 +676,64 @@ object CurationExtSuite extends QuerySuite {
                    (a, b) -> a + b), 6) AS score
                FROM feats f JOIN w2 w USING (bucket) GROUP BY f.doc_id)"""
 
+  // ---- Platt calibration of a quality score ---------------------------
+  // Post-hoc probability calibration (Platt 1999) over a deterministic
+  // margin: s = ln(n_chars) against the imbalanced label n_chars > 500
+  // (~8% positive — exactly where Platt's smoothed targets
+  // t₊=(n₊+1)/(n₊+2), t₋=1/(n₋+2) differ from raw 0/1). Both GD steps
+  // round gradients to 9 dp (the q_linear_classify convention), so the
+  // whole fit — init b at the smoothed base-rate log-odds, two updates,
+  // per-doc σ(a·s+b) — replays as oracle CTEs to full value equality.
+  private val plattCalibrate = GraftQuery(
+    "q_platt_calibrate",
+    (s, d) => {
+      val t = documents(s, d).select(col("doc_id"),
+        log(col("n_chars").cast("double")).as("s"),
+        (col("n_chars") > 500).cast("int").as("y"))
+      val (a, b) = graft.operators.LinearClassifier
+        .plattCalibrate(t, "s", "y", iters = 2, lr = 1.0)
+      t.select(col("doc_id"), round(col("s"), 6).as("score"), col("y"),
+          round(graft.operators.LinearClassifier
+            .calibrated(col("s"), a, b), 6).as("p_cal"))
+        .orderBy(asc("doc_id"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, ln(CAST(n_chars AS DOUBLE)) AS s,
+                CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS y
+              FROM documents),
+            c AS (
+              SELECT CAST(SUM(y) AS DOUBLE) AS np,
+                     CAST(SUM(1 - y) AS DOUBLE) AS nn,
+                     CAST(COUNT(*) AS DOUBLE) AS n
+              FROM t),
+            tt AS (
+              SELECT doc_id, s,
+                CASE WHEN y = 1 THEN (np + 1.0) / (np + 2.0)
+                     ELSE 1.0 / (nn + 2.0) END AS tgt
+              FROM t CROSS JOIN c),
+            i0 AS (
+              SELECT 0.0 AS a, ROUND(ln((np + 1.0) / (nn + 1.0)), 9) AS b
+              FROM c),
+            g1 AS (
+              SELECT
+                ROUND(SUM((1.0/(1.0+exp(-(a*s+b))) - tgt) * s) / MAX(n), 9) AS ga,
+                ROUND(SUM(1.0/(1.0+exp(-(a*s+b))) - tgt) / MAX(n), 9) AS gb
+              FROM tt CROSS JOIN i0 CROSS JOIN c),
+            i1 AS (
+              SELECT ROUND(a - ga, 9) AS a, ROUND(b - gb, 9) AS b
+              FROM i0 CROSS JOIN g1),
+            g2 AS (
+              SELECT
+                ROUND(SUM((1.0/(1.0+exp(-(a*s+b))) - tgt) * s) / MAX(n), 9) AS ga,
+                ROUND(SUM(1.0/(1.0+exp(-(a*s+b))) - tgt) / MAX(n), 9) AS gb
+              FROM tt CROSS JOIN i1 CROSS JOIN c),
+            i2 AS (
+              SELECT ROUND(a - ga, 9) AS a, ROUND(b - gb, 9) AS b
+              FROM i1 CROSS JOIN g2)
+            SELECT doc_id, ROUND(s, 6) AS score, y,
+              ROUND(1.0/(1.0+exp(-(a*s+b))), 6) AS p_cal
+            FROM t CROSS JOIN i2 ORDER BY doc_id"""))
+
   // ---- character-level Shannon entropy (repetitive-garbage axis) -----
   // Low char entropy flags "ababab…" degenerate docs the TOKEN-level
   // repetition filter can miss. Every 200th doc is overridden with a
@@ -1208,7 +1266,7 @@ object CurationExtSuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(lineDedup, lmScore, lmKn, spanCoverage, spanRemoval, tokenChunks,
         winnowFp, winnowPairs, pretrainPipeline, textFold, nbClassify,
-        linearClassify, classifyStored,
+        linearClassify, classifyStored, plattCalibrate,
         charEntropyQ, foldDedup, streamCuration, llmPipeline,
         llmPipelineSpans)
 }

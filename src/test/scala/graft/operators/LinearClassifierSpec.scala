@@ -139,6 +139,55 @@ class LinearClassifierSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("layout"))
   }
 
+  test("plattCalibrate matches an independent local replica exactly") {
+    // scores correlated with an imbalanced label: 8 negatives low, 2
+    // positives high
+    val rows = Seq(
+      (-2.0, 0), (-1.5, 0), (-1.2, 0), (-1.0, 0), (-0.8, 0),
+      (-0.5, 0), (-0.2, 0), (0.1, 0), (1.5, 1), (2.0, 1))
+    val df = rows.zipWithIndex
+      .map { case ((s, y), i) => (i.toLong, s, y) }
+      .toDF("doc_id", "s", "y")
+    val (a, b) = LinearClassifier.plattCalibrate(df, "s", "y",
+      iters = 3, lr = 1.0)
+    // local replica with the identical rounding discipline
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    val np = rows.count(_._2 == 1).toDouble
+    val nn = rows.count(_._2 == 0).toDouble
+    val n = np + nn
+    val tg = rows.map { case (s, y) =>
+      (s, if (y == 1) (np + 1) / (np + 2) else 1.0 / (nn + 2)) }
+    var (ea, eb) = (0.0, r9(math.log((np + 1) / (nn + 1))))
+    for (_ <- 0 until 3) {
+      val ga = r9(tg.map { case (s, t) => (sig(ea * s + eb) - t) * s }.sum / n)
+      val gb = r9(tg.map { case (s, t) => sig(ea * s + eb) - t }.sum / n)
+      ea = r9(ea - ga); eb = r9(eb - gb)
+    }
+    assert(a == ea && b == eb, s"got ($a,$b) expected ($ea,$eb)")
+    // the fitted map is orientation-preserving on separable data
+    assert(a > 0.0)
+  }
+
+  test("plattCalibrate on an uninformative score recovers the smoothed base rate") {
+    val df = (0 until 40).map(i => (i.toLong, 0.0, if (i < 4) 1 else 0))
+      .toDF("doc_id", "s", "y")
+    val (a, b) = LinearClassifier.plattCalibrate(df, "s", "y",
+      iters = 4, lr = 1.0)
+    val p = 1.0 / (1.0 + math.exp(-(a * 0.0 + b)))
+    // smoothed base rate (np+1)/(n+2) = 5/42 ≈ 0.119
+    assert(math.abs(p - 5.0 / 42.0) < 0.02, s"p_cal $p")
+  }
+
+  test("plattCalibrate requires both classes") {
+    val df = Seq((1L, 0.5, 1), (2L, 0.7, 1)).toDF("doc_id", "s", "y")
+    val ex = intercept[IllegalArgumentException] {
+      LinearClassifier.plattCalibrate(df, "s", "y")
+    }
+    assert(ex.getMessage.contains("positive and one negative"))
+  }
+
   test("loud caps on iters and numBuckets") {
     intercept[IllegalArgumentException] {
       LinearClassifier.train(planted, "doc_id", "toks", "y", iters = 65)
