@@ -249,6 +249,107 @@ object Bm25 {
       k, k1, b)
   }
 
+  // ---- percolation: stored queries, streaming documents --------------
+
+  /** A registered query set compiled against FROZEN index statistics —
+    * the driver-side literal program [[percolate]] ships to executors.
+    * Bounded by construction: `maxQueries` × `maxTermsPerQuery` (loud
+    * caps), a few doubles per term.
+    */
+  final case class PercolatePrepared(
+      terms: Seq[(Long, Seq[(String, Double)])], avgdl: Double)
+
+  /** Compile a bounded query set against a stored index's statistics
+    * (df, N, Σdl frozen at index time — the percolation contract: alert
+    * scores stay comparable across arriving batches because the corpus
+    * model does NOT drift with the stream). Terms the index never saw
+    * keep df = 0 — the max-idf novelty reading, which is what an
+    * alerting query wants. Driver state is Σ query terms — registry-
+    * sized, never corpus- or vocab-sized (only the dfreq rows matching
+    * query terms are fetched, via a registry-bounded join).
+    */
+  def preparePercolate(index: Bm25Index, queries: DataFrame,
+                       maxQueries: Long = 1000L,
+                       maxTermsPerQuery: Int = 64): PercolatePrepared = {
+    val qn = queries.limit((maxQueries + 1).toInt).count()
+    require(qn > 0 && qn <= maxQueries,
+      s"preparePercolate: query side must have 1..$maxQueries rows, got $qn")
+    val stats = index.stats
+      .select(col("n").cast("long"), col("sum_dl").cast("long")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val qt = queries.select(col("query_id").cast("long").as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col("query_text"))))
+        .as("tok"))
+    val rows = qt.join(index.dfreq, Seq("tok"), "left")
+      .select(col("query_id"), col("tok"),
+        coalesce(col("df"), lit(0L)).as("df"))
+      .collect()
+    val byQuery = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+      case (qid, rs) =>
+        require(rs.length <= maxTermsPerQuery,
+          s"preparePercolate: query $qid has ${rs.length} terms > " +
+          s"$maxTermsPerQuery; tighten the query or raise the cap")
+        // TERM-sorted — the [[topK]] fold-order convention, so scores
+        // replay bit-for-bit against the batch engine and the oracle
+        qid -> rs.map { r =>
+          val df = r.getLong(2)
+          (r.getString(1), math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+        }.sortBy(_._1).toSeq
+    }
+    PercolatePrepared(byQuery, avgdl)
+  }
+
+  /** The in-row BM25 score of one document's token array against one
+    * compiled query: pure per-row arithmetic over built-in HOFs — zero
+    * joins, zero aggregations, zero state. Unmatched terms contribute
+    * +0.0, which is IEEE-exact, so the TERM-ordered fold equals the
+    * batch engine's matched-terms-only fold bit for bit (spec-pinned).
+    */
+  private def percolateScore(toks: Column, terms: Seq[(String, Double)],
+                             k1: Double, b: Double,
+                             avgdl: Double): Column = {
+    val dl = size(toks).cast("double")
+    val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / lit(avgdl))
+    round(terms.map { case (t, idfV) =>
+      val tf = size(filter(toks, x => x === lit(t))).cast("double")
+      lit(idfV) * (tf * (lit(k1) + 1.0)) / (tf + norm)
+    }.reduce(_ + _), 6)
+  }
+
+  /** Percolation / alerting — the INVERSE of search: the query set is
+    * stored, documents arrive, and each arriving document is scored
+    * against every registered query; (query_id, doc_id, score) rows at
+    * or above `threshold` are emitted. `docs` may be a STATIC frame or
+    * a STREAMING one — the plan is stateless per row (registry-sized
+    * literals, per-row HOFs, a bounded explode), so append-mode
+    * streaming is legal by construction with no shuffle before the
+    * sink, the [[LinearClassifier.scoreColumns]] deploy shape.
+    *
+    * threshold must be > 0: a zero threshold would emit every
+    * (doc × query) pair including non-matches — an alerting flood, and
+    * it would break batch parity (the batch engine never materializes
+    * no-shared-term pairs).
+    */
+  def percolate(docs: DataFrame, prep: PercolatePrepared,
+                threshold: Double, k1: Double = 1.2, b: Double = 0.75,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0,
+      s"percolate: threshold must be > 0 (got $threshold)")
+    require(prep.terms.nonEmpty, "percolate: empty compiled query set")
+    val entries = prep.terms.map { case (qid, ts) =>
+      struct(lit(qid).as("query_id"),
+        percolateScore(col("tk"), ts, k1, b, prep.avgdl).as("score"))
+    }
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), explode(array(entries: _*)).as("e"))
+      .select(col("e.query_id").as("query_id"), col("doc_id"),
+        col("e.score").as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists —
     * the standard hybrid-retrieval combiner: sparse (BM25) and dense
     * (cosine ANN) lists fuse on rank POSITION, not score, so the two

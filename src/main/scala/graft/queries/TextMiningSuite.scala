@@ -330,6 +330,69 @@ object TextMiningSuite extends QuerySuite {
     },
     Some(bm25OracleSql))
 
+  // ---- streaming percolation: stored queries, arriving documents -----
+  // The INVERSE of search, through the REAL streaming plan: the three
+  // bm25Queries are compiled against a stored index's frozen statistics
+  // (preparePercolate), the documents table arrives as a stream, and
+  // each arriving doc is scored in-row (registry-sized literals, no
+  // joins, no state — append-mode legal by construction). Emits alert
+  // rows with score ≥ 1.5 (~1% of doc×query pairs — alerting-sized).
+  // The in-row fold is bit-identical to the batch engine (spec-pinned),
+  // so the oracle is the q_bm25_topk scoring replay, thresholded
+  // instead of ranked.
+  private val streamPercolate = GraftQuery(
+    "q_stream_percolate",
+    (s, d) => {
+      import s.implicits._
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"bm25perc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.operators.Bm25.saveIndex(documents(s, d), path)
+      val prep = graft.operators.Bm25.preparePercolate(
+        graft.operators.Bm25.loadIndex(s, path),
+        bm25Queries.toDF("query_id", "query_text"))
+      val st = graft.streaming.EventsStream.readTable(s, d, "documents")
+      val alerts = graft.operators.Bm25.percolate(st, prep, threshold = 1.5)
+      graft.streaming.EventsStream.runToCompletion(s, alerts,
+          outputMode = "append")
+        .orderBy(asc("query_id"), asc("doc_id"))
+    },
+    Some {
+      val qvals = bm25Queries
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH q(query_id, query_text) AS (VALUES $qvals),
+             toks AS (
+               SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+             tf AS (
+               SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+             dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+             stats AS (
+               SELECT COUNT(*) AS n,
+                 SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   x -> x <> ''))) AS sum_dl
+               FROM documents),
+             qt AS (
+               SELECT query_id,
+                 unnest(list_distinct(list_filter(
+                   string_split_regex(trim(query_text), '\\s+'),
+                   x -> x <> ''))) AS tok
+               FROM q),
+             scored AS (
+               SELECT qt.query_id, tf.doc_id, tf.tok,
+                 ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+                 (tf.tf * (1.2 + 1.0)) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                   (CAST(stats.sum_dl AS DOUBLE) / stats.n))) AS s
+               FROM tf JOIN qt USING (tok) JOIN dfreq USING (tok)
+               JOIN dl USING (doc_id) CROSS JOIN stats),
+             perdoc AS (
+               SELECT query_id, doc_id,
+                 ROUND(list_sum(list(s ORDER BY tok)), 6) AS score
+               FROM scored GROUP BY 1, 2)
+             SELECT query_id, doc_id, score FROM perdoc
+             WHERE score >= 1.5 ORDER BY query_id, doc_id"""
+    })
+
   // ---- hybrid retrieval: BM25 ⊕ dense cosine via RRF ------------------
   // The standard two-tower production shape: sparse (BM25 over
   // documents) and dense (exact cosine over embeddings, same id space)
@@ -474,5 +537,6 @@ object TextMiningSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep, bm25,
-        bm25Stored, bm25Appended, hybridRetrieval, htmlExtract)
+        bm25Stored, bm25Appended, streamPercolate, hybridRetrieval,
+        htmlExtract)
 }

@@ -172,6 +172,38 @@ class Bm25Spec extends AnyFunSuite {
     assert(ex2.getMessage.contains("layout"))
   }
 
+  test("percolate is bit-identical to the batch engine above the threshold") {
+    val path = freshPath("perc")
+    Bm25.saveIndex(fixture, path)
+    val qs = Seq((0L, "a b"), (1L, "c"), (2L, "b c")).toDF("query_id", "query_text")
+    val prep = Bm25.preparePercolate(Bm25.loadIndex(spark, path), qs)
+    val got = Bm25.percolate(fixture, prep, threshold = 1e-9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val batch = Bm25.topK(fixture, qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(got == batch && got.nonEmpty)
+  }
+
+  test("percolate thresholding and the never-indexed-term idf") {
+    val path = freshPath("perc2")
+    Bm25.saveIndex(fixture, path)
+    val idx = Bm25.loadIndex(spark, path)
+    // 'zzz' was never indexed: df = 0 → max idf; a doc containing it alerts
+    val qs = Seq((7L, "zzz")).toDF("query_id", "query_text")
+    val prep = Bm25.preparePercolate(idx, qs)
+    assert(prep.terms == Seq(7L -> Seq(("zzz",
+      math.log((4L - 0L + 0.5) / (0L + 0.5) + 1.0)))))
+    val arriving = Seq((100L, "zzz here"), (101L, "nothing")).toDF("doc_id", "text")
+    val alerts = Bm25.percolate(arriving, prep, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(alerts == Seq((7L, 100L)))
+    intercept[IllegalArgumentException] {
+      Bm25.percolate(arriving, prep, threshold = 0.0)
+    }
+  }
+
   test("rrfFuse: hand-computed fusion, both-lists beats one-list") {
     val sparse = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
       .toDF("query_id", "rank", "doc_id")
