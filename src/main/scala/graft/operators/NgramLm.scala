@@ -66,6 +66,16 @@ object NgramLm {
         round(exp(-avg(col("lp"))), 6).as("ppl"))
   }
 
+  /** (id, w1, w2, w3) trigram instances from a token-array column. */
+  def trigrams(docs: DataFrame, idCol: String, toksCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(transform(sequence(lit(1), size(col(toksCol)) - 2),
+          i => struct(element_at(col(toksCol), i).as("w1"),
+                      element_at(col(toksCol), i + 1).as("w2"),
+                      element_at(col(toksCol), i + 2).as("w3")))).as("t"))
+      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+              col("t.w3").as("w3"))
+
   /** Per-document LM score under an INTERPOLATED KNESER-NEY bigram
     * model (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.24) trained on
     * `docs` itself — the smoothing KenLM implements and the CCNet-style
@@ -113,6 +123,68 @@ object NgramLm {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 6).as("avg_logprob"),
+        round(exp(-avg(col("lp"))), 6).as("ppl"))
+  }
+
+  /** Per-document LM score under an interpolated Kneser-Ney TRIGRAM
+    * model (the KenLM order-3 shape; Chen & Goodman 1999 §4.1.6) with
+    * PROPER lower-order continuation counts — the detail that separates
+    * real KN from naive backoff: the bigram level is estimated from
+    * trigram TYPE counts (how many distinct contexts a bigram
+    * continues), not from bigram instance counts:
+    *
+    *   P₃(w3|w1w2) = (c(w1w2w3) − D)/c(w1w2·)
+    *               + D·N1+(w1w2,·)/c(w1w2·) · P₂(w3|w2)
+    *   P₂(w3|w2)  = (N1+(·w2w3) − D)/N1+(·w2·)
+    *               + D·N(w2,·)/N1+(·w2·) · P₁(w3)
+    *   P₁(w3)     = N1+(··w3) / N1+(···)
+    *
+    * where N1+(·w2w3) counts distinct trigram types with suffix
+    * (w2,w3), N(w2,·) counts distinct w3 in that type table per w2, and
+    * P₁ is the share of trigram-suffix types ending in w3. Every scored
+    * trigram was counted (trained on the scoring corpus), so both
+    * discounted numerators are ≥ 1 − D > 0 and every denominator ≥ 1.
+    *
+    * Scale shape: ONE corpus-sized aggregation (the trigram type table
+    * c3); the history totals, both continuation tables, and all three
+    * normalizers derive from c3 — vocab-bounded inputs end to end. The
+    * scoring joins key on token tuples, and the per-doc reduce is the
+    * only doc-keyed shuffle. Documents need ≥ 3 tokens; callers filter.
+    * Output: `idCol, n_trigrams, avg_logprob, ppl` (6-dp rounded).
+    */
+  def scoreTrigramKn(docs: DataFrame, idCol: String, toksCol: String,
+                     discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"scoreTrigramKn: discount must be in (0,1), got $discount")
+    val tg = trigrams(docs, idCol, toksCol)
+    val c3 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c_tg"))
+    // history totals + distinct-successor counts: N1+(w1w2,·)
+    val cHist = c3.groupBy("w1", "w2").agg(sum(col("c_tg")).as("c_hist"),
+      count(lit(1)).as("n_h"))
+    // continuation table: N1+(·w2w3) — distinct w1 per trigram suffix
+    val hat2 = c3.groupBy("w2", "w3").agg(count(lit(1)).as("chat"))
+    // N1+(·w2·) and N(w2,·) over the continuation table
+    val den2 = hat2.groupBy("w2").agg(sum(col("chat")).as("den2"),
+      count(lit(1)).as("nf2"))
+    // unigram continuation: N1+(··w3) and the type total N1+(···)
+    val p1n = hat2.groupBy("w3").agg(count(lit(1)).as("npre"))
+    val tot = hat2.agg(count(lit(1)).as("n_types"))
+    tg.join(c3, Seq("w1", "w2", "w3"))
+      .join(cHist, Seq("w1", "w2"))
+      .join(hat2, Seq("w2", "w3"))
+      .join(den2, Seq("w2"))
+      .join(p1n, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        log((col("c_tg") - lit(discount)) / col("c_hist") +
+          lit(discount) * col("n_h") / col("c_hist") *
+            ((col("chat") - lit(discount)) / col("den2") +
+             lit(discount) * col("nf2") / col("den2") *
+               (col("npre") / col("n_types").cast("double")))).as("lp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
         round(avg(col("lp")), 6).as("avg_logprob"),
         round(exp(-avg(col("lp"))), 6).as("ppl"))
   }

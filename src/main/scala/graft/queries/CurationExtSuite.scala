@@ -149,6 +149,53 @@ object CurationExtSuite extends QuerySuite {
                ROUND(EXP(-AVG(lp)), 6) AS ppl
              FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---- trigram Kneser-Ney LM scoring ----------------------------------
+  // Order-3 interpolated KN with PROPER continuation counts: the bigram
+  // level is estimated from trigram TYPE counts (N1+(·w2w3) etc.), not
+  // bigram instances — the Chen & Goodman detail naive backoff gets
+  // wrong. One corpus-sized aggregation (the c3 type table); every
+  // other table derives from it.
+  private val lmTrigramKn = GraftQuery(
+    "q_lm_trigram_kn",
+    (s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+      NgramLm.scoreTrigramKn(t, "doc_id", "toks", discount = 0.75)
+        .orderBy(asc("doc_id"))
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE len($toksSql) >= 3),
+             tg AS (
+               SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+                      toks[i + 2] AS w3
+               FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+             c3 AS (SELECT w1, w2, w3, COUNT(*) AS c_tg
+                    FROM tg GROUP BY 1, 2, 3),
+             ch AS (SELECT w1, w2, SUM(c_tg) AS c_hist, COUNT(*) AS n_h
+                    FROM c3 GROUP BY 1, 2),
+             hat2 AS (SELECT w2, w3, COUNT(*) AS chat FROM c3 GROUP BY 1, 2),
+             d2 AS (SELECT w2, SUM(chat) AS den2, COUNT(*) AS nf2
+                    FROM hat2 GROUP BY 1),
+             p1 AS (SELECT w3, COUNT(*) AS npre FROM hat2 GROUP BY 1),
+             nt AS (SELECT COUNT(*) AS n_types FROM hat2),
+             scored AS (
+               SELECT g.doc_id,
+                 ln((c3.c_tg - 0.75) / ch.c_hist +
+                    0.75 * ch.n_h / ch.c_hist *
+                      ((hat2.chat - 0.75) / d2.den2 +
+                       0.75 * d2.nf2 / d2.den2 *
+                         (p1.npre / CAST(nt.n_types AS DOUBLE)))) AS lp
+               FROM tg g JOIN c3 USING (w1, w2, w3) JOIN ch USING (w1, w2)
+                 JOIN hat2 USING (w2, w3) JOIN d2 USING (w2)
+                 JOIN p1 USING (w3)
+               CROSS JOIN nt)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               ROUND(AVG(lp), 6) AS avg_logprob,
+               ROUND(EXP(-AVG(lp)), 6) AS ppl
+             FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   // ---- duplicated-substring span coverage ----------------------------
   // Suffix-array-dedup proxy (Lee et al. 2021): fraction of each doc's
   // tokens inside an 8-gram shared verbatim with another doc. The base
@@ -1264,7 +1311,8 @@ object CurationExtSuite extends QuerySuite {
              ORDER BY e.doc_id"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(lineDedup, lmScore, lmKn, spanCoverage, spanRemoval, tokenChunks,
+    Seq(lineDedup, lmScore, lmKn, lmTrigramKn, spanCoverage, spanRemoval,
+        tokenChunks,
         winnowFp, winnowPairs, pretrainPipeline, textFold, nbClassify,
         linearClassify, classifyStored, plattCalibrate,
         charEntropyQ, foldDedup, streamCuration, llmPipeline,

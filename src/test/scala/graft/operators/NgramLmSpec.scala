@@ -102,6 +102,50 @@ class NgramLmSpec extends AnyFunSuite {
     for ((id, lp) <- expect) assert(got(id) == lp, s"doc $id")
   }
 
+  test("trigram KN matches a local replica and is a proper distribution") {
+    val docs = toks(Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog sat"), (4L, "the mat and the rug sat"))
+      .toDF("doc_id", "text")).filter(size(col("toks")) >= 3)
+    val tg = NgramLm.trigrams(docs, "doc_id", "toks")
+      .as[(Long, String, String, String)].collect().toSeq
+    val c3 = tg.groupBy(t => (t._2, t._3, t._4)).view.mapValues(_.size).toMap
+    val cHist = c3.groupBy(k => (k._1._1, k._1._2))
+      .map { case (h, m) => h -> (m.values.sum, m.size) }
+    val hat2 = c3.keys.groupBy(k => (k._2, k._3)).view.mapValues(_.size).toMap
+    val den2 = hat2.groupBy(_._1._1)
+      .map { case (w2, m) => w2 -> (m.values.sum, m.size) }
+    val p1n = hat2.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    val nTypes = hat2.size.toDouble
+    val d = 0.75
+    def p2(w2: String, w3: String): Double = {
+      val (dn, nf) = den2(w2)
+      math.max(hat2.getOrElse((w2, w3), 0) - d, 0.0) / dn +
+        d * nf / dn * (p1n.getOrElse(w3, 0) / nTypes)
+    }
+    def p3(w1: String, w2: String, w3: String): Double = {
+      val (ch, nh) = cHist((w1, w2))
+      math.max(c3.getOrElse((w1, w2, w3), 0) - d, 0.0) / ch +
+        d * nh / ch * p2(w2, w3)
+    }
+    // proper distribution: for every seen history, Σ_vocab P₃ = 1
+    val vocab = c3.keys.flatMap(k => Seq(k._1, k._2, k._3)).toSet
+    for (h <- cHist.keys) {
+      val mass = vocab.toSeq.map(w3 => p3(h._1, h._2, w3)).sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"history $h mass $mass")
+    }
+    // engine per-doc scores equal the replica
+    val got = NgramLm.scoreTrigramKn(docs, "doc_id", "toks")
+      .select(col("doc_id"), col("n_trigrams"), col("avg_logprob"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val expect = tg.groupBy(_._1).view.mapValues { ts =>
+      val lps = ts.map(t => math.log(p3(t._2, t._3, t._4)))
+      (ts.size.toLong, BigDecimal(lps.sum / lps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("bigram explode yields n-1 ordered pairs") {
     val docs = toks(Seq((1L, "w1 w2 w3 w4")).toDF("doc_id", "text"))
     val got = NgramLm.bigrams(docs, "doc_id", "toks")
