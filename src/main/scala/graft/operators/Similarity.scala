@@ -111,6 +111,73 @@ object Similarity {
               round(col("cos"), 6).as("cos"))
   }
 
+  /** Matryoshka prefix truncation (Kusupati et al. 2022): MRL-trained
+    * embeddings order information by coordinate, so the first `dims`
+    * coordinates are themselves a usable embedding — search at dims/d
+    * of the memory, bandwidth, and FLOPs. Renormalization is intrinsic
+    * here: cosine divides by the PREFIX norms, so no separate normalize
+    * pass exists to get wrong. Caveat a caller owns: a vector whose
+    * prefix is all-zero has undefined prefix cosine (NaN, which sorts
+    * HIGH under desc) — real MRL-trained embeddings don't produce
+    * zero prefixes, but defensively filter `norm2(prefix) > 0` if the
+    * source is untrusted.
+    */
+  def mrlTruncate(vec: Column, dims: Int): Column = {
+    require(dims >= 1, s"mrlTruncate: dims must be >= 1, got $dims")
+    slice(asDouble(vec), 1, dims)
+  }
+
+  /** Exact top-k under the `dims`-prefix representation — the cheap
+    * first stage of adaptive retrieval. Same output contract as
+    * [[bruteForceTopK]] (which this delegates to after truncating both
+    * sides).
+    */
+  def mrlTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              excludeSelf: Boolean = true,
+              maxQueries: Long = 10000L): DataFrame =
+    bruteForceTopK(
+      corpus.select(col(idCol), mrlTruncate(col(vecCol), dims).as(vecCol)),
+      queries.select(col("query_id"),
+        mrlTruncate(col("query_vec"), dims).as("query_vec")),
+      k, idCol, vecCol, excludeSelf, maxQueries)
+
+  /** Adaptive retrieval (the MRL deployment shape): shortlist under the
+    * `dims`-prefix, then re-rank the shortlist ONLY with full-width
+    * exact cosine — the [[Pq.ivfPqRerank]] composition with prefix
+    * truncation as the cheap stage instead of ADC. The corpus is
+    * scanned once per stage and never shuffled: the stage-1 working set
+    * is (id, dims doubles), and stage 2 fetches full vectors for the
+    * broadcast shortlist ids only. With shortlist ≥ corpus the result
+    * EQUALS [[bruteForceTopK]] (spec-pinned).
+    */
+  def mrlRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    dims: Int, shortlist: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    excludeSelf: Boolean = true,
+                    maxQueries: Long = 10000L): DataFrame = {
+    require(shortlist >= k,
+      s"mrlRerankTopK: shortlist ($shortlist) must be >= k ($k)")
+    val short = mrlTopK(corpus, queries, shortlist, dims, idCol, vecCol,
+        excludeSelf, maxQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("nvv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+    val qn = broadcast(queries.select(col("query_id"),
+      asDouble(col("query_vec")).as("qv")))
+    val scored = vecs.join(qn, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("nvv"), col("qv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 6).as("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: plane p, dim j →
     * a value in [-1, 1) derived from xxhash64 — reproducible everywhere,
     * no RNG state. Retained as the executable spec for the codegen'd

@@ -884,9 +884,92 @@ object SimilaritySuite extends QuerySuite {
                ROUND(adc, 6) AS adc
              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
 
+  // ---- Matryoshka prefix retrieval ------------------------------------
+  // Adaptive retrieval under a dimension-truncated representation
+  // (Kusupati et al. 2022): q_mrl_topk pins the prefix-16 EXACT search
+  // (cosine over v[1:16] — renormalization intrinsic to cosine), and
+  // q_mrl_rerank pins the deployment composition: prefix-16 shortlist
+  // of 20, full-width exact cosine over the shortlist only. Both fully
+  // SQL-replayable (deterministic slices, same cosine building blocks).
+  private val oracleCosineTrunc =
+    """list_sum(list_transform(list_zip(c.v, q.q), x -> x[1] * x[2])) /
+       sqrt(list_sum(list_transform(c.v, x -> x * x)) *
+            list_sum(list_transform(q.q, x -> x * x)))"""
+
+  private val mrlTopKQ = GraftQuery(
+    "q_mrl_topk",
+    (s, d) =>
+      Similarity.mrlTopK(embeddings(s, d), queryVectors(s, d),
+          k = 3, dims = 16)
+        .orderBy(asc("query_id"), asc("rank")),
+    Some(s"""WITH c AS (
+               SELECT vec_id,
+                 CAST(embedding[1:16] AS DOUBLE[]) AS v
+               FROM embeddings),
+             q AS (
+               SELECT vec_id AS query_id, v AS q FROM c WHERE vec_id < 3),
+             scored AS (
+               SELECT q.query_id, c.vec_id AS neighbor_id,
+                 $oracleCosineTrunc AS cos
+               FROM c, q WHERE c.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(cos, 6) AS cos
+             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  private val mrlRerankQ = GraftQuery(
+    "q_mrl_rerank",
+    (s, d) =>
+      Similarity.mrlRerankTopK(embeddings(s, d), queryVectors(s, d),
+          k = 3, dims = 16, shortlist = 20)
+        .orderBy(asc("query_id"), asc("rank")),
+    Some(s"""WITH full_c AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+               FROM embeddings),
+             c AS (
+               SELECT vec_id,
+                 CAST(embedding[1:16] AS DOUBLE[]) AS v
+               FROM embeddings),
+             q AS (
+               SELECT vec_id AS query_id, v AS q FROM c WHERE vec_id < 3),
+             fq AS (
+               SELECT vec_id AS query_id, fv AS q FROM full_c
+               WHERE vec_id < 3),
+             s1 AS (
+               SELECT q.query_id, c.vec_id AS neighbor_id,
+                 $oracleCosineTrunc AS cos
+               FROM c, q WHERE c.vec_id <> q.query_id),
+             short AS (
+               SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM s1) WHERE rank <= 20),
+             s2 AS (
+               SELECT sh.query_id, sh.neighbor_id,
+                 list_sum(list_transform(list_zip(c.fv, q.q),
+                   x -> x[1] * x[2])) /
+                 sqrt(list_sum(list_transform(c.fv, x -> x * x)) *
+                      list_sum(list_transform(q.q, x -> x * x))) AS cos
+               FROM short sh
+               JOIN full_c c ON c.vec_id = sh.neighbor_id
+               JOIN fq q ON q.query_id = sh.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+               FROM s2)
+             SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(cos, 6) AS cos
+             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
         ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize,
         semanticDedup, randomProjQ, pqCodes, ivfPq, ivfPqStored,
-        ivfPqResidual, ivfPqRerankQ, clusterBalance)
+        ivfPqResidual, ivfPqRerankQ, clusterBalance, mrlTopKQ, mrlRerankQ)
 }

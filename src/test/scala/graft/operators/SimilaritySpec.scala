@@ -37,6 +37,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!top.map(_.getLong(2)).contains(0L))
   }
 
+  test("mrlTopK: prefix cosine renormalizes intrinsically; full width equals exact") {
+    // 2-dim prefix of 3-dim vectors: ranking decided by the prefix only.
+    // Doc 3's prefix-2 is the zero vector (cosine NaN, and NaN sorts
+    // HIGH under desc) — a truncation hazard the operator does not
+    // hide, so this test keeps only non-degenerate prefixes.
+    val nz = vecs.filter($"vec_id" =!= 3L)
+    val top2 = Similarity.mrlTopK(nz, queries, k = 3, dims = 2)
+      .orderBy("rank").collect()
+    assert(top2.map(_.getLong(2)).toSeq == Seq(4L, 1L, 2L))
+    assert(top2(0).getDouble(3) == 1.0)
+    // full-width truncation degenerates to exact search
+    val full = Similarity.mrlTopK(vecs, queries, k = 3, dims = 3)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 3)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(full == exact)
+  }
+
+  test("mrlRerankTopK: corpus-wide shortlist equals exact search") {
+    val rr = Similarity.mrlRerankTopK(vecs, queries, k = 3, dims = 2,
+        shortlist = 10)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 3)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(rr == exact)
+    intercept[IllegalArgumentException] {
+      Similarity.mrlRerankTopK(vecs, queries, k = 5, dims = 2, shortlist = 3)
+    }
+  }
+
   test("lshTopK finds the identical clone (same bucket by construction)") {
     val top = Similarity.lshTopK(vecs, queries, k = 2, nPlanes = 4).collect()
     assert(top.nonEmpty)
