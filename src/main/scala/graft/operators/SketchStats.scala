@@ -200,6 +200,12 @@ object SketchStats {
       .toDF(shardCol, "theta")
   }
 
+  /** Estimate from one stored theta image (exact below the sketch's
+    * nominal entries — the estimate IS the distinct count).
+    */
+  def thetaEstimate(bytes: Array[Byte]): Double =
+    Sketches.wrapSketch(Memory.wrap(bytes)).getEstimate
+
   /** Driver-side set algebra over two stored theta states. */
   def thetaSetOps(a: Array[Byte], b: Array[Byte],
                   nominalEntries: Int = 1 << 14): ThetaSetOps = {

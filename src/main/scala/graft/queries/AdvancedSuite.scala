@@ -689,11 +689,44 @@ object AdvancedSuite extends QuerySuite {
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY day, segment ORDER BY day, segment"""))
 
+  // ---- streaming sketch maintenance (stream in, merge forever) -------
+  // Per-source distinct-document tracking through the REAL streaming
+  // plan: each micro-batch folds into a per-key theta sketch carried in
+  // the STATE STORE as its serialized compact image; the latest states
+  // land in a SketchStats.saveStates table and the gate answers ONLY
+  // from the written-then-loaded states (the q_theta_stored
+  // convention). Distinct fingerprints per source ≪ nominalEntries ⇒
+  // exact mode ⇒ full value equality against COUNT(DISTINCT).
+  private val streamSketch = GraftQuery(
+    "q_stream_sketch",
+    (s, d) => {
+      import s.implicits._
+      val st = EventsStream.readTable(s, d, "documents")
+        .select(col("source"), md5(col("text")).as("fp"))
+      val collected = EventsStream.runToCompletion(s,
+        graft.streaming.SketchStream.thetaByKey(st, "source", "fp").toDF(),
+        outputMode = "append")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"stream_theta_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.operators.SketchStats.saveStates(
+        graft.streaming.SketchStream.latestStates(collected)
+          .withColumnRenamed("key", "source"), path)
+      graft.operators.SketchStats.loadStates(s, path).collect()
+        .map(r => (r.getString(0), math.round(
+          graft.operators.SketchStats.thetaEstimate(
+            r.getAs[Array[Byte]](1)))))
+        .toSeq.toDF("source", "n_distinct")
+        .orderBy(asc("source"))
+    },
+    Some("""SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT)
+              AS n_distinct
+            FROM documents GROUP BY source ORDER BY source"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(wktPointExpr, streamHourly, streamSliding, streamDedup, multimodal,
         frameSample,
         imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
         videoProbe, videoFramesQ, videoFeaturesQ, multimodalCuration,
         streamStreamJoin, streamStaticJoin, statefulTotals, streamNearDup,
-        streamPack, streamClassify, streamIngest)
+        streamPack, streamClassify, streamIngest, streamSketch)
 }
