@@ -206,6 +206,37 @@ class PlanSpec extends AnyFunSuite {
       s"sampling should not shuffle by key:\n$s")
   }
 
+  test("bm25 percolation: stateless per-row plan — no exchange, no join, no aggregate") {
+    // the percolate plan must stay scan → project → generate → filter:
+    // any Exchange/Join/Aggregate would make the streaming deploy shape
+    // illegal (or stateful) and break the zero-shuffle-before-sink claim
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/planspec_perc"
+    graft.operators.Bm25.saveIndex(docs, path)
+    import spark.implicits._
+    val qs = Seq((0L, "fast sort merge")).toDF("query_id", "query_text")
+    val prep = graft.operators.Bm25.preparePercolate(
+      graft.operators.Bm25.loadIndex(spark, path), qs)
+    val p = graft.operators.Bm25.percolate(docs, prep, threshold = 1.5)
+    p.collect()
+    val s = finalPlan(p.queryExecution.executedPlan).toString
+    assert(!s.contains("Exchange"), s"percolation must not shuffle:\n$s")
+    assert(!s.contains("Join"), s"percolation must not join:\n$s")
+    assert(!s.contains("Aggregate"), s"percolation must not aggregate:\n$s")
+    assert(s.contains("Generate"), s"expected the bounded query explode:\n$s")
+  }
+
+  test("q_bm25_topk: query terms and vocabulary-sized tables broadcast; one tf aggregation shape") {
+    val s = planNoExec("q_bm25_topk")
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected broadcast score joins:\n$s")
+    // top-k per query is the rank-window pre-shuffle limit, not a
+    // global sort
+    assert(s.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit top-k:\n$s")
+  }
+
   test("q_llm_data_pipeline: lineage cut at stage boundaries survives") {
     // the 30× lesson (BASELINE.md round 10): the cleaned corpus feeds six
     // consumers — without the lazy localCheckpoint boundaries the plan
