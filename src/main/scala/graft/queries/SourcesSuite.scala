@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.Tables.documents
 import graft.etl.CleanPipeline
 import graft.model.EvSchema
 import graft.sources.XlsxSource
@@ -182,6 +183,33 @@ object SourcesSuite extends QuerySuite {
                         'meta':'STRUCT(source VARCHAR, ts BIGINT)'})
              ORDER BY doc_id"""))
 
+  // ---- schema drift across parquet batches ---------------------------
+  // The ingest reality: batch 1 shipped (doc_id, text); batch 2 gained
+  // a `lang` column. A mergeSchema read unions the footers AT THE SCAN
+  // — one relation, batch-1 rows read lang as null, nothing rewritten.
+  // The oracle replays the drift from the source table by construction.
+  private val schemaDrift = GraftQuery(
+    "q_schema_drift",
+    (s, d) => {
+      val base = documents(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"drift_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      base.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$dir/b1")
+      base.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$dir/b2")
+      graft.sources.Sinks.readMergedParquet(s, s"$dir/b1", s"$dir/b2")
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+        .orderBy(asc("doc_id"))
+    },
+    Some("""SELECT doc_id,
+              CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+              md5(text) AS fp
+            FROM documents ORDER BY doc_id"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(xlsxRead, xlsxClean, xlsxTyped, xlsxTypedAgg, jsonlRead)
+    Seq(xlsxRead, xlsxClean, xlsxTyped, xlsxTypedAgg, jsonlRead,
+        schemaDrift)
 }

@@ -97,6 +97,16 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Schema-drift-tolerant multi-batch read: parquet footer-merge
+    * (`mergeSchema`) gives union-by-name semantics AT THE SCAN — columns
+    * a batch doesn't carry read as null, so older batches keep working
+    * as the pipeline gains columns over time (the ingest reality at
+    * 100 TB: you never rewrite shipped batches to add a field). One
+    * relation, one scan; pushdown and pruning still apply per file.
+    */
+  def readMergedParquet(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** JSON-lines export/ingest — the interchange format for document
     * pipelines (one JSON object per line, splittable, schema-on-read).
     */

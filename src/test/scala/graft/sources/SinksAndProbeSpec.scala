@@ -37,6 +37,17 @@ class SinksAndProbeSpec extends AnyFunSuite {
       df.filter(col("order_date") === "1995-02-01").count())
   }
 
+  test("mergeSchema read null-fills columns older batches lack") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_states/drift_spec"
+    Seq((1L, "a")).toDF("id", "t").write.mode("overwrite").parquet(s"$dir/b1")
+    Seq((2L, "b", "en")).toDF("id", "t", "lang")
+      .write.mode("overwrite").parquet(s"$dir/b2")
+    val got = Sinks.readMergedParquet(spark, s"$dir/b1", s"$dir/b2")
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", Some("en"))))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Seq("g_orders_b", "g_lineitem_b").foreach { t =>
