@@ -609,8 +609,84 @@ object DedupSuite extends QuerySuite {
                     CAST(0 AS INTEGER) AS max_exact_hamming
              FROM per_content WHERE k <= 2000 AND mintok >= 1"""))
 
+  // ---- exact set-similarity join (prefix filtering) -------------------
+  // The DETERMINISTIC near-dup member: SetSimJoin returns EVERY pair
+  // with shingle-set Jaccard ≥ t (recall 1.0 by construction), where
+  // minhash-LSH trades recall for corpus-shape independence. Sets are
+  // 5-token shingle strings — the representation minhash approximates —
+  // because the raw corpus has a 31-token global vocabulary (distinct-
+  // TOKEN sets overlap massively: ~23% of all pairs ≥ 0.8, which is a
+  // corpus fact, not a near-dup signal). Every 10th doc is cloned with
+  // its first token substituted: one shingle differs, so the planted
+  // pair's jaccard is (m−1)/(m+1) at m shingles — ≥ 0.8 for every
+  // eligible doc — while natural shingle collisions across a 31^5 space
+  // cannot reach 0.8. The oracle replays EVERYTHING: shingling, df
+  // ranks, the epsilon-guarded prefix length, candidate generation,
+  // intersection, 6-dp jaccard — full pair-level value equality (the
+  // stronger compare the LSH gates cannot have).
+  private val setSimJoin = GraftQuery(
+    "q_setsim_join",
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+", "nearmark").as("text")))
+      val sh = corpus.select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("tk")) - 4),
+            g => concat_ws(" ", slice(col("tk"), g, lit(5)))).as("shingles"))
+      graft.operators.SetSimJoin
+        .jaccardPairs(sh, "doc_id", "shingles", threshold = 0.8)
+        .orderBy(asc("a"), asc("b"))
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000,
+                      regexp_replace(text, '^\\S+', 'nearmark') AS text
+               FROM documents WHERE doc_id % 10 = 0),
+             tk AS (
+               SELECT doc_id, $toksSql AS t FROM corpus
+               WHERE len($toksSql) >= 5),
+             sets AS (
+               SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(t) - 4),
+                 g -> array_to_string(list_slice(t, g, g + 4), ' ')))
+                 AS st
+               FROM tk),
+             inst AS (
+               SELECT doc_id, unnest(st) AS tok FROM sets),
+             dfq AS (SELECT tok, COUNT(*) AS df FROM inst GROUP BY tok),
+             ranked AS (
+               SELECT i.doc_id,
+                 list(i.tok ORDER BY d.df, i.tok) AS stoks,
+                 COUNT(*) AS n
+               FROM inst i JOIN dfq d USING (tok) GROUP BY i.doc_id),
+             pref AS (
+               SELECT doc_id, stoks, n,
+                 unnest(list_slice(stoks, 1,
+                   CAST(n - CEIL(0.8 * n - 1e-9) + 1 AS INT))) AS tok
+               FROM ranked),
+             cand AS (
+               SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b,
+                 p1.stoks AS ta, p2.stoks AS tb, p1.n AS na, p2.n AS nb
+               FROM pref p1 JOIN pref p2 USING (tok)
+               WHERE p1.doc_id < p2.doc_id),
+             scored AS (
+               SELECT a, b,
+                 CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+                 ROUND(len(list_intersect(ta, tb)) * 1.0 /
+                   (na + nb - len(list_intersect(ta, tb))), 6) AS jaccard
+               FROM cand)
+             SELECT a, b, inter, jaccard FROM scored
+             WHERE jaccard >= 0.8 ORDER BY a, b"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, skewGuard,
     minhashSharded, crossShard, crossShardNear, incrementalDedup,
-    incrementalNearDup, minhash10x, simhashSignatures, simhashPairs)
+    incrementalNearDup, minhash10x, simhashSignatures, simhashPairs,
+    setSimJoin)
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Prefix-filtered set-similarity join: the contract is EXACTNESS —
+  * the result equals brute-force all-pairs Jaccard at every threshold,
+  * including the float-boundary prefix lengths (0.6·5) the epsilon
+  * ceiling exists for.
+  */
+class SetSimJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def toks(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text").select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def brute(rows: Seq[(Long, String)],
+                    t: Double): Set[(Long, Long, Long, Double)] = {
+    val sets = rows.map { case (id, s) => id -> s.split(" ").toSet }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      j = r6(inter.toDouble / (sa.size + sb.size - inter))
+      if j >= t
+    } yield (a, b, inter, j)).toSet
+  }
+
+  private def engine(rows: Seq[(Long, String)],
+                     t: Double): Set[(Long, Long, Long, Double)] =
+    SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks", t)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+  test("exactness vs brute force, including the 0.6 x 5-token boundary") {
+    // 5-token docs at t = 0.6: correct prefix length is 3; a naive
+    // ceil(0.6*5)=4 would shorten it to 2 and can miss pairs that
+    // share only their 3rd-rarest token
+    val rows = Seq(
+      (1L, "q1 q2 c1 c2 c3"),
+      (2L, "q3 q4 c1 c2 c3"),   // ∩ = {c1,c2,c3}, jac = 3/7 < 0.6
+      (3L, "q1 q2 c1 c2 zz"),   // vs 1: ∩ = 4, jac = 4/6 ≥ 0.6
+      (4L, "q1 q2 c1 c2 c3"))   // clone of 1
+    val t = 0.6
+    assert(engine(rows, t) == brute(rows, t))
+    assert(engine(rows, t).exists(p => p._1 == 1L && p._2 == 4L))
+  }
+
+  test("exactness on a seeded random corpus across thresholds") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val rows = (0L until 60L).map { id =>
+      val n = 3 + rnd.nextInt(8)
+      id -> rnd.shuffle(vocab).take(n).mkString(" ")
+    }
+    for (t <- Seq(0.4, 0.5, 0.6, 0.75, 0.9, 1.0)) {
+      assert(engine(rows, t) == brute(rows, t), s"threshold $t")
+    }
+  }
+
+  test("threshold 1.0 finds exactly the equal-set pairs, order-insensitive") {
+    val rows = Seq((1L, "a b c"), (2L, "c a b"), (3L, "a b"), (4L, "a b"))
+    val got = engine(rows, 1.0)
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("prefix-bucket skew guard trips loudly") {
+    val rows = (0L until 20L).map(id => id -> s"common x$id")
+    val ex = intercept[IllegalArgumentException] {
+      SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
+        threshold = 0.3, maxBucket = 5).collect()
+    }
+    assert(ex.getMessage.contains("maxBucket"))
+  }
+}
