@@ -722,11 +722,57 @@ object AdvancedSuite extends QuerySuite {
               AS n_distinct
             FROM documents GROUP BY source ORDER BY source"""))
 
+  // ---- streaming KLL maintenance (quantile twin of q_stream_sketch) --
+  // Per-source token-count DISTRIBUTION state through the real
+  // streaming plan; latest states land in the stored-states table and
+  // the gate answers only from the written-then-loaded states. Exact
+  // mode (per-source n ≪ k) ⇒ INCLUSIVE getQuantile == percentile_disc.
+  private val streamKll = GraftQuery(
+    "q_stream_kll",
+    (s, d) => {
+      import s.implicits._
+      val st = EventsStream.readTable(s, d, "documents")
+        .select(col("source"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("double").as("n_toks"))
+      val collected = EventsStream.runToCompletion(s,
+        graft.streaming.SketchStream.kllByKey(st, "source", "n_toks",
+          k = 16384).toDF(),
+        outputMode = "append")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"stream_kll_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.operators.SketchStats.saveStates(
+        graft.streaming.SketchStream.latestStates(collected, "kll")
+          .withColumnRenamed("key", "source"), path)
+      val ranks = Seq(0.25, 0.5, 0.75, 0.9)
+      graft.operators.SketchStats.loadStates(s, path).collect().toSeq
+        .map { r =>
+          val qs = graft.operators.SketchStats
+            .kllQuantiles(r.getAs[Array[Byte]]("kll"), ranks)
+          (r.getString(0), qs(0).toLong, qs(1).toLong, qs(2).toLong,
+            qs(3).toLong)
+        }
+        .toDF("source", "p25", "p50", "p75", "p90")
+        .orderBy(asc("source"))
+    },
+    Some(s"""WITH t AS (
+               SELECT source, len($toksSql) AS n FROM documents)
+             SELECT source,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT) AS p25,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT) AS p50,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT) AS p75,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n)
+                 AS BIGINT) AS p90
+             FROM t GROUP BY source ORDER BY source"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(wktPointExpr, streamHourly, streamSliding, streamDedup, multimodal,
         frameSample,
         imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
         videoProbe, videoFramesQ, videoFeaturesQ, multimodalCuration,
         streamStreamJoin, streamStaticJoin, statefulTotals, streamNearDup,
-        streamPack, streamClassify, streamIngest, streamSketch)
+        streamPack, streamClassify, streamIngest, streamSketch, streamKll)
 }

@@ -73,15 +73,68 @@ object SketchStream {
       }
   }
 
-  /** Reduce an emitted-updates frame to the LATEST state per key —
-    * (key, theta) rows in the [[graft.operators.SketchStats.saveStates]]
-    * shape.
+  import org.apache.datasketches.kll.KllDoublesSketch
+
+  /** One emitted KLL refresh: the quantile-family twin of
+    * [[SketchUpdate]]. `n` is the total values folded so far (exact
+    * mode holds while n ≤ k).
     */
-  def latestStates(updates: DataFrame): DataFrame = {
+  final case class KllUpdate(key: String, kll: Array[Byte], n: Long,
+                             upto: Long)
+
+  /** State payload for [[kllByKey]]. */
+  final case class KllState(bytes: Array[Byte], n: Long, batches: Long)
+
+  /** Per-key streaming KLL (quantile) maintenance over
+    * (keyCol, double valueCol) rows — running per-shard distribution
+    * state (doc lengths, quality scores) folding each micro-batch.
+    * Unlike the theta twin, exact-mode KLL images are NOT
+    * byte-invariant to batch slicing (the level-0 buffer keeps
+    * insertion order), so the invariance contract is QUANTILE equality
+    * (spec-pinned), matching the batch gates' exact-mode convention.
+    */
+  def kllByKey(rows: DataFrame, keyCol: String, valueCol: String,
+               k: Int = 200): Dataset[KllUpdate] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KllState, KllUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val fresh = KllDoublesSketch.newHeapInstance(k)
+          var added = 0L
+          it.foreach { case (_, v) =>
+            v.foreach { x => fresh.update(x); added += 1 } }
+          if (added == 0) Iterator.empty
+          else {
+            val merged = KllDoublesSketch.newHeapInstance(k)
+            val prior = state.getOption
+            prior.foreach(p => merged.merge(
+              KllDoublesSketch.heapify(
+                org.apache.datasketches.memory.Memory.wrap(p.bytes))))
+            merged.merge(fresh)
+            val n = prior.map(_.n).getOrElse(0L) + added
+            val upto = prior.map(_.batches).getOrElse(0L) + 1L
+            val bytes = merged.toByteArray
+            state.update(KllState(bytes, n, upto))
+            Iterator.single(KllUpdate(key, bytes, n, upto))
+          }
+      }
+  }
+
+  /** Reduce an emitted-updates frame to the LATEST state per key —
+    * (key, <stateCol>) rows in the
+    * [[graft.operators.SketchStats.saveStates]] shape. `stateCol` is
+    * "theta" for [[thetaByKey]] output, "kll" for [[kllByKey]].
+    */
+  def latestStates(updates: DataFrame,
+                   stateCol: String = "theta"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy(desc("upto"))
     updates.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("key"), col("theta"))
+      .select(col("key"), col(stateCol))
   }
 }

@@ -58,6 +58,39 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(uptos == Map("a" -> 2L, "b" -> 2L))
   }
 
+  test("kllByKey: cross-batch quantiles equal the one-shot fold (exact mode)") {
+    implicit val sq = spark.sqlContext
+    val all = Seq(("a", 1.0), ("a", 9.0), ("b", 5.0), ("a", 3.0),
+      ("a", 7.0), ("b", 6.0), ("a", 5.0))
+    val in = MemoryStream[(String, Double)]
+    val name = "kll_stream_spec"
+    val q = SketchStream.kllByKey(in.toDF().toDF("k", "v"), "k", "v")
+      .toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(all.take(3)); q.processAllAvailable()
+      in.addData(all.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val latest = SketchStream.latestStates(spark.table(name), "kll")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val ranks = Seq(0.25, 0.5, 0.75)
+    // inclusive quantiles over a = {1,3,5,7,9}: p25=3, p50=5, p75=7
+    assert(graft.operators.SketchStats.kllQuantiles(latest("a"), ranks)
+      == Seq(3.0, 5.0, 7.0))
+    assert(graft.operators.SketchStats.kllQuantiles(latest("b"), ranks)
+      == Seq(5.0, 5.0, 6.0))
+    // quantile (not byte) invariance vs a one-shot batch fold
+    val oneShot = SketchStream.kllByKey(all.toDF("k", "v"), "k", "v")
+      .collect().map(u => u.key -> u.kll).toMap
+    for (k <- Seq("a", "b"))
+      assert(graft.operators.SketchStats.kllQuantiles(latest(k), ranks)
+        == graft.operators.SketchStats.kllQuantiles(oneShot(k), ranks))
+    // n folded across batches
+    val ns = spark.table(name).groupBy("key").agg(max("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ns == Map("a" -> 5L, "b" -> 2L))
+  }
+
   test("stored-state round trip answers from parquet") {
     val rows = Seq(("s1", "d1"), ("s1", "d2"), ("s2", "d1")).toDF("k", "v")
     val states = SketchStream.latestStates(
