@@ -74,16 +74,29 @@ object SetSimJoin {
         .as("prefix"))
     val pref = withPrefix.select(col("sid"), col("stoks"), col("n"),
       explode(col("prefix")).as("tok"))
-    // skew guard: a prefix bucket larger than maxBucket is a loud error,
-    // not a silent quadratic blowup (the Dedup.lshCandidatePairs cap)
-    val oversize = pref.groupBy("tok").agg(count(lit(1)).as("c"))
-      .filter(col("c") > maxBucket).limit(1).collect()
-    require(oversize.isEmpty, {
-      val r = oversize.head
-      s"setSimJoin: prefix token '${r.getString(0)}' collects " +
-      s"${r.getLong(1)} docs (> maxBucket=$maxBucket); raise the " +
-      "threshold, pre-dedup, or raise maxBucket knowingly"
-    })
+    // Skew guard: a prefix bucket larger than maxBucket is a loud
+    // EXECUTION-TIME error, never a silent quadratic blowup — and never
+    // a silent drop either ([[Dedup]]'s anti-join cap is correct for
+    // probabilistic LSH; here dropping a bucket would break the
+    // recall-1.0 contract). The guard rides the plan as a one-row cross
+    // join whose projection raises when the worst bucket exceeds the
+    // cap: LAZY (an operator API must not run jobs at call time — the
+    // first cut of this check collect()ed at plan-construction, paying
+    // a full extra corpus pass per call even if the result was never
+    // used) and unprunable BECAUSE ITS VALUE FLOWS INTO THE OUTPUT:
+    // guard_ok (1 when within cap) multiplies the intersection count.
+    // A dangling unused guard column is NOT enough — column pruning
+    // deletes the projection and raise_error never evaluates (the
+    // BenchAction.consumeAll lesson, re-learned here in a failing spec).
+    val chk = pref.groupBy("tok").agg(count(lit(1)).as("c"))
+      .agg(max_by(struct(col("tok"), col("c")), col("c")).as("w"))
+      .select(
+        when(coalesce(col("w.c"), lit(0L)) > maxBucket,
+          raise_error(concat(lit("setSimJoin: prefix token '"),
+            col("w.tok"), lit("' collects "), col("w.c"),
+            lit(s" docs (> maxBucket=$maxBucket); raise the threshold, " +
+              "pre-dedup, or raise maxBucket knowingly"))))
+          .otherwise(lit(1)).as("guard_ok"))
     val a = pref.select(col("tok"), col("sid").as("a"),
       col("stoks").as("ta"), col("n").as("na"))
     val b = pref.select(col("tok"), col("sid").as("b"),
@@ -92,8 +105,10 @@ object SetSimJoin {
       .select(col("a"), col("b"), col("ta"), col("tb"),
         col("na"), col("nb"))
       .dropDuplicates("a", "b")
+      .crossJoin(broadcast(chk))
     cand.select(col("a"), col("b"), col("na"), col("nb"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"))
+        (size(array_intersect(col("ta"), col("tb"))).cast("long") *
+          col("guard_ok").cast("long")).as("inter"))
       .select(col("a"), col("b"), col("inter"),
         round(col("inter") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6)

@@ -68,12 +68,15 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
   }
 
-  test("prefix-bucket skew guard trips loudly") {
+  test("prefix-bucket skew guard trips loudly at execution, lazily at call") {
     val rows = (0L until 20L).map(id => id -> s"common x$id")
-    val ex = intercept[IllegalArgumentException] {
-      SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
-        threshold = 0.3, maxBucket = 5).collect()
-    }
-    assert(ex.getMessage.contains("maxBucket"))
+    // construction is lazy — no job runs, no error yet
+    val df = SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
+      threshold = 0.3, maxBucket = 5)
+    val ex = intercept[Exception] { df.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxBucket")), msgs(ex).mkString("|"))
   }
 }
