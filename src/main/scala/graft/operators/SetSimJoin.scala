@@ -55,12 +55,17 @@ object SetSimJoin {
     val inst = sets.select(col("sid"), explode(col("set")).as("tok"))
     val dfreq = inst.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc tokens sorted by (df asc, tok asc): rarest first — the
-    // global order both the candidate prefix and the oracle state
-    val ranked = inst.join(dfreq, Seq("tok"))
-      .groupBy("sid")
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
-        x => x.getField("tok")).as("stoks"))
-      .select(col("sid"), col("stoks"), size(col("stoks")).as("n"))
+    // global order both the candidate prefix and the oracle state.
+    // Lineage-cut: three consumers (a-side, b-side, the skew guard)
+    // would otherwise each re-derive this aggregation — three corpus
+    // shuffles for one frame (plan-audited; the q_llm_data_pipeline
+    // boundary lesson).
+    val ranked = graft.plans.Lineage.cut(
+      inst.join(dfreq, Seq("tok"))
+        .groupBy("sid")
+        .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+          x => x.getField("tok")).as("stoks"))
+        .select(col("sid"), col("stoks"), size(col("stoks")).as("n")))
     // prefix length n − ⌈t·n⌉ + 1. The ⌈⌉ is computed over t·n − 1e-9:
     // binary doubles overshoot exact products (0.6·5 =
     // 3.0000000000000004, whose plain ceil is 4 — a SHORTER prefix,
