@@ -224,7 +224,10 @@ object Bm25 {
       col("sum_dl").cast("long")).head()
     val batch = newDocs.agg(
       count(lit(1)).as("n"),
-      sum(size(TextFunctions.tokens(col(textCol)))).cast("long").as("sum_dl"))
+      // coalesce: an EMPTY batch sums to null, and a null sum_dl would
+      // NPE the driver-side add below — empty appends are legal no-ops
+      coalesce(sum(size(TextFunctions.tokens(col(textCol)))), lit(0L))
+        .cast("long").as("sum_dl"))
       .head()
     spark.range(1).select(
         lit(old.getLong(0) + batch.getLong(0)).as("n"),
@@ -342,7 +345,12 @@ object Bm25 {
       struct(lit(qid).as("query_id"),
         percolateScore(col("tk"), ts, k1, b, prep.avgdl).as("score"))
     }
-    docs.select(col(idCol).as("doc_id"),
+    // null text must be EXCLUDED, not scored: under non-ANSI semantics
+    // size(null) = -1, which would poison dl and tf into garbage scores
+    // instead of the batch engine's behavior (a null-text doc simply
+    // contributes no postings)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), explode(array(entries: _*)).as("e"))
       .select(col("e.query_id").as("query_id"), col("doc_id"),

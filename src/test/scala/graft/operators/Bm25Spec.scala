@@ -141,6 +141,29 @@ class Bm25Spec extends AnyFunSuite {
       .select("n", "sum_dl").head())
   }
 
+  test("empty append batch is a legal no-op") {
+    val path = freshPath("empty")
+    Bm25.saveIndex(fixture, path)
+    val before = spark.read.parquet(s"$path/stats")
+      .select("n", "sum_dl").head()
+    Bm25.appendDocs(spark, path, fixture.filter(col("doc_id") < 0))
+    val after = spark.read.parquet(s"$path/stats")
+      .select("n", "sum_dl").head()
+    assert(before == after)
+  }
+
+  test("percolate excludes null-text docs instead of scoring garbage") {
+    val path = freshPath("pnull")
+    Bm25.saveIndex(fixture, path)
+    val prep = Bm25.preparePercolate(Bm25.loadIndex(spark, path),
+      Seq((0L, "a")).toDF("query_id", "query_text"))
+    val arriving = Seq((1L, Some("a a")), (2L, None))
+      .toDF("doc_id", "text")
+    val got = Bm25.percolate(arriving, prep, threshold = 1e-9)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
   test("append rejects colliding doc ids") {
     val path = freshPath("coll")
     Bm25.saveIndex(fixture, path)
