@@ -282,8 +282,12 @@ object LinearClassifier {
       s"plattCalibrate: iters must be in [1, $MaxIters]")
     val spark = scored.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // null scores/labels are EXCLUDED up front: they would silently
+    // vanish from the gradient sums while still counting in n (sums
+    // skip nulls, count(*) doesn't), deflating every step
     val base = scored.select(col(scoreCol).cast("double").as("s"),
       col(labelCol).cast("int").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
     val counts = base.agg(
       sum(col("y")).as("np"), sum(lit(1) - col("y")).as("nn")).head()
     val np = counts.getLong(0).toDouble
