@@ -682,7 +682,8 @@ object DedupSuite extends QuerySuite {
                    (na + nb - len(list_intersect(ta, tb))), 6) AS jaccard
                FROM cand)
              SELECT a, b, inter, jaccard FROM scored
-             WHERE jaccard >= 0.8 ORDER BY a, b"""))
+             WHERE jaccard >= 0.8 ORDER BY a, b"""),
+    headline = true)
 
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, skewGuard,
