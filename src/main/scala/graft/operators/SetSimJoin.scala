@@ -49,9 +49,15 @@ object SetSimJoin {
                    maxBucket: Int = 10000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"setSimJoin: threshold must be in (0,1], got $threshold")
-    val sets = docs.select(col(idCol).as("sid"),
-      array_distinct(col(toksCol)).as("set"))
-      .filter(size(col("set")) >= 1)
+    // Cut here too: `sets` feeds BOTH the df aggregation and the rank
+    // join — without the boundary the caller's whole set-construction
+    // lineage (tokenize/shingle/explode, often the most expensive part
+    // of the query) runs twice (TimeQ-measured: the q_setsim_join gate
+    // reads ~11.7 s warm without this cut, ~6 s with it).
+    val sets = graft.plans.Lineage.cut(
+      docs.select(col(idCol).as("sid"),
+        array_distinct(col(toksCol)).as("set"))
+      .filter(size(col("set")) >= 1))
     val inst = sets.select(col("sid"), explode(col("set")).as("tok"))
     val dfreq = inst.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc tokens sorted by (df asc, tok asc): rarest first — the

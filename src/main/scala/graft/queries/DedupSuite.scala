@@ -632,12 +632,18 @@ object DedupSuite extends QuerySuite {
         base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             regexp_replace(col("text"), "^\\S+", "nearmark").as("text")))
+      // shingles as 60-bit md5-prefix longs (the Sampling.weightedKey
+      // idiom — replays exactly in DuckDB): element identity modulo a
+      // ~1e-7 collision chance at this scale, and every downstream
+      // stage (df agg, rank sort, intersection) runs on longs instead
+      // of 30-char strings
       val sh = corpus.select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 5)
         .select(col("doc_id"),
           transform(sequence(lit(1), size(col("tk")) - 4),
-            g => concat_ws(" ", slice(col("tk"), g, lit(5)))).as("shingles"))
+            g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15), 16, 10).cast("long")).as("shingles"))
       graft.operators.SetSimJoin
         .jaccardPairs(sh, "doc_id", "shingles", threshold = 0.8)
         .orderBy(asc("a"), asc("b"))
@@ -654,7 +660,9 @@ object DedupSuite extends QuerySuite {
              sets AS (
                SELECT doc_id, list_distinct(list_transform(
                  generate_series(1, len(t) - 4),
-                 g -> array_to_string(list_slice(t, g, g + 4), ' ')))
+                 g -> CAST(('0x' || substr(md5(
+                   array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                   AS BIGINT)))
                  AS st
                FROM tk),
              inst AS (
