@@ -237,6 +237,29 @@ class PlanSpec extends AnyFunSuite {
       s"expected WindowGroupLimit top-k:\n$s")
   }
 
+  test("q_mrl_rerank: shortlist ids broadcast into the full-vector fetch; corpus not reshuffled") {
+    val s = planNoExec("q_mrl_rerank")
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected the shortlist to broadcast:\n$s")
+    // the re-rank stage must not hash-exchange the corpus by id
+    assert(!s.contains("Exchange hashpartitioning(neighbor_id"),
+      s"re-rank should fetch via broadcast, not reshuffle the corpus:\n$s")
+  }
+
+  test("q_setsim_join: candidate join is equi on the prefix key; lineage cuts survive") {
+    val s = planNoExec("q_setsim_join")
+    assert(!s.contains("CartesianProduct"),
+      s"candidate generation must never be all-pairs:\n$s")
+    // exactly ONE nested-loop join is legal: the ×1-row guard cross
+    // join (its build side is the one-row guard_ok frame); a second
+    // would mean the candidate self-join degenerated to all-pairs
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+    assert(bnlj <= 1, s"expected only the guard's ×1-row BNLJ, got $bnlj:\n$s")
+    // both Lineage.cut boundaries (sets + ranked) appear as ExistingRDD scans
+    assert(s.contains("ExistingRDD"),
+      s"expected the materialization boundaries:\n$s")
+  }
+
   test("q_llm_data_pipeline: lineage cut at stage boundaries survives") {
     // the 30× lesson (BASELINE.md round 10): the cleaned corpus feeds six
     // consumers — without the lazy localCheckpoint boundaries the plan
