@@ -768,11 +768,56 @@ object AdvancedSuite extends QuerySuite {
                  AS BIGINT) AS p90
              FROM t GROUP BY source ORDER BY source"""))
 
+  // ---- streaming CMS maintenance (point-frequency trio member) -------
+  // Per-source token-frequency state through the real streaming plan;
+  // answers come ONLY from the written-then-loaded states. The probe
+  // estimates are deterministic (fixed seed) and collision-free in
+  // practice at this geometry (31-token vocab vs ~2000 cells × 7 rows,
+  // min-of-rows ⇒ overcount odds ~1e-13), so COUNT(*) value equality
+  // holds — and is pinned at three SFs, the q_cms_heavy_hitters
+  // convention.
+  private val streamCms = GraftQuery(
+    "q_stream_cms",
+    (s, d) => {
+      import s.implicits._
+      val st = EventsStream.readTable(s, d, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok"))
+      val collected = EventsStream.runToCompletion(s,
+        graft.streaming.SketchStream.cmsByKey(st, "source", "tok").toDF(),
+        outputMode = "append")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"stream_cms_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.operators.SketchStats.saveStates(
+        graft.streaming.SketchStream.latestStates(collected, "cms")
+          .withColumnRenamed("key", "source"), path)
+      val probes = Seq("join", "hash", "scan")
+      graft.operators.SketchStats.loadStates(s, path).collect().toSeq
+        .flatMap { r =>
+          val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms")))
+          probes.map(p => (r.getString(0), p, cms.estimateCount(p)))
+        }
+        .toDF("source", "tok", "freq")
+        // a probe absent from a source emits freq 0 here but no GROUP
+        // BY row in SQL — align the shapes (all three probes occur in
+        // every source at every SF; this is shape hygiene, not masking)
+        .filter(col("freq") > 0)
+        .orderBy(asc("source"), asc("tok"))
+    },
+    Some(s"""WITH inst AS (
+               SELECT source, unnest($toksSql) AS tok FROM documents)
+             SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS freq
+             FROM inst WHERE tok IN ('join', 'hash', 'scan')
+             GROUP BY source, tok ORDER BY source, tok"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(wktPointExpr, streamHourly, streamSliding, streamDedup, multimodal,
         frameSample,
         imageDecode, imageFeaturesQ, audioDecode, audioFeaturesQ,
         videoProbe, videoFramesQ, videoFeaturesQ, multimodalCuration,
         streamStreamJoin, streamStaticJoin, statefulTotals, streamNearDup,
-        streamPack, streamClassify, streamIngest, streamSketch, streamKll)
+        streamPack, streamClassify, streamIngest, streamSketch, streamKll,
+        streamCms)
 }

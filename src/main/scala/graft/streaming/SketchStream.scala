@@ -124,6 +124,65 @@ object SketchStream {
       }
   }
 
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  /** One emitted CMS refresh — the point-frequency member: `n` counts
+    * values folded so far.
+    */
+  final case class CmsUpdate(key: String, cms: Array[Byte], n: Long,
+                             upto: Long)
+
+  /** State payload for [[cmsByKey]]. */
+  final case class CmsState(bytes: Array[Byte], n: Long, batches: Long)
+
+  /** Per-key streaming Count-Min maintenance over (keyCol, string
+    * valueCol) rows — running per-shard POINT-FREQUENCY state ("how
+    * often does this token/URL/fingerprint occur"), completing the
+    * streaming trio next to [[thetaByKey]] (how many distinct) and
+    * [[kllByKey]] (what distribution). Same (eps, confidence, seed)
+    * params as [[graft.operators.SketchStats.shardCms]] so streamed
+    * states merge with batch-built ones. CMS images at fixed seed are
+    * deterministic and merge is cellwise addition, so cross-batch
+    * state equals the one-shot fold BYTE-FOR-BYTE (spec-pinned, the
+    * theta convention — unlike KLL there is no order-dependent
+    * buffer).
+    */
+  def cmsByKey(rows: DataFrame, keyCol: String, valueCol: String,
+               eps: Double = 0.001, confidence: Double = 0.99,
+               seed: Int = 42): Dataset[CmsUpdate] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(keyCol).cast("string"), col(valueCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CmsState, CmsUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val fresh = CountMinSketch.create(eps, confidence, seed)
+          var added = 0L
+          it.foreach { case (_, v) =>
+            if (v != null) { fresh.addString(v); added += 1 } }
+          if (added == 0) Iterator.empty
+          else {
+            val prior = state.getOption
+            val merged = prior match {
+              case Some(p) =>
+                val m = CountMinSketch.readFrom(
+                  new java.io.ByteArrayInputStream(p.bytes))
+                m.mergeInPlace(fresh); m
+              case None => fresh
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            merged.writeTo(out)
+            val bytes = out.toByteArray
+            val n = prior.map(_.n).getOrElse(0L) + added
+            val upto = prior.map(_.batches).getOrElse(0L) + 1L
+            state.update(CmsState(bytes, n, upto))
+            Iterator.single(CmsUpdate(key, bytes, n, upto))
+          }
+      }
+  }
+
   /** Reduce an emitted-updates frame to the LATEST state per key —
     * (key, <stateCol>) rows in the
     * [[graft.operators.SketchStats.saveStates]] shape. `stateCol` is

@@ -91,6 +91,34 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(ns == Map("a" -> 5L, "b" -> 2L))
   }
 
+  test("cmsByKey: cross-batch counts; bytes equal the one-shot fold") {
+    implicit val sq = spark.sqlContext
+    val all = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("a", "z"),
+      ("a", "x"), ("b", "y"))
+    val in = MemoryStream[(String, String)]
+    val name = "cms_stream_spec"
+    val q = SketchStream.cmsByKey(in.toDF().toDF("k", "v"), "k", "v")
+      .toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(all.take(3)); q.processAllAvailable()
+      in.addData(all.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val latest = SketchStream.latestStates(spark.table(name), "cms")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    def cms(b: Array[Byte]) =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b))
+    assert(cms(latest("a")).estimateCount("x") == 3L)
+    assert(cms(latest("a")).estimateCount("z") == 1L)
+    assert(cms(latest("b")).estimateCount("y") == 2L)
+    // cellwise-additive merge ⇒ byte equality with the one-shot fold
+    val oneShot = SketchStream.cmsByKey(all.toDF("k", "v"), "k", "v")
+      .collect().map(u => u.key -> u.cms).toMap
+    assert(latest("a").toSeq == oneShot("a").toSeq)
+    assert(latest("b").toSeq == oneShot("b").toSeq)
+  }
+
   test("stored-state round trip answers from parquet") {
     val rows = Seq(("s1", "d1"), ("s1", "d2"), ("s2", "d1")).toDF("k", "v")
     val states = SketchStream.latestStates(
