@@ -636,8 +636,15 @@ object DedupSuite extends QuerySuite {
       // idiom — replays exactly in DuckDB): element identity modulo a
       // ~1e-7 collision chance at this scale, and every downstream
       // stage (df agg, rank sort, intersection) runs on longs instead
-      // of 30-char strings
-      val sh = corpus.select(col("doc_id"),
+      // of 30-char strings.
+      // repartition BEFORE the md5 shingle transform: the scan is one
+      // tiny parquet file (≤2 splits), and without the exchange the
+      // CPU-dense per-5-gram md5 work runs 2-wide while 30 cores idle —
+      // stage-profiled at ~4 s of the gate's ~5.5 s floor. The exchange
+      // ships only raw text (~1 MB at sf0.1); at real scale the scan is
+      // already wide and the exchange stays proportionally free.
+      val wide = corpus.repartition(2 * s.sparkContext.defaultParallelism)
+      val sh = wide.select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 5)
         .select(col("doc_id"),
