@@ -358,6 +358,115 @@ object Bm25 {
       .filter(col("score") >= threshold)
   }
 
+  // ---- registry-scale percolation: broadcast table, not plan literal --
+
+  /** Compile a LARGE query registry against a stored index's frozen
+    * statistics as ONE relational row — (qmap, avgdl) where `qmap` is
+    * map<tok, array<struct<query_id, idf>>>. The plan-literal
+    * [[preparePercolate]] path is capped at ~1000 queries because every
+    * term becomes a Catalyst literal in the compiled projection; a
+    * decontamination-shaped registry (percolate every eval benchmark
+    * against the stream — 10⁵–10⁶ stored queries) instead rides the
+    * plan as broadcast DATA, and scoring stays per-row
+    * ([[percolateJoin]]). Same frozen-statistics contract: df/N/Σdl at
+    * compile time, unseen terms get df = 0 (max-idf novelty).
+    *
+    * The returned frame is one row; nothing here is collected beyond
+    * the two guard counts and the stats row (both O(1)).
+    */
+  def compilePercolateTable(index: Bm25Index, queries: DataFrame,
+                            maxQueries: Long = 1000000L,
+                            maxTermsPerQuery: Int = 64): DataFrame = {
+    val qn = queries.limit((math.min(maxQueries, Int.MaxValue - 1L) + 1L)
+      .toInt).count()
+    require(qn > 0 && qn <= maxQueries,
+      s"compilePercolateTable: query side must have 1..$maxQueries rows, " +
+      s"got $qn")
+    val stats = index.stats
+      .select(col("n").cast("long"), col("sum_dl").cast("long")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val qt = queries.select(col("query_id").cast("long").as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col("query_text"))))
+        .as("tok"))
+    val worst = qt.groupBy("query_id").agg(count(lit(1)).as("c"))
+      .agg(max(struct(col("c"), col("query_id"))).as("w")).head()
+      .getStruct(0)
+    require(worst.getLong(0) <= maxTermsPerQuery,
+      s"compilePercolateTable: query ${worst.getLong(1)} has " +
+      s"${worst.getLong(0)} terms > $maxTermsPerQuery; tighten the query " +
+      "or raise the cap")
+    qt.join(index.dfreq, Seq("tok"), "left")
+      .select(col("tok"), struct(col("query_id"),
+        idf(lit(n), coalesce(col("df"), lit(0L))).as("idf")).as("e"))
+      .groupBy("tok").agg(sort_array(collect_list(col("e"))).as("entries"))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("entries"))))
+        .as("qmap"))
+      .select(col("qmap"), lit(avgdl).as("avgdl"))
+  }
+
+  /** Percolation against a COMPILED REGISTRY TABLE: each arriving
+    * document joins the one-row compiled frame (a ×1-row broadcast —
+    * data, not plan literals) and is scored against every registered
+    * query fully IN-ROW:
+    *
+    *  - the doc's DISTINCT tokens, in token-sorted order, probe `qmap`
+    *    (one map lookup per distinct token — the Elasticsearch
+    *    percolator shape, a term-indexed registry probed by the doc);
+    *  - each hit contributes idf·(tf·(k1+1))/(tf + norm), with tf
+    *    counted in-row — matches accumulate in (query, token-sorted)
+    *    order;
+    *  - per-query totals fold the matched terms in token order, which
+    *    is BIT-IDENTICAL to both [[percolate]]'s all-terms fold
+    *    (unmatched terms add IEEE-exact +0.0) and the batch engine's
+    *    matched-only fold (spec-pinned).
+    *
+    * No explode of the match set before scoring, no join keyed on the
+    * token, no aggregation, no state: the plan below the ×1-row
+    * broadcast is scan → project → generate(alerts) → filter, so
+    * `docs` may be a STATIC frame or a STREAMING one (stream-static
+    * join + stateless rows = append-mode legal), exactly like
+    * [[percolate]] — but with registry capacity bounded by broadcast
+    * memory instead of plan size.
+    */
+  def percolateJoin(docs: DataFrame, compiled: DataFrame,
+                    threshold: Double, k1: Double = 1.2, b: Double = 0.75,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0,
+      s"percolateJoin: threshold must be > 0 (got $threshold)")
+    val tk = col("tk")
+    val dl = size(tk).cast("double")
+    val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / col("avgdl"))
+    val noEntries = array().cast(
+      "array<struct<query_id:bigint,idf:double>>")
+    // matches in (token-sorted, per-token entry) order; each element is
+    // (qid, one matched term's score contribution)
+    val matches = flatten(transform(array_sort(array_distinct(tk)), t => {
+      val tf = size(filter(tk, x => x === t)).cast("double")
+      transform(coalesce(element_at(col("qmap"), t), noEntries), e =>
+        struct(e.getField("query_id").as("qid"),
+          (e.getField("idf") * (tf * (lit(k1) + 1.0)) / (tf + norm))
+            .as("s")))
+    }))
+    // per-query fold over the (order-preserving) filtered match list —
+    // token order within each query, the engine-wide fold convention
+    val perQ = transform(array_distinct(transform(col("m"),
+        m => m.getField("qid"))), q =>
+      struct(q.as("query_id"),
+        round(aggregate(filter(col("m"), m => m.getField("qid") === q),
+          lit(0.0), (acc, m) => acc + m.getField("s")), 6).as("score")))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .crossJoin(broadcast(compiled))
+      .select(col("doc_id"), matches.as("m"))
+      .select(col("doc_id"), explode(perQ).as("e"))
+      .select(col("e.query_id").as("query_id"), col("doc_id"),
+        col("e.score").as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists —
     * the standard hybrid-retrieval combiner: sparse (BM25) and dense
     * (cosine ANN) lists fuse on rank POSITION, not score, so the two

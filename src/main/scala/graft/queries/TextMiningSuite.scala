@@ -393,6 +393,79 @@ object TextMiningSuite extends QuerySuite {
              WHERE score >= 1.5 ORDER BY query_id, doc_id"""
     })
 
+  // ---- registry-scale percolation (decontamination shape) ------------
+  // The literal-compiled percolate path (q_stream_percolate) is capped
+  // at ~1000 registered queries because every term becomes a Catalyst
+  // plan literal. This gate runs the BROADCAST-TABLE path
+  // (compilePercolateTable + percolateJoin) at one-query-per-tenth-doc
+  // registry scale — the decontamination use: docs and benchmark
+  // queries are both rendered as 5-gram shingle terms (shingle "words"
+  // are high-idf and registry-selective, so each arriving doc matches
+  // ~only the benchmarks it actually contaminates), the registry
+  // compiles to ONE broadcast row of map<term, entries>, and scoring is
+  // per-row HOFs — no exchange, no aggregate, no state below the
+  // ×1-row broadcast (PercolateJoinSpec pins the plan and literal-path
+  // bit-equality). The oracle replays everything: shingling, frozen
+  // index stats, idf, the token-ordered matched-terms fold, threshold.
+  private val percolateRegistry = GraftQuery(
+    "q_percolate_registry",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"bm25reg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val sh = documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), size(col("tk")) - 4),
+            g => substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15))).as("text"))
+      graft.operators.Bm25.saveIndex(sh, path)
+      val reg = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("query_id"),
+          TextFunctions.tokens(col("text")).as("stk"))
+        .filter(size(col("stk")) >= 8)
+        .select(col("query_id"),
+          concat_ws(" ", slice(col("stk"), 3, 6)).as("query_text"))
+      val compiled = graft.operators.Bm25.compilePercolateTable(
+        graft.operators.Bm25.loadIndex(s, path), reg)
+      graft.operators.Bm25.percolateJoin(sh, compiled, threshold = 5.0)
+        .orderBy(asc("query_id"), asc("doc_id"))
+    },
+    Some(s"""WITH tk AS (
+               SELECT doc_id, $toksSql AS tk FROM documents
+               WHERE len($toksSql) >= 5),
+             sh AS (
+               SELECT doc_id, list_transform(generate_series(1, len(tk) - 4),
+                 g -> substr(md5(array_to_string(
+                   list_slice(tk, g, g + 4), ' ')), 1, 15)) AS stk
+               FROM tk),
+             inst AS (SELECT doc_id, unnest(stk) AS tok FROM sh),
+             tf AS (
+               SELECT doc_id, tok, COUNT(*) AS tf FROM inst GROUP BY 1, 2),
+             dl AS (SELECT doc_id, len(stk) AS dl FROM sh),
+             dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+             stats AS (
+               SELECT COUNT(*) AS n, SUM(len(stk)) AS sum_dl FROM sh),
+             reg AS (
+               SELECT doc_id AS query_id,
+                 list_distinct(list_slice(stk, 3, 8)) AS qts
+               FROM sh WHERE doc_id % 10 = 0 AND len(stk) >= 8),
+             qt AS (SELECT query_id, unnest(qts) AS tok FROM reg),
+             scored AS (
+               SELECT qt.query_id, tf.doc_id, tf.tok,
+                 ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+                 (tf.tf * (1.2 + 1.0)) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                   (CAST(stats.sum_dl AS DOUBLE) / stats.n))) AS s
+               FROM tf JOIN qt USING (tok) JOIN dfreq USING (tok)
+               JOIN dl USING (doc_id) CROSS JOIN stats),
+             perdoc AS (
+               SELECT query_id, doc_id,
+                 ROUND(list_sum(list(s ORDER BY tok)), 6) AS score
+               FROM scored GROUP BY 1, 2)
+             SELECT query_id, doc_id, score FROM perdoc
+             WHERE score >= 5.0 ORDER BY query_id, doc_id"""))
+
   // ---- hybrid retrieval: BM25 ⊕ dense cosine via RRF ------------------
   // The standard two-tower production shape: sparse (BM25 over
   // documents) and dense (exact cosine over embeddings, same id space)
@@ -537,6 +610,6 @@ object TextMiningSuite extends QuerySuite {
 
   override val queries: Seq[GraftQuery] =
     Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep, bm25,
-        bm25Stored, bm25Appended, streamPercolate, hybridRetrieval,
-        htmlExtract)
+        bm25Stored, bm25Appended, streamPercolate, percolateRegistry,
+        hybridRetrieval, htmlExtract)
 }
