@@ -47,6 +47,69 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Deterministic CLUSTERED embedding variant of the `embeddings`
+    * table — the corpus shape real (trained) embedding models produce,
+    * which the raw synthetic table lacks (it is near-isotropic: pairwise
+    * cosines concentrate, no inter-dimension correlation — the
+    * information-free floor for every ANN recall number, per the
+    * BASELINE round-12 curve notes). Derived ONLY from the driver's
+    * parquet, fully relational, same (vec_id, embedding) contract:
+    *
+    *  - `nClusters` cluster centers = the raw vectors at
+    *    vec_id < nClusters (ids < nClusters stay EXACT centers, so the
+    *    seed-cell convention of [[graft.operators.Similarity.ivfAssign]]
+    *    sees true centroids);
+    *  - every other row i = center(i mod nClusters)
+    *    + spread·t1(i)·u + spread·t2(i)·w, with integer coefficients
+    *    t1 = (i mod 7) − 3, t2 = (⌊i/7⌋ mod 5) − 2 — a RANK-2
+    *    within-cluster variance (the PqSpec micro-fixture construction
+    *    promoted to corpus scale);
+    *  - the two direction vectors u, w (raw rows nClusters,
+    *    nClusters+1) are HEAD-MASKED: their last dim/2 coordinates are
+    *    zeroed, so within-cluster variation is fully visible to every
+    *    ≥ dim/2 prefix and partially to shorter ones — the
+    *    coordinate-importance ordering Matryoshka-trained embedders
+    *    produce (leading dims carry both cluster identity and
+    *    refinement). The first cut of this fixture TAIL-masked the
+    *    directions instead, which made within-cluster order invisible
+    *    to every prefix — measured: MRL trunc recall FLAT at 0.07 for
+    *    widths 4–32, the anti-Matryoshka — so one fixture serves both
+    *    the residual-PQ regime (tiny ‖r‖², direction placement
+    *    irrelevant) and the MRL prefix regime only with the head mask.
+    */
+  def clusteredEmbeddings(s: SparkSession, d: String,
+                          nClusters: Int = 8,
+                          spread: Double = 0.02): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    require(nClusters >= 1 && nClusters + 1 < dim,
+      s"clusteredEmbeddings: need 1 <= nClusters ($nClusters) and " +
+      s"nClusters+2 direction/source rows within dim ($dim)")
+    val centers = base.filter(col("vec_id") < nClusters)
+      .select((col("vec_id") % nClusters).as("cid"), col("v").as("cv"))
+    def maskedDir(id: Int, name: String) =
+      base.filter(col("vec_id") === id)
+        .select(transform(col("v"), (x, i) =>
+          when(i >= lit(dim / 2), lit(0.0)).otherwise(x)).as(name))
+    base.select(col("vec_id"), (col("vec_id") % nClusters).as("cid"),
+        when(col("vec_id") < nClusters, lit(0.0))
+          .otherwise((col("vec_id") % 7 - 3).cast("double")).as("t1"),
+        when(col("vec_id") < nClusters, lit(0.0))
+          .otherwise((floor(col("vec_id") / 7) % 5 - 2).cast("double"))
+          .as("t2"))
+      .join(broadcast(centers), Seq("cid"))
+      .crossJoin(broadcast(maskedDir(nClusters, "uv")))
+      .crossJoin(broadcast(maskedDir(nClusters + 1, "wv")))
+      .select(col("vec_id"),
+        zip_with(
+          zip_with(col("cv"), col("uv"),
+            (c, uu) => c + col("t1") * lit(spread) * uu),
+          col("wv"), (cu, ww) => cu + col("t2") * lit(spread) * ww)
+          .as("embedding"))
+  }
+
   /** Register all tables as temp views so `spark.sql` entry points work
     * (the reference's fourth surface, SURVEY.md §3 "musemotion-queries.sql").
     */

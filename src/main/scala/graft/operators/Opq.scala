@@ -1,0 +1,361 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Optimized Product Quantization (Ge et al. 2013): learn an ORTHOGONAL
+  * rotation R so that PQ's independent-subspace assumption fits the
+  * data, then quantize R·x instead of x — the standard next member of
+  * the PQ lineage after residual IVF-PQ ([[Pq]]). Rotation preserves
+  * inner products, so exact rankings are unchanged while the (m, ksub)
+  * code budget stops paying for inter-subspace correlation the raw
+  * splitting cannot see.
+  *
+  * Non-parametric OPQ alternation, rendered relationally:
+  *
+  *  1. rotate the (normalized) corpus by the current R — a per-row
+  *     literal mat-vec, codegen HOFs, no shuffle;
+  *  2. Lloyd-fit PQ codebooks on the rotated corpus ([[Pq]]'s one-loop
+  *     trainer) and encode;
+  *  3. rebuild each vector's reconstruction y from its codes (m codeword
+  *     lookups, flattened in subspace order);
+  *  4. Procrustes step: the minimizer of Σ‖R·x − y‖² over orthogonal R
+  *     is R = V·Uᵀ for M = Σ x·yᵀ = U·Σ·Vᵀ — i.e. the TRANSPOSE of
+  *     M's polar factor. M is d×d (the only driver-side state besides
+  *     the codebooks, the [[Pq]] convention); the polar factor comes
+  *     from the Newton iteration Q ← (Q + Q⁻ᵀ)/2, quadratically
+  *     convergent, JDK-only, deterministic.
+  *
+  * The corpus-side M aggregation is d² partial-aggregated rows per
+  * vector — linear in the corpus but d²-heavy, so FIT ON A BOUNDED
+  * SAMPLE at scale (the published recipe: OPQ trains on 10⁵–10⁶
+  * points) and [[rotateVectors]]/encode stream the full corpus once.
+  * Like [[Pq.trainCodebooks]] (whose update step is a group-AVG), the
+  * learned R is deterministic up to float summation order; the
+  * fixed [[givensRotation]] is the fully-replayable member the value
+  * oracle uses.
+  */
+object Opq {
+
+  import Similarity.asDouble
+
+  // ---- tiny dense linear algebra (driver-side, d x d) -----------------
+
+  private[graft] def matmul(a: Array[Array[Double]],
+                            b: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length; val p = b(0).length; val k = b.length
+    val out = Array.ofDim[Double](n, p)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < p) {
+        var s = 0.0; var t = 0
+        while (t < k) { s += a(i)(t) * b(t)(j); t += 1 }
+        out(i)(j) = s; j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def transpose(a: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(a(0).length, a.length)((i, j) => a(j)(i))
+
+  /** Gauss–Jordan inverse with partial pivoting — deterministic, loud
+    * on singular input.
+    */
+  private[graft] def inverse(a0: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val inv = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var i = col + 1
+      while (i < n) { if (math.abs(a(i)(col)) > math.abs(a(piv)(col))) piv = i; i += 1 }
+      require(math.abs(a(piv)(col)) > 1e-12,
+        s"opq: singular matrix at column $col — the correlation frame is " +
+        "rank-deficient; fit on more (or less degenerate) training rows")
+      if (piv != col) {
+        val t = a(piv); a(piv) = a(col); a(col) = t
+        val t2 = inv(piv); inv(piv) = inv(col); inv(col) = t2
+      }
+      val d = a(col)(col)
+      var j = 0
+      while (j < n) { a(col)(j) /= d; inv(col)(j) /= d; j += 1 }
+      i = 0
+      while (i < n) {
+        if (i != col && a(i)(col) != 0.0) {
+          val f = a(i)(col)
+          var j2 = 0
+          while (j2 < n) {
+            a(i)(j2) -= f * a(col)(j2); inv(i)(j2) -= f * inv(col)(j2)
+            j2 += 1
+          }
+        }
+        i += 1
+      }
+      col += 1
+    }
+    inv
+  }
+
+  /** Polar factor of a nonsingular square matrix via the Newton
+    * iteration Q ← (Q + Q⁻ᵀ)/2 — converges quadratically to the
+    * orthogonal factor U·Vᵀ of the SVD.
+    */
+  private[graft] def polarFactor(m: Array[Array[Double]],
+                                 maxIter: Int = 100): Array[Array[Double]] = {
+    var q = m.map(_.clone())
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val next = {
+        val invT = transpose(inverse(q))
+        Array.tabulate(q.length, q.length)((i, j) =>
+          0.5 * (q(i)(j) + invT(i)(j)))
+      }
+      var delta = 0.0
+      var i = 0
+      while (i < q.length) {
+        var j = 0
+        while (j < q.length) {
+          delta = math.max(delta, math.abs(next(i)(j) - q(i)(j))); j += 1
+        }
+        i += 1
+      }
+      q = next
+      done = delta < 1e-14
+      it += 1
+    }
+    q
+  }
+
+  /** The orthogonal Procrustes minimizer of Σ‖R·xᵢ − yᵢ‖² given
+    * M = Σ xᵢ·yᵢᵀ: R = (polar factor of M)ᵀ.
+    *
+    * Rank-deficient M (data confined to a subspace — e.g. the clustered
+    * fixture spans ~nClusters+2 of 64 dims) leaves the rotation
+    * UNDETERMINED on the null space, and the Newton iteration needs a
+    * nonsingular start. Regularize toward the identity there: polar of
+    * M + δ·I is exactly orthogonal for any δ, equals the true
+    * Procrustes solution on the data's span up to O(δ), and picks
+    * "change nothing" for directions the data never witnessed. δ
+    * escalates (1e-6 → 1e-2 of the Frobenius scale) only as far as the
+    * inverse demands — full-rank M takes the δ=0 branch untouched.
+    */
+  private[graft] def procrustes(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m.length
+    var fro = 0.0
+    m.foreach(_.foreach(x => fro += x * x))
+    val scale = math.sqrt(fro) / d
+    val deltas = Seq(0.0, 1e-6 * scale, 1e-4 * scale, 1e-2 * scale)
+    val it = deltas.iterator
+    var out: Array[Array[Double]] = null
+    var lastErr: Throwable = null
+    while (out == null && it.hasNext) {
+      val delta = it.next()
+      val reg = Array.tabulate(d, d)((i, j) =>
+        m(i)(j) + (if (i == j) delta else 0.0))
+      try out = transpose(polarFactor(reg))
+      catch { case e: IllegalArgumentException => lastErr = e }
+    }
+    if (out == null) throw lastErr
+    out
+  }
+
+  // ---- rotations as columns -------------------------------------------
+
+  /** Deterministic FIXED rotation: one layer of disjoint Givens
+    * rotations on dim pairs (2t, 2t+1) with cos = 0.6, sin = 0.8 (a
+    * Pythagorean pair, so both engines parse the identical double
+    * literals and every product replays bit-for-bit — the value-oracle
+    * member, the [[Similarity.projectionSigns]] role for OPQ). Rows
+    * have ≤ 2 nonzeros; orthogonal to ~1e-16 (0.36 + 0.64₂ rounding).
+    */
+  def givensRotation(dim: Int): Seq[Seq[Double]] = {
+    require(dim % 2 == 0, s"givensRotation: dim must be even, got $dim")
+    Seq.tabulate(dim, dim) { (i, j) =>
+      val t = i / 2
+      if (i == 2 * t) { // even row
+        if (j == 2 * t) 0.6 else if (j == 2 * t + 1) -0.8 else 0.0
+      } else {
+        if (j == 2 * t) 0.8 else if (j == 2 * t + 1) 0.6 else 0.0
+      }
+    }
+  }
+
+  private def identity(dim: Int): Array[Array[Double]] =
+    Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+
+  /** A rotation as a nested-array plan literal (d² doubles — plan-sized
+    * like the JL sign matrix, far under the percolation literal cap).
+    */
+  def rotationColumn(r: Seq[Seq[Double]]): Column =
+    array(r.map(row => array(row.map(lit): _*)): _*)
+
+  /** out[i] = Σ_j R[i][j]·v[j], each output coordinate one
+    * left-to-right fold (the [[Pq.l2sq]] order convention — zero terms
+    * add IEEE-exact +0.0, so a sparse oracle restatement of a sparse R
+    * matches bit-for-bit).
+    */
+  def rotateVectors(df: DataFrame, vecCol: String, r: Seq[Seq[Double]],
+                    out: String): DataFrame = {
+    val dim = r.length
+    val rc = rotationColumn(r)
+    df.withColumn(out, transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(zip_with(element_at(rc, i + 1), asDouble(col(vecCol)),
+        (w, x) => w * x), lit(0.0), (acc, t) => acc + t)))
+  }
+
+  // ---- OPQ training ----------------------------------------------------
+
+  /** Alternate codebook fit and Procrustes rotation. Returns
+    * (rotation, codebooks-on-final-rotation, per-iteration encode qerr
+    * history — non-increasing up to Lloyd/assignment re-coupling,
+    * spec-pinned with tolerance). Fit cost is dominated by the d²-row
+    * M aggregation per outer iteration — run on a bounded sample at
+    * scale, then encode the full corpus with the returned (R, cb).
+    */
+  def opqTrain(corpus: DataFrame, m: Int, ksub: Int,
+               outerIters: Int = 3, lloydIters: Int = 2,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding")
+      : (Seq[Seq[Double]], DataFrame, Seq[Double]) = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val base = graft.plans.Lineage.cut(
+      Pq.withNormalized(
+        corpus.select(col(idCol).as("pq_id"), asDouble(col(vecCol)).as("v")),
+        "v", "nv").select(col("pq_id"), col("nv")))
+    var r: Array[Array[Double]] = identity(dim)
+    var cb: DataFrame = null
+    val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var it = 0
+    while (it <= outerIters) {
+      val rSeq = r.map(_.toSeq).toSeq
+      val rot = rotateVectors(base, "nv", rSeq, "rv")
+        .select(col("pq_id"), col("rv"))
+      cb = Pq.trainCodebooks(rot, m, ksub, lloydIters, "pq_id", "rv")._1
+        .localCheckpoint(true)
+      val enc = Pq.encode(rot, cb, m, "pq_id", "rv").localCheckpoint(true)
+      history += enc.agg(sum(col("qerr"))).head().getDouble(0)
+      if (it < outerIters) {
+        // reconstruction y = codeword concat in sub order
+        val y = enc
+          .select(col("pq_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+          .join(broadcast(cb), Seq("sub", "code"))
+          .groupBy("pq_id")
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("sub"), col("cv")))),
+            s => s.getField("cv"))).as("y"))
+        // M = Σ x·yᵀ over the (ORIGINAL normalized) x — d² tiny groups
+        val mRows = base.join(y, Seq("pq_id"))
+          .select(posexplode(col("nv")).as(Seq("i", "xi")), col("y"))
+          .select(col("i"), col("xi"),
+            posexplode(col("y")).as(Seq("j", "yj")))
+          .groupBy("i", "j").agg(sum(col("xi") * col("yj")).as("mij"))
+          .collect()
+        val mm = Array.ofDim[Double](dim, dim)
+        mRows.foreach(row =>
+          mm(row.getInt(0))(row.getInt(1)) = row.getDouble(2))
+        r = procrustes(mm)
+      }
+      it += 1
+    }
+    (r.map(_.toSeq).toSeq, cb, history.toSeq)
+  }
+
+  // ---- answering -------------------------------------------------------
+
+  /** IVF-PQ top-k under a rotation: rotate corpus AND queries (inner
+    * products are rotation-invariant, so the ADC approximates the same
+    * cosine every exact operator ranks by), then the [[Pq.ivfPqTopK]]
+    * machinery verbatim.
+    */
+  def opqTopK(corpus: DataFrame, queries: DataFrame, rotation: Seq[Seq[Double]],
+              k: Int, nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+              ksub: Int = 16, trainIters: Int = 0,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxQueries: Long = 10000L,
+              residual: Boolean = false): DataFrame = {
+    val rc = rotateVectors(corpus.select(col(idCol), col(vecCol)), vecCol,
+        rotation, "rot")
+      .select(col(idCol), col("rot").as(vecCol))
+    val rq = rotateVectors(
+        queries.select(col("query_id"), col("query_vec")), "query_vec",
+        rotation, "rot")
+      .select(col("query_id"), col("rot").as("query_vec"))
+    Pq.ivfPqTopK(rc, rq, k, nCells, nProbe, m, ksub, trainIters,
+      idCol, vecCol, maxQueries, residual)
+  }
+
+  // ---- stored index: rotation rides with the PQ tables -----------------
+
+  private[graft] val RotationFormatPrefix = "graft-opq-v1"
+
+  /** Persist rotation + the PQ index of the ROTATED corpus under
+    * `path` (`rotation` parquet + the [[Pq.saveIndex]] layout under
+    * `path/pq`). The rotation table is stamped like every stored
+    * artifact here; a query answered under the wrong rotation is
+    * plausible garbage, so load rejects mismatches loudly.
+    */
+  def saveIndex(corpus: DataFrame, path: String, rotation: Seq[Seq[Double]],
+                nCells: Int = 16, m: Int = 8, ksub: Int = 16,
+                trainIters: Int = 0, idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                residual: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = rotation.length
+    rotation.zipWithIndex.map { case (row, i) => (i, row) }
+      .toDF("row_idx", "rv")
+      .withColumn("rotation_format", lit(s"$RotationFormatPrefix;dim=$dim"))
+      .write.mode("overwrite").parquet(s"$path/rotation")
+    val rc = rotateVectors(corpus.select(col(idCol), col(vecCol)), vecCol,
+        rotation, "rot")
+      .select(col(idCol), col("rot").as(vecCol))
+    Pq.saveIndex(rc, s"$path/pq", nCells, m, ksub, trainIters, idCol,
+      vecCol, residual)
+  }
+
+  final case class OpqIndex(rotation: Seq[Seq[Double]], pq: Pq.IvfPqIndex)
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): OpqIndex = {
+    val rdf = spark.read.parquet(s"$path/rotation")
+    require(rdf.columns.contains("rotation_format"),
+      s"stored OPQ rotation at $path has no rotation_format column — " +
+      "not an OPQ index; rebuild with Opq.saveIndex")
+    val stamps = rdf.select(col("rotation_format")).distinct().limit(2)
+      .collect().map(_.getString(0))
+    require(stamps.length == 1 && stamps.head != null &&
+        stamps.head.startsWith(RotationFormatPrefix),
+      s"stored OPQ rotation at $path has layout '${stamps.mkString(",")}', " +
+      s"this build reads '$RotationFormatPrefix' — rebuild with " +
+      "Opq.saveIndex")
+    val dim = stamps.head.split(';')(1).stripPrefix("dim=").toInt
+    val rows = rdf.select(col("row_idx"), col("rv")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    require(rows.size == dim && (0 until dim).forall(rows.contains),
+      s"stored OPQ rotation at $path has ${rows.size} rows, stamp says " +
+      s"$dim — partially written; rebuild with Opq.saveIndex")
+    val pqIdx = Pq.loadIndex(spark, s"$path/pq")
+    require(pqIdx.dim == dim,
+      s"stored OPQ rotation dim $dim != PQ index dim ${pqIdx.dim} — " +
+      "mixed artifacts; rebuild with Opq.saveIndex")
+    OpqIndex((0 until dim).map(rows), pqIdx)
+  }
+
+  /** Answer from a stored OPQ index: rotate the queries with the STORED
+    * rotation, then [[Pq.queryIndex]] — no corpus access, no encode.
+    */
+  def queryIndex(index: OpqIndex, queries: DataFrame, k: Int,
+                 nProbe: Int = 4, maxQueries: Long = 10000L): DataFrame = {
+    val rq = rotateVectors(
+        queries.select(col("query_id"), col("query_vec")), "query_vec",
+        index.rotation, "rot")
+      .select(col("query_id"), col("rot").as("query_vec"))
+    Pq.queryIndex(index.pq, rq, k, nProbe, maxQueries)
+  }
+}

@@ -806,9 +806,13 @@ object SimilaritySuite extends QuerySuite {
             SELECT vec_id, cell, CAST(rank AS INTEGER) AS rank
             FROM capped WHERE rank <= 40 ORDER BY vec_id"""))
 
-  private lazy val ivfPqOracleSql: String =
-    s"""WITH e AS (
-               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The IVF-PQ pipeline replay, parameterized on the corpus CTE so the
+    * OPQ gate can substitute a ROTATED corpus and reuse every stage
+    * (normalize, subspace split, seed codebooks, argmin encode, probe
+    * selection, LUT, sub-ordered ADC fold) verbatim.
+    */
+  private def ivfPqOracleSqlFrom(eCte: String): String =
+    s"""WITH $eCte,
              n AS (
                SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
                FROM (SELECT vec_id, v,
@@ -883,6 +887,42 @@ object SimilaritySuite extends QuerySuite {
              SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
                ROUND(adc, 6) AS adc
              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  private lazy val ivfPqOracleSql: String = ivfPqOracleSqlFrom(
+    """e AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)""")
+
+  // ---- OPQ: rotate, then the same IVF-PQ pipeline ---------------------
+  // Optimized PQ (Ge et al. 2013) with the FIXED Pythagorean Givens
+  // rotation (cos 0.6 / sin 0.8 on disjoint dim pairs — both engines
+  // parse identical double literals, and the relational mat-vec's
+  // zero terms fold as IEEE-exact +0.0, so the dense Spark fold equals
+  // the sparse SQL restatement bit-for-bit). The corpus AND queries
+  // rotate, then the whole seed-codebook IVF-PQ pipeline replays
+  // unchanged — the same oracle builder with a rotated corpus CTE. The
+  // LEARNED rotation (opqTrain: Lloyd ⊕ Procrustes-by-polar-Newton) is
+  // the production path, pinned in OpqSpec (monotone qerr, ≥ raw-PQ
+  // encode, known-rotation recovery, recall floor on the clustered
+  // fixture, stored-index round-trip).
+  private val embeddingOpq = GraftQuery(
+    "q_embedding_opq",
+    (s, d) =>
+      graft.operators.Opq.opqTopK(
+          embeddings(s, d), queryVectors(s, d),
+          graft.operators.Opq.givensRotation(64), k = 3,
+          nCells = 16, nProbe = 4, m = 8, ksub = 16)
+        .orderBy(asc("query_id"), asc("rank")),
+    Some(ivfPqOracleSqlFrom(
+      """e0 AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+               FROM embeddings),
+             e AS (
+               SELECT vec_id, list_transform(generate_series(1, 64),
+                 i -> CASE WHEN (i % 2) = 1
+                      THEN 0.6 * v0[i] - 0.8 * v0[i + 1]
+                      ELSE 0.8 * v0[i - 1] + 0.6 * v0[i] END) AS v
+               FROM e0)""")))
 
   // ---- Matryoshka prefix retrieval ------------------------------------
   // Adaptive retrieval under a dimension-truncated representation
@@ -971,5 +1011,6 @@ object SimilaritySuite extends QuerySuite {
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
         ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize,
         semanticDedup, randomProjQ, pqCodes, ivfPq, ivfPqStored,
-        ivfPqResidual, ivfPqRerankQ, clusterBalance, mrlTopKQ, mrlRerankQ)
+        ivfPqResidual, ivfPqRerankQ, embeddingOpq, clusterBalance,
+        mrlTopKQ, mrlRerankQ)
 }

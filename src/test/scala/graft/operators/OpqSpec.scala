@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class OpqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def corpus = graft.Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding")
+  private def clustered = graft.Tables.clusteredEmbeddings(spark, sf)
+
+  private def maxAbsDiff(a: Array[Array[Double]],
+                         b: Array[Array[Double]]): Double =
+    a.zip(b).map { case (ra, rb) =>
+      ra.zip(rb).map { case (x, y) => math.abs(x - y) }.max }.max
+
+  test("givensRotation is orthogonal and preserves cosines") {
+    val r = Opq.givensRotation(64).map(_.toArray).toArray
+    val rrt = Opq.matmul(r, Opq.transpose(r))
+    val id = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    assert(maxAbsDiff(rrt, id) < 1e-12, "R·Rᵀ != I")
+    // cosine invariance through the relational rotation
+    val rot = Opq.rotateVectors(corpus.filter($"vec_id" < 20), "embedding",
+      Opq.givensRotation(64), "rot")
+    val check = rot.select($"vec_id",
+        Similarity.cosine(Similarity.asDouble($"embedding"),
+          Similarity.asDouble($"embedding")).as("c0"))
+      .collect() // warm the plan; real check below
+    val pairs = rot.as("a").crossJoin(rot.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select(
+        Similarity.cosine(Similarity.asDouble($"a.embedding"),
+          Similarity.asDouble($"b.embedding")).as("orig"),
+        Similarity.cosine($"a.rot", $"b.rot").as("rotd"))
+      .collect()
+    assert(pairs.nonEmpty && check.nonEmpty)
+    pairs.foreach(p => assert(
+      math.abs(p.getDouble(0) - p.getDouble(1)) < 1e-9,
+      s"cosine not preserved: ${p.getDouble(0)} vs ${p.getDouble(1)}"))
+  }
+
+  test("rotateVectors matches a driver-side mat-vec") {
+    val r = Opq.givensRotation(64)
+    val v = corpus.filter($"vec_id" === 5L)
+      .select(Similarity.asDouble($"embedding")).as[Seq[Double]].head()
+    val expected = r.map(row => row.zip(v).map { case (w, x) => w * x }.sum)
+    val got = Opq.rotateVectors(corpus.filter($"vec_id" === 5L),
+        "embedding", r, "rot")
+      .select($"rot").as[Seq[Double]].head()
+    expected.zip(got).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-12, s"$e vs $g") }
+  }
+
+  test("procrustes recovers a known rotation from M = Σ x·yᵀ") {
+    // y = Q·x for 200 embedding vectors; the Procrustes minimizer of
+    // Σ‖R·x − y‖² must be Q itself (S = Σ x·xᵀ is full-rank here)
+    val q = Opq.givensRotation(64).map(_.toArray).toArray
+    val xs = corpus.filter($"vec_id" < 200)
+      .select(Similarity.asDouble($"embedding")).as[Seq[Double]]
+      .collect().map(_.toArray)
+    val mm = Array.ofDim[Double](64, 64)
+    xs.foreach { x =>
+      val y = q.map(row => row.zip(x).map { case (w, xi) => w * xi }.sum)
+      var i = 0
+      while (i < 64) {
+        var j = 0
+        while (j < 64) { mm(i)(j) += x(i) * y(j); j += 1 }
+        i += 1
+      }
+    }
+    val r = Opq.procrustes(mm)
+    assert(maxAbsDiff(r, q) < 1e-8,
+      s"recovered rotation off by ${maxAbsDiff(r, q)}")
+  }
+
+  test("opqTrain: monotone qerr history; beats raw PQ on misaligned clusters") {
+    // scramble the clustered fixture with a fixed rotation so the
+    // cluster/variance structure straddles PQ's subspace boundaries —
+    // the regime OPQ exists for; raw PQ cannot undo the mixing, the
+    // learned R can
+    val mixed = Opq.rotateVectors(clustered, "embedding",
+        Opq.givensRotation(64), "rot")
+      .select($"vec_id", $"rot".as("embedding"))
+      .localCheckpoint(true)
+    val rawErr = Pq.encode(mixed,
+        Pq.trainCodebooks(mixed, m = 8, ksub = 16, maxIter = 2)._1, m = 8)
+      .agg(sum($"qerr")).head().getDouble(0)
+    val (r, cb, hist) = Opq.opqTrain(mixed, m = 8, ksub = 16,
+      outerIters = 3, lloydIters = 2)
+    hist.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a * 1.001 + 1e-9,
+        s"opq qerr rose: $a -> $b (history $hist)")
+      case _         =>
+    }
+    val opqErr = hist.last
+    assert(opqErr <= rawErr + 1e-9,
+      s"OPQ should encode no worse than raw PQ: raw $rawErr opq $opqErr")
+    // the learned rotation is genuinely orthogonal
+    val rr = r.map(_.toArray).toArray
+    val rrt = Opq.matmul(rr, Opq.transpose(rr))
+    val id = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    assert(maxAbsDiff(rrt, id) < 1e-8, "learned R drifted off orthogonal")
+    assert(cb.count() == 8 * 16)
+  }
+
+  test("opqTopK recall >= raw ivfPqTopK recall on the clustered fixture") {
+    val c = clustered.localCheckpoint(true)
+    val qs = c.filter($"vec_id" % 25 === 11).limit(20)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      .localCheckpoint(true)
+    val exact = Similarity.bruteForceTopK(c, qs, k = 5)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val raw = recallOf(Pq.ivfPqTopK(c, qs, k = 5, nCells = 8, nProbe = 4,
+      m = 8, ksub = 16, trainIters = 2))
+    val (r, _, _) = Opq.opqTrain(c, m = 8, ksub = 16, outerIters = 2,
+      lloydIters = 2)
+    val opq = recallOf(Opq.opqTopK(c, qs, r, k = 5, nCells = 8, nProbe = 4,
+      m = 8, ksub = 16, trainIters = 2))
+    assert(opq >= raw - 0.05,
+      s"OPQ recall $opq fell below raw PQ recall $raw")
+  }
+
+  test("stored index round-trip: queryIndex == opqTopK; stamps enforced") {
+    val path = java.nio.file.Files.createTempDirectory("opq_idx").toString
+    val r = Opq.givensRotation(64)
+    Opq.saveIndex(corpus, path, r, nCells = 8, m = 8, ksub = 16)
+    val qs = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val direct = Opq.opqTopK(corpus, qs, r, k = 5, nCells = 8, nProbe = 4,
+        m = 8, ksub = 16)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val stored = Opq.queryIndex(Opq.loadIndex(spark, path), qs, k = 5,
+        nProbe = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(stored == direct)
+    // a foreign stamp is rejected loudly
+    val bad = java.nio.file.Files.createTempDirectory("opq_bad").toString
+    spark.range(1).select(lit(0).as("row_idx"),
+        array(lit(1.0)).as("rv"), lit("other-format-v9").as("rotation_format"))
+      .write.mode("overwrite").parquet(s"$bad/rotation")
+    val ex = intercept[IllegalArgumentException] {
+      Opq.loadIndex(spark, bad)
+    }
+    assert(ex.getMessage.contains("rebuild"))
+  }
+}
