@@ -153,4 +153,88 @@ object SetSimJoin {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** The ASYMMETRIC member: every DIRECTED pair (a, b, a ≠ b) with
+    * containment |A∩B| / |A| ≥ `threshold` — "a's set is mostly inside
+    * b's" — the quote/inclusion/boilerplate-reuse detector Jaccard
+    * structurally misses (a 50-token quote inside a 5000-token page has
+    * containment 1.0 and Jaccard ≈ 0.01). Exact, recall 1.0 by
+    * construction, same machinery as [[jaccardPairs]] with the
+    * containment-shaped filters:
+    *
+    *  - only the CONTAINED side prefixes: |A∩B| ≥ ⌈t·nₐ⌉ forces A's
+    *    first nₐ − ⌈t·nₐ⌉ + 1 rarest tokens to intersect B ANYWHERE, so
+    *    candidates are A-prefix rows against B's full (slim, id-only)
+    *    token instances — the inverted-index join; bucket volume per
+    *    token is its corpus df, which is why the skew guard here caps
+    *    the df of PREFIX tokens (rarest-of-each-doc, small by
+    *    construction, loud when not);
+    *  - size filter: n_b ≥ ⌈t·nₐ⌉ (B must have room for the overlap);
+    *  - the positional filter carries over verbatim: both sides sort in
+    *    the same global (df, tok) order, so min-position aggregation
+    *    finds the globally minimal shared token and overlap ≤
+    *    min(nₐ−pₐ, n_b−p_b);
+    *  - survivors fetch both sorted arrays once for the exact verify.
+    *
+    * Both directions of an exact duplicate pair emit (containment 1.0
+    * each way) — callers wanting undirected semantics filter a < b.
+    * Output: (a, b, inter, containment), containment rounded to 6 dp.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, toksCol: String,
+                       threshold: Double,
+                       maxBucket: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentPairs: threshold must be in (0,1], got $threshold")
+    val sets = graft.plans.Lineage.cut(
+      docs.select(col(idCol).as("sid"),
+        array_distinct(col(toksCol)).as("set"))
+      .filter(size(col("set")) >= 1))
+    val inst = sets.select(col("sid"), explode(col("set")).as("tok"))
+    val dfreq = inst.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = graft.plans.Lineage.cut(
+      inst.join(dfreq, Seq("tok"))
+        .groupBy("sid")
+        .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+          x => x.getField("tok")).as("stoks"))
+        .select(col("sid"), col("stoks"), size(col("stoks")).as("n")))
+    // contained-side prefix (epsilon ceiling — the jaccardPairs lesson)
+    val pref = ranked.select(col("sid"), col("n"),
+      posexplode(slice(col("stoks"), lit(1),
+        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+          .cast("int"))).as(Seq("pos", "tok")))
+    // container side: FULL slim instance rows with positions
+    val full = ranked.select(col("sid"), col("n"),
+      posexplode(col("stoks")).as(Seq("pos", "tok")))
+    // guard on prefix-token corpus df — the per-token candidate volume
+    val chk = pref.join(dfreq, Seq("tok"))
+      .agg(max_by(struct(col("tok"), col("df")), col("df")).as("w"))
+      .select(
+        when(coalesce(col("w.df"), lit(0L)) > maxBucket,
+          raise_error(concat(lit("containmentPairs: prefix token '"),
+            col("w.tok"), lit("' has corpus df "), col("w.df"),
+            lit(s" (> maxBucket=$maxBucket); raise the threshold, " +
+              "pre-dedup, or raise maxBucket knowingly"))))
+          .otherwise(lit(1)).as("guard_ok"))
+    val a = pref.select(col("tok"), col("sid").as("a"),
+      col("n").as("na"), col("pos").as("pa"))
+    val b = full.select(col("tok"), col("sid").as("b"),
+      col("n").as("nb"), col("pos").as("pb"))
+    val alpha = ceil(lit(threshold) * col("na") - lit(1e-9))
+    val candIds = a.join(b, Seq("tok")).filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
+      .filter(col("nb") >= alpha &&
+        least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
+      .select(col("a"), col("b"), col("na"))
+    val cand = candIds
+      .join(ranked.select(col("sid").as("a"), col("stoks").as("ta")), Seq("a"))
+      .join(ranked.select(col("sid").as("b"), col("stoks").as("tb")), Seq("b"))
+      .crossJoin(broadcast(chk))
+    cand.select(col("a"), col("b"), col("na"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("long") *
+          col("guard_ok").cast("long")).as("inter"))
+      .select(col("a"), col("b"), col("inter"),
+        round(col("inter") / col("na").cast("double"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 }

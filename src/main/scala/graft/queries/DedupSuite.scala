@@ -700,9 +700,94 @@ object DedupSuite extends QuerySuite {
              WHERE jaccard >= 0.8 ORDER BY a, b"""),
     headline = true)
 
+  // ---- exact containment join (asymmetric prefix filtering) ----------
+  // The DIRECTED twin of q_setsim_join: every pair where a's shingle
+  // set is ≥ 90% inside b's — the quote/inclusion detector Jaccard
+  // structurally misses. Corpus construction makes the asymmetry real:
+  // every 20th doc is truncated to its FIRST HALF under a new id, so
+  // the half is contained in the whole (containment ≈ 1 one way,
+  // Jaccard ≈ 0.5 — invisible at the 0.8 Jaccard gate). The oracle
+  // replays shingling, the contained-side-only prefix, the
+  // inverted-index candidate join, and the |A∩B|/|A| verify.
+  private val containmentJoin = GraftQuery(
+    "q_containment_join",
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val halves = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 12)
+        .select(col("doc_id"),
+          // floor() in BOTH engines: Spark's int cast truncates 3.5 → 3
+          // but DuckDB's CAST(3.5 AS INT) rounds to 4
+          concat_ws(" ", slice(col("tk"), lit(1),
+            floor(size(col("tk")) / 2).cast("int"))).as("text"))
+      val corpus = base.unionByName(halves)
+      val sh = corpus
+        .repartition(2 * s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("tk")) - 4),
+            g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15), 16, 10).cast("long")).as("shingles"))
+      graft.operators.SetSimJoin
+        .containmentPairs(sh, "doc_id", "shingles", threshold = 0.9)
+        .orderBy(asc("a"), asc("b"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, text FROM documents),
+             halves AS (
+               SELECT doc_id + 2000000 AS doc_id,
+                 array_to_string(list_slice($toksSql,
+                   1, CAST(floor(len($toksSql) / 2) AS INT)), ' ') AS text
+               FROM documents
+               WHERE doc_id % 20 = 0 AND len($toksSql) >= 12),
+             corpus AS (
+               SELECT * FROM base UNION ALL SELECT * FROM halves),
+             tk AS (
+               SELECT doc_id, $toksSql AS t FROM corpus
+               WHERE len($toksSql) >= 5),
+             sets AS (
+               SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(t) - 4),
+                 g -> CAST(('0x' || substr(md5(
+                   array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                   AS BIGINT)))
+                 AS st
+               FROM tk),
+             inst AS (
+               SELECT doc_id, unnest(st) AS tok FROM sets),
+             dfq AS (SELECT tok, COUNT(*) AS df FROM inst GROUP BY tok),
+             ranked AS (
+               SELECT i.doc_id,
+                 list(i.tok ORDER BY d.df, i.tok) AS stoks,
+                 COUNT(*) AS n
+               FROM inst i JOIN dfq d USING (tok) GROUP BY i.doc_id),
+             pref AS (
+               SELECT doc_id, n,
+                 unnest(list_slice(stoks, 1,
+                   CAST(n - CEIL(0.9 * n - 1e-9) + 1 AS INT))) AS tok
+               FROM ranked),
+             cand AS (
+               SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
+               FROM pref p JOIN inst i USING (tok)
+               WHERE p.doc_id <> i.doc_id),
+             scored AS (
+               SELECT c.a, c.b,
+                 CAST(len(list_intersect(ra.stoks, rb.stoks)) AS BIGINT)
+                   AS inter,
+                 ROUND(len(list_intersect(ra.stoks, rb.stoks)) * 1.0 /
+                   ra.n, 6) AS containment
+               FROM cand c
+               JOIN ranked ra ON ra.doc_id = c.a
+               JOIN ranked rb ON rb.doc_id = c.b)
+             SELECT a, b, inter, containment FROM scored
+             WHERE containment >= 0.9 ORDER BY a, b"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, skewGuard,
     minhashSharded, crossShard, crossShardNear, incrementalDedup,
     incrementalNearDup, minhash10x, simhashSignatures, simhashPairs,
-    setSimJoin)
+    setSimJoin, containmentJoin)
 }

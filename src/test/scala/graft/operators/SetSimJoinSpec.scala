@@ -68,6 +68,63 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
   }
 
+  private def bruteContainment(rows: Seq[(Long, String)],
+                               t: Double): Set[(Long, Long, Long, Double)] = {
+    val sets = rows.map { case (id, s) => id -> s.split(" ").toSet }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = (sa & sb).size.toLong
+      c = r6(inter.toDouble / sa.size)
+      if c >= t
+    } yield (a, b, inter, c)).toSet
+  }
+
+  private def engineContainment(rows: Seq[(Long, String)],
+                                t: Double): Set[(Long, Long, Long, Double)] =
+    SetSimJoin.containmentPairs(toks(rows), "doc_id", "toks", t)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+  test("containment: exactness vs brute force across thresholds, directed") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val rows = (0L until 50L).map { id =>
+      val n = 2 + rnd.nextInt(10)
+      id -> rnd.shuffle(vocab).take(n).mkString(" ")
+    }
+    for (t <- Seq(0.5, 0.6, 0.75, 0.9, 1.0)) {
+      assert(engineContainment(rows, t) == bruteContainment(rows, t),
+        s"threshold $t")
+    }
+  }
+
+  test("containment: a small quote inside a large page (the Jaccard blind spot)") {
+    val page = (0 until 200).map(i => s"p$i").mkString(" ")
+    val quote = (10 until 30).map(i => s"p$i").mkString(" ")
+    val rows = Seq((1L, page), (2L, quote), (3L, "x1 x2 x3"))
+    val got = engineContainment(rows, 1.0)
+    // quote ⊆ page: containment(2→1) = 1.0; the reverse is 0.1
+    assert(got.map(p => (p._1, p._2)) == Set((2L, 1L)))
+    // and Jaccard at any sane threshold misses it
+    assert(engine(rows, 0.5).isEmpty)
+  }
+
+  test("containment: subset at t=1.0 needs only the rarest prefix token") {
+    val rows = Seq((1L, "a b c d e f"), (2L, "a b c"), (3L, "b c zz"))
+    val got = engineContainment(rows, 1.0).map(p => (p._1, p._2))
+    assert(got == Set((2L, 1L)))
+  }
+
+  test("containment guard trips on a high-df prefix token, lazily") {
+    val rows = (0L until 20L).map(id => id -> s"common x$id")
+    val df = SetSimJoin.containmentPairs(toks(rows), "doc_id", "toks",
+      threshold = 0.3, maxBucket = 5)
+    val ex = intercept[Exception] { df.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxBucket")), msgs(ex).mkString("|"))
+  }
+
   test("prefix-bucket skew guard trips loudly at execution, lazily at call") {
     val rows = (0L until 20L).map(id => id -> s"common x$id")
     // construction is lazy — no job runs, no error yet
