@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   *    making the candidate exchange O(n²/5) bytes per n-token doc
   *    (~200× amplification on 1k-token web docs — the r12 verdict's one
   *    plan finding). Id-only rows restore corpus-linear shuffle volume:
-  *    measured 87.4 MB → 8.1 MB exchange write on the sf0.1 gate corpus;
+  *    measured 87.4 MB → 29.4 MB total shuffle write on the sf0.1 gate
+  *    corpus (the residual is the rank join and verify fetches);
   *  - the candidate self-join is equi on the prefix token, then the
   *    POSITIONAL filter (Xiao et al. §4): with both docs sorted in the
   *    same global order, every shared token sits at-or-after the
@@ -236,5 +237,143 @@ object SetSimJoin {
       .select(col("a"), col("b"), col("inter"),
         round(col("inter") / col("na").cast("double"), 6).as("containment"))
       .filter(col("containment") >= threshold)
+  }
+
+  // ---- incremental: stored sets, arriving batches ----------------------
+
+  /** Stored-state layout marker (the sig_family / ivfpq convention).
+    * `order=value` is part of the contract: stored arrays sort by TOKEN
+    * VALUE, not global rarity — rarity (df) DRIFTS as the corpus grows,
+    * which would stale every stored prefix; value order is
+    * df-independent, so yesterday's arrays answer tomorrow's batches
+    * unchanged. The price is prefix selectivity (value-order prefixes
+    * are not the rarest tokens), paid only on the incremental path —
+    * the batch [[jaccardPairs]] keeps the rarity order.
+    */
+  private[graft] val SetsFormatStamp = "graft-setsim-v1;order=value"
+
+  /** (sid, stoks [value-sorted distinct tokens], n) — the stored shape. */
+  private def orderedSets(docs: DataFrame, idCol: String,
+                          toksCol: String): DataFrame =
+    docs.select(col(idCol).as("sid"),
+        array_sort(array_distinct(col(toksCol))).as("stoks"))
+      .filter(size(col("stoks")) >= 1)
+      .select(col("sid"), col("stoks"), size(col("stoks")).as("n"))
+
+  /** Persist the corpus' value-ordered sets under `path` — the
+    * build-once state of the incremental near-dup audit (the
+    * [[Dedup]] stored-signatures convention, exact instead of
+    * probabilistic).
+    */
+  def saveSets(docs: DataFrame, idCol: String, toksCol: String,
+               path: String): Unit =
+    orderedSets(docs, idCol, toksCol)
+      .withColumn("setsim_format", lit(SetsFormatStamp))
+      .write.mode("overwrite").parquet(path)
+
+  def loadSets(spark: org.apache.spark.sql.SparkSession,
+               path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("setsim_format"),
+      s"stored set-similarity state at $path has no setsim_format column " +
+      "— not a saveSets table; rebuild with SetSimJoin.saveSets")
+    val stamps = df.select(col("setsim_format")).distinct().limit(2)
+      .collect().map(_.getString(0))
+    require(stamps.length == 1 && stamps.head == SetsFormatStamp,
+      s"stored set-similarity state at $path has layout " +
+      s"'${stamps.mkString(",")}', this build reads '$SetsFormatStamp' — " +
+      "rebuild with SetSimJoin.saveSets")
+    df.drop("setsim_format")
+  }
+
+  /** Append a new batch's sets after an id-collision check (duplicate
+    * ids would pair with themselves and double-answer audits).
+    */
+  def appendSets(spark: org.apache.spark.sql.SparkSession, path: String,
+                 newDocs: DataFrame, idCol: String,
+                 toksCol: String): Unit = {
+    val stored = loadSets(spark, path)
+    val batch = orderedSets(newDocs, idCol, toksCol)
+    val overlap = batch.select("sid")
+      .join(stored.select("sid"), Seq("sid"), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      "setsim appendSets: new batch ids collide with stored ids — " +
+      "re-id the batch or rebuild with saveSets")
+    batch.withColumn("setsim_format", lit(SetsFormatStamp))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Every pair (a, b, inter, jaccard ≥ t) the BATCH introduces against
+    * a stored corpus — stored×batch and batch-internal pairs, each
+    * once (a < b), recall 1.0. The incremental-dedup lifecycle for the
+    * exact join: the stored corpus' sets are read back, never
+    * re-tokenized and never re-sorted (value order is df-free), and
+    * candidate generation exposes value-order prefixes of BOTH sides —
+    * the same prefix/positional mathematics as [[jaccardPairs]] (any
+    * fixed total order works; the minimal-shared-token argument only
+    * needs "a prefix is a prefix of the global order"). Pairs wholly
+    * inside the stored corpus are the PRIOR audits' output and are not
+    * re-emitted: incremental(stored, batch) ∪ prior == rebuild over
+    * stored ∪ batch (spec-pinned).
+    */
+  def incrementalJaccardPairs(spark: org.apache.spark.sql.SparkSession,
+                              path: String, newDocs: DataFrame,
+                              idCol: String, toksCol: String,
+                              threshold: Double,
+                              maxBucket: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"incrementalJaccardPairs: threshold must be in (0,1], got $threshold")
+    val stored = loadSets(spark, path)
+    val batch = graft.plans.Lineage.cut(
+      orderedSets(newDocs, idCol, toksCol))
+    val union = graft.plans.Lineage.cut(stored.unionByName(batch))
+    def prefixes(ranked: DataFrame) = ranked.select(col("sid"), col("n"),
+      posexplode(slice(col("stoks"), lit(1),
+        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+          .cast("int"))).as(Seq("pos", "tok")))
+    val prefAll = prefixes(union)
+    val prefBatch = prefixes(batch)
+    val chk = prefAll.groupBy("tok").agg(count(lit(1)).as("c"))
+      .agg(max_by(struct(col("tok"), col("c")), col("c")).as("w"))
+      .select(
+        when(coalesce(col("w.c"), lit(0L)) > maxBucket,
+          raise_error(concat(lit("incrementalJaccardPairs: prefix token '"),
+            col("w.tok"), lit("' collects "), col("w.c"),
+            lit(s" docs (> maxBucket=$maxBucket); raise the threshold, " +
+              "pre-dedup, or raise maxBucket knowingly"))))
+          .otherwise(lit(1)).as("guard_ok"))
+    val a = prefAll.select(col("tok"), col("sid").as("a"),
+      col("n").as("na"), col("pos").as("pa"))
+    val b = prefBatch.select(col("tok"), col("sid").as("b"),
+      col("n").as("nb"), col("pos").as("pb"))
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("na") + col("nb")) - lit(1e-9))
+    // per-ORIENTATION min positions (batch-internal pairs arrive in both
+    // orientations), positional filter per orientation, THEN normalize
+    // a < b and dedupe
+    val candIds = a.join(b, Seq("tok")).filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
+      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
+      .select(when(col("a") < col("b"),
+          struct(col("a"), col("b"), col("na"), col("nb")))
+        .otherwise(struct(col("b").as("a"), col("a").as("b"),
+          col("nb").as("na"), col("na").as("nb"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .dropDuplicates("a", "b")
+    val cand = candIds
+      .join(union.select(col("sid").as("a"), col("stoks").as("ta")), Seq("a"))
+      .join(union.select(col("sid").as("b"), col("stoks").as("tb")), Seq("b"))
+      .crossJoin(broadcast(chk))
+    cand.select(col("a"), col("b"), col("na"), col("nb"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("long") *
+          col("guard_ok").cast("long")).as("inter"))
+      .select(col("a"), col("b"), col("inter"),
+        round(col("inter") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 }

@@ -785,9 +785,86 @@ object DedupSuite extends QuerySuite {
              SELECT a, b, inter, containment FROM scored
              WHERE containment >= 0.9 ORDER BY a, b"""))
 
+  // ---- incremental exact set-similarity (stored sets + batch) --------
+  // The exact twin of q_incremental_neardup: the corpus' shingle sets
+  // are SAVED (value-sorted — df-free, so stored arrays never go stale
+  // as the corpus grows), and an arriving batch (the nearmark clones)
+  // pairs against them with recall 1.0 — stored×batch and
+  // batch-internal pairs only, prior pairs not re-emitted
+  // (incremental ∪ prior == rebuild, spec-pinned). The oracle replays
+  // the whole value-order pipeline: sorted distinct sets, epsilon
+  // prefixes on BOTH sides, batch-restricted candidates, normalized
+  // pair dedup, intersection verify.
+  private val incrementalSetSim = GraftQuery(
+    "q_incremental_setsim",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"setsim_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      def shingled(df: org.apache.spark.sql.DataFrame) = df
+        .repartition(2 * s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("tk")) - 4),
+            g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15), 16, 10).cast("long")).as("shingles"))
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      graft.operators.SetSimJoin.saveSets(shingled(base), "doc_id",
+        "shingles", path)
+      val batch = shingled(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "nearmark").as("text")))
+      graft.operators.SetSimJoin.incrementalJaccardPairs(s, path, batch,
+          "doc_id", "shingles", threshold = 0.8)
+        .orderBy(asc("a"), asc("b"))
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text, 0 AS isb FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000,
+                      regexp_replace(text, '^\\S+', 'nearmark') AS text,
+                      1 AS isb
+               FROM documents WHERE doc_id % 10 = 0),
+             tk AS (
+               SELECT doc_id, isb, $toksSql AS t FROM corpus
+               WHERE len($toksSql) >= 5),
+             ranked AS (
+               SELECT doc_id, isb,
+                 list_sort(list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   g -> CAST(('0x' || substr(md5(
+                     array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                     AS BIGINT)))) AS stoks
+               FROM tk),
+             sized AS (
+               SELECT doc_id, isb, stoks, len(stoks) AS n FROM ranked),
+             pref AS (
+               SELECT doc_id, isb,
+                 unnest(list_slice(stoks, 1,
+                   CAST(n - CEIL(0.8 * n - 1e-9) + 1 AS INT))) AS tok
+               FROM sized),
+             cand AS (
+               SELECT DISTINCT least(p1.doc_id, p2.doc_id) AS a,
+                 greatest(p1.doc_id, p2.doc_id) AS b
+               FROM pref p1 JOIN pref p2 USING (tok)
+               WHERE p1.doc_id <> p2.doc_id AND p2.isb = 1),
+             scored AS (
+               SELECT c.a, c.b,
+                 CAST(len(list_intersect(ra.stoks, rb.stoks)) AS BIGINT)
+                   AS inter,
+                 ROUND(len(list_intersect(ra.stoks, rb.stoks)) * 1.0 /
+                   (ra.n + rb.n - len(list_intersect(ra.stoks, rb.stoks))),
+                   6) AS jaccard
+               FROM cand c
+               JOIN sized ra ON ra.doc_id = c.a
+               JOIN sized rb ON rb.doc_id = c.b)
+             SELECT a, b, inter, jaccard FROM scored
+             WHERE jaccard >= 0.8 ORDER BY a, b"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, skewGuard,
     minhashSharded, crossShard, crossShardNear, incrementalDedup,
     incrementalNearDup, minhash10x, simhashSignatures, simhashPairs,
-    setSimJoin, containmentJoin)
+    setSimJoin, containmentJoin, incrementalSetSim)
 }

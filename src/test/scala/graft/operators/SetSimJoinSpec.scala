@@ -125,6 +125,56 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("maxBucket")), msgs(ex).mkString("|"))
   }
 
+  test("incremental: batch pairs == rebuild restricted to batch members") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 35).map(i => s"w$i")
+    def mk(ids: Range) = ids.map { id =>
+      val n = 3 + rnd.nextInt(8)
+      id.toLong -> rnd.shuffle(vocab).take(n).mkString(" ")
+    }
+    val stored = mk(0 until 40)
+    val batch = mk(100 until 130)
+    val all = stored ++ batch
+    val path = java.nio.file.Files.createTempDirectory("setsim_inc").toString
+    SetSimJoin.saveSets(toks(stored), "doc_id", "toks", path)
+    for (t <- Seq(0.5, 0.75, 1.0)) {
+      val inc = SetSimJoin.incrementalJaccardPairs(spark, path,
+          toks(batch), "doc_id", "toks", t)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batchIds = batch.map(_._1).toSet
+      val expected = brute(all, t)
+        .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+      assert(inc == expected, s"threshold $t")
+      // incremental ∪ prior == rebuild over the union
+      assert(inc ++ brute(stored, t) == brute(all, t), s"threshold $t union")
+    }
+  }
+
+  test("incremental: append grows the stored state; collisions rejected") {
+    val rows1 = Seq((1L, "a b c"), (2L, "d e f"))
+    val rows2 = Seq((3L, "a b c"), (4L, "g h i"))
+    val path = java.nio.file.Files.createTempDirectory("setsim_app").toString
+    SetSimJoin.saveSets(toks(rows1), "doc_id", "toks", path)
+    SetSimJoin.appendSets(spark, path, toks(rows2), "doc_id", "toks")
+    // a later batch pairs against BOTH stored generations
+    val inc = SetSimJoin.incrementalJaccardPairs(spark, path,
+        toks(Seq((9L, "a b c"))), "doc_id", "toks", 1.0)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(inc.map(p => (p._1, p._2)) == Set((1L, 9L), (3L, 9L)))
+    intercept[IllegalArgumentException] {
+      SetSimJoin.appendSets(spark, path, toks(Seq((3L, "zz"))),
+        "doc_id", "toks")
+    }
+    // foreign stamps are rejected loudly
+    val bad = java.nio.file.Files.createTempDirectory("setsim_bad").toString
+    toks(rows1).withColumn("setsim_format", lit("other-v9"))
+      .write.mode("overwrite").parquet(bad)
+    val ex = intercept[IllegalArgumentException] {
+      SetSimJoin.loadSets(spark, bad)
+    }
+    assert(ex.getMessage.contains("rebuild"))
+  }
+
   test("prefix-bucket skew guard trips loudly at execution, lazily at call") {
     val rows = (0L until 20L).map(id => id -> s"common x$id")
     // construction is lazy — no job runs, no error yet
