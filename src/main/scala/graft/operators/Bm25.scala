@@ -374,6 +374,17 @@ object Bm25 {
     * The returned frame is one row; nothing here is collected beyond
     * the two guard counts and the stats row (both O(1)).
     */
+  /** Radix-bucket count for the two-level compiled map. Spark's
+    * `element_at` on a MapType is a LINEAR scan of the entry array —
+    * measured 12 docs/sec on a 79k-query / 168k-term registry with a
+    * flat map (≈ 33M string comparisons per document). Two levels keyed
+    * by `pmod(xxhash64(tok), B)` cut each probe to ~B outer + ~terms/B
+    * inner comparisons (measured 330× faster, ~4k docs/sec on the same
+    * registry) while staying pure relational algebra — no UDF, no
+    * custom expression, scoring bit-identical.
+    */
+  private[graft] val PercolateBuckets = 1024
+
   def compilePercolateTable(index: Bm25Index, queries: DataFrame,
                             maxQueries: Long = 1000000L,
                             maxTermsPerQuery: Int = 64): DataFrame = {
@@ -400,7 +411,11 @@ object Bm25 {
       .select(col("tok"), struct(col("query_id"),
         idf(lit(n), coalesce(col("df"), lit(0L))).as("idf")).as("e"))
       .groupBy("tok").agg(sort_array(collect_list(col("e"))).as("entries"))
+      .groupBy(pmod(xxhash64(col("tok")), lit(PercolateBuckets.toLong))
+        .cast("int").as("bucket"))
       .agg(map_from_entries(collect_list(struct(col("tok"), col("entries"))))
+        .as("inner"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("inner"))))
         .as("qmap"))
       .select(col("qmap"), lit(avgdl).as("avgdl"))
   }
@@ -429,6 +444,42 @@ object Bm25 {
     * [[percolate]] — but with registry capacity bounded by broadcast
     * memory instead of plan size.
     */
+  /** Dev-only instrument: per-doc match-list SIZE with the same probe
+    * plan as [[percolateJoin]] but no fold/explode — isolates the map
+    * probe cost from the per-query aggregation cost.
+    */
+  private[graft] def percolateMatchesOnly(docs: DataFrame,
+                                          compiled: DataFrame,
+                                          k1: Double = 1.2,
+                                          b: Double = 0.75,
+                                          idCol: String = "doc_id",
+                                          textCol: String = "text"): DataFrame = {
+    val tk = col("tk")
+    val dl = size(tk).cast("double")
+    val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / col("avgdl"))
+    val noEntries = array().cast(
+      "array<struct<query_id:bigint,idf:double>>")
+    val matches = flatten(transform(array_sort(array_distinct(tk)), t => {
+      val tf = size(filter(tk, x => x === t)).cast("double")
+      val entries = element_at(
+        element_at(col("qmap"),
+          pmod(xxhash64(t), lit(PercolateBuckets.toLong)).cast("int")), t)
+      transform(coalesce(entries, noEntries), e =>
+        struct(e.getField("query_id").as("qid"),
+          (e.getField("idf") * (tf * (lit(k1) + 1.0)) / (tf + norm))
+            .as("s")))
+    }))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("tk"))
+      .crossJoin(broadcast(compiled))
+    if (sys.env.contains("GRAFT_PERC_EXPLODE_ONLY"))
+      base.select(col("doc_id"), explode(matches).as("e"))
+        .select(col("doc_id"), lit(1L).as("nm"))
+    else
+      base.select(col("doc_id"), size(matches).cast("long").as("nm"))
+  }
+
   def percolateJoin(docs: DataFrame, compiled: DataFrame,
                     threshold: Double, k1: Double = 1.2, b: Double = 0.75,
                     idCol: String = "doc_id",
@@ -441,21 +492,53 @@ object Bm25 {
     val noEntries = array().cast(
       "array<struct<query_id:bigint,idf:double>>")
     // matches in (token-sorted, per-token entry) order; each element is
-    // (qid, one matched term's score contribution)
-    val matches = flatten(transform(array_sort(array_distinct(tk)), t => {
+    // (qid, the token's INDEX in the sorted-distinct array, one matched
+    // term's score contribution) — ti makes the qid-major re-sort below
+    // restore token order WITHIN each query without ever comparing the
+    // float (bit-exact fold order, the engine-wide convention)
+    val matches = flatten(transform(array_sort(array_distinct(tk)), (t, i) => {
       val tf = size(filter(tk, x => x === t)).cast("double")
-      transform(coalesce(element_at(col("qmap"), t), noEntries), e =>
-        struct(e.getField("query_id").as("qid"),
+      // two-level radix probe: element_at(null, t) is null under
+      // non-ANSI, so a missing bucket and a missing token coalesce the
+      // same way
+      val entries = element_at(
+        element_at(col("qmap"),
+          pmod(xxhash64(t), lit(PercolateBuckets.toLong)).cast("int")), t)
+      transform(coalesce(entries, noEntries), e =>
+        struct(e.getField("query_id").as("qid"), i.as("ti"),
           (e.getField("idf") * (tf * (lit(k1) + 1.0)) / (tf + norm))
             .as("s")))
     }))
-    // per-query fold over the (order-preserving) filtered match list —
-    // token order within each query, the engine-wide fold convention
-    val perQ = transform(array_distinct(transform(col("m"),
-        m => m.getField("qid"))), q =>
-      struct(q.as("query_id"),
-        round(aggregate(filter(col("m"), m => m.getField("qid") === q),
-          lit(0.0), (acc, m) => acc + m.getField("s")), 6).as("score")))
+    // ONE qid-major pass: sort by (qid, ti) and segment-fold — the
+    // first cut re-scanned the match list once per distinct query
+    // (transform(qids, q => filter(m, qid == q))), an O(Q·M) per-row
+    // layer that dominated the 79k-query profile 7:1 over the map
+    // probes themselves (BASELINE round 13); the segment fold is
+    // O(M log M + segments²-copies) and references `m` exactly once
+    val noPairs = array().cast("array<struct<query_id:bigint,score:double>>")
+    def closed(acc: Column) = concat(acc.getField("res"),
+      array(struct(acc.getField("cq").as("query_id"),
+        acc.getField("cs").as("score"))))
+    val folded = aggregate(
+      array_sort(col("m")),
+      struct(noPairs.as("res"), lit(null).cast("bigint").as("cq"),
+        lit(0.0).as("cs")),
+      (acc, e) =>
+        when(acc.getField("cq").isNull,
+          struct(acc.getField("res").as("res"),
+            e.getField("qid").as("cq"), e.getField("s").as("cs")))
+        .when(e.getField("qid") === acc.getField("cq"),
+          struct(acc.getField("res").as("res"),
+            acc.getField("cq").as("cq"),
+            (acc.getField("cs") + e.getField("s")).as("cs")))
+        .otherwise(
+          struct(closed(acc).as("res"), e.getField("qid").as("cq"),
+            e.getField("s").as("cs"))),
+      acc => when(acc.getField("cq").isNull, acc.getField("res"))
+        .otherwise(closed(acc)))
+    val perQ = transform(folded, p =>
+      struct(p.getField("query_id").as("query_id"),
+        round(p.getField("score"), 6).as("score")))
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("tk"))
