@@ -783,7 +783,8 @@ object DedupSuite extends QuerySuite {
                JOIN ranked ra ON ra.doc_id = c.a
                JOIN ranked rb ON rb.doc_id = c.b)
              SELECT a, b, inter, containment FROM scored
-             WHERE containment >= 0.9 ORDER BY a, b"""))
+             WHERE containment >= 0.9 ORDER BY a, b"""),
+    headline = true)
 
   // ---- incremental exact set-similarity (stored sets + batch) --------
   // The exact twin of q_incremental_neardup: the corpus' shingle sets
@@ -860,7 +861,8 @@ object DedupSuite extends QuerySuite {
                JOIN sized ra ON ra.doc_id = c.a
                JOIN sized rb ON rb.doc_id = c.b)
              SELECT a, b, inter, jaccard FROM scored
-             WHERE jaccard >= 0.8 ORDER BY a, b"""))
+             WHERE jaccard >= 0.8 ORDER BY a, b"""),
+    headline = true)
 
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, skewGuard,
