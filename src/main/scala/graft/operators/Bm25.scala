@@ -397,6 +397,14 @@ object Bm25 {
       .select(col("n").cast("long"), col("sum_dl").cast("long")).head()
     val n = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / n
+    // null query_id is a loud error, not a row to drop: the segment
+    // fold in percolateJoin uses a null accumulator as its
+    // "no open segment" sentinel, and a null registry id would alias it
+    val nNull = queries.filter(col("query_id").isNull ||
+      col("query_id").cast("long").isNull).limit(1).count()
+    require(nNull == 0L,
+      "compilePercolateTable: registry has null (or non-numeric) " +
+      "query_id rows — every registered query needs a long id")
     val qt = queries.select(col("query_id").cast("long").as("query_id"),
       explode(array_distinct(TextFunctions.tokens(col("query_text"))))
         .as("tok"))

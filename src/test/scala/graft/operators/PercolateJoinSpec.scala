@@ -134,6 +134,18 @@ class PercolateJoinSpec extends AnyFunSuite {
     assert(out.filter($"doc_id" === 999999L).count() == 0)
   }
 
+  test("a null registry query_id is rejected at compile, not mis-folded") {
+    // the percolateJoin segment fold uses a null accumulator qid as its
+    // "no open segment" sentinel — a null registry id would alias it
+    val qs = Seq((java.lang.Long.valueOf(1L), "the quick"),
+        (null.asInstanceOf[java.lang.Long], "spark hash"))
+      .toDF("query_id", "query_text")
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.compilePercolateTable(index, qs)
+    }
+    assert(ex.getMessage.contains("null"))
+  }
+
   test("guards: empty registry, oversized query, bad threshold") {
     val empty = Seq.empty[(Long, String)].toDF("query_id", "query_text")
     intercept[IllegalArgumentException] {
