@@ -59,7 +59,12 @@ object ProfilePercolate {
     val t0 = System.nanoTime()
     val compiled = graft.operators.Bm25.compilePercolateTable(idx, reg)
       .persist()
-    val nTerms = compiled.select(size(map_keys(col("qmap")))).head().getInt(0)
+    // qmap is two-level (radix bucket → term map): the outer key count
+    // is the bucket count (capped at 1024), so distinct terms = sum of
+    // INNER map sizes
+    val nTerms = compiled.select(
+      aggregate(map_values(col("qmap")), lit(0),
+        (acc, m) => acc + size(m))).head().getInt(0)
     val compileSec = (System.nanoTime() - t0) / 1e9
 
     if (sys.env.contains("GRAFT_PERC_EXPLAIN")) {

@@ -84,9 +84,19 @@ object Tables {
     val base = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val dim = base.select(size(col("v"))).head().getInt(0)
-    require(nClusters >= 1 && nClusters + 1 < dim,
-      s"clusteredEmbeddings: need 1 <= nClusters ($nClusters) and " +
-      s"nClusters+2 direction/source rows within dim ($dim)")
+    // the real dependency is on CORPUS ROWS, not the vector dimension:
+    // centers are rows vec_id < nClusters and the two direction vectors
+    // are rows nClusters / nClusters+1 — an undersized corpus would
+    // otherwise pass a dim-based check and silently emit an EMPTY frame
+    // through the empty broadcast direction joins
+    require(nClusters >= 1,
+      s"clusteredEmbeddings: need nClusters >= 1, got $nClusters")
+    val nSeed = base.filter(col("vec_id") >= 0 &&
+      col("vec_id") < nClusters + 2).count()
+    require(nSeed == nClusters + 2L,
+      s"clusteredEmbeddings: corpus must contain rows vec_id 0..${
+        nClusters + 1} (centers + 2 direction vectors); found $nSeed of ${
+        nClusters + 2}")
     val centers = base.filter(col("vec_id") < nClusters)
       .select((col("vec_id") % nClusters).as("cid"), col("v").as("cv"))
     def maskedDir(id: Int, name: String) =

@@ -408,9 +408,16 @@ object Bm25 {
     val qt = queries.select(col("query_id").cast("long").as("query_id"),
       explode(array_distinct(TextFunctions.tokens(col("query_text"))))
         .as("tok"))
-    val worst = qt.groupBy("query_id").agg(count(lit(1)).as("c"))
+    val worstRow = qt.groupBy("query_id").agg(count(lit(1)).as("c"))
       .agg(max(struct(col("c"), col("query_id"))).as("w")).head()
-      .getStruct(0)
+    // every query_text tokenized to zero terms → qt is empty and the
+    // max-struct aggregate returns a null struct; a registry that can
+    // never match anything is a caller bug, not an NPE
+    require(!worstRow.isNullAt(0),
+      "compilePercolateTable: no registry query tokenizes to any term " +
+      "(all query_text values empty/whitespace) — register non-empty " +
+      "queries")
+    val worst = worstRow.getStruct(0)
     require(worst.getLong(0) <= maxTermsPerQuery,
       s"compilePercolateTable: query ${worst.getLong(1)} has " +
       s"${worst.getLong(0)} terms > $maxTermsPerQuery; tighten the query " +

@@ -864,9 +864,98 @@ object DedupSuite extends QuerySuite {
              WHERE jaccard >= 0.8 ORDER BY a, b"""),
     headline = true)
 
+  // ---- incremental containment (the decontamination registry audit) --
+  // The directed member of the incremental family: the corpus' shingle
+  // sets are frozen under a stored path, and the arriving batch (every
+  // 20th doc's FIRST HALF under a new id — the q_containment_join
+  // plant) is audited both ways against the store with recall 1.0:
+  // stored-side containers catch "arriving doc is inside a prior doc"
+  // (containment ≈ 1 here, since the half ⊆ its source), batch-side
+  // containers catch "a prior doc leaked into the arrival". Pairs
+  // wholly inside the store are prior audits' output and not
+  // re-emitted (incremental ∪ prior == rebuild, spec-pinned). The
+  // oracle replays the whole value-order pipeline: sorted distinct
+  // sets, contained-side epsilon prefixes, candidates restricted to
+  // at-least-one-side-in-batch, exact |A∩B|/|A| verify.
+  private val incrementalContainment = GraftQuery(
+    "q_incremental_containment",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"setsimc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      def shingled(df: org.apache.spark.sql.DataFrame) = df
+        .repartition(2 * s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("tk")) - 4),
+            g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15), 16, 10).cast("long")).as("shingles"))
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      graft.operators.SetSimJoin.saveSets(shingled(base), "doc_id",
+        "shingles", path)
+      val halves = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 12)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("tk"), lit(1),
+            floor(size(col("tk")) / 2).cast("int"))).as("text"))
+      graft.operators.SetSimJoin.incrementalContainmentPairs(s, path,
+          shingled(halves), "doc_id", "shingles", threshold = 0.9)
+        .orderBy(asc("a"), asc("b"))
+    },
+    Some(s"""WITH base AS (
+               SELECT doc_id, text, 0 AS isb FROM documents),
+             halves AS (
+               SELECT doc_id + 2000000 AS doc_id,
+                 array_to_string(list_slice($toksSql,
+                   1, CAST(floor(len($toksSql) / 2) AS INT)), ' ') AS text,
+                 1 AS isb
+               FROM documents
+               WHERE doc_id % 20 = 0 AND len($toksSql) >= 12),
+             corpus AS (
+               SELECT * FROM base UNION ALL SELECT * FROM halves),
+             tk AS (
+               SELECT doc_id, isb, $toksSql AS t FROM corpus
+               WHERE len($toksSql) >= 5),
+             ranked AS (
+               SELECT doc_id, isb,
+                 list_sort(list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   g -> CAST(('0x' || substr(md5(
+                     array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                     AS BIGINT)))) AS stoks
+               FROM tk),
+             sized AS (
+               SELECT doc_id, isb, stoks, len(stoks) AS n FROM ranked),
+             pref AS (
+               SELECT doc_id, isb,
+                 unnest(list_slice(stoks, 1,
+                   CAST(n - CEIL(0.9 * n - 1e-9) + 1 AS INT))) AS tok
+               FROM sized),
+             inst AS (
+               SELECT doc_id, isb, unnest(stoks) AS tok FROM sized),
+             cand AS (
+               SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
+               FROM pref p JOIN inst i USING (tok)
+               WHERE p.doc_id <> i.doc_id AND (p.isb = 1 OR i.isb = 1)),
+             scored AS (
+               SELECT c.a, c.b,
+                 CAST(len(list_intersect(ra.stoks, rb.stoks)) AS BIGINT)
+                   AS inter,
+                 ROUND(len(list_intersect(ra.stoks, rb.stoks)) * 1.0 /
+                   ra.n, 6) AS containment
+               FROM cand c
+               JOIN sized ra ON ra.doc_id = c.a
+               JOIN sized rb ON rb.doc_id = c.b)
+             SELECT a, b, inter, containment FROM scored
+             WHERE containment >= 0.9 ORDER BY a, b"""),
+    headline = true)
+
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, skewGuard,
     minhashSharded, crossShard, crossShardNear, incrementalDedup,
     incrementalNearDup, minhash10x, simhashSignatures, simhashPairs,
-    setSimJoin, containmentJoin, incrementalSetSim)
+    setSimJoin, containmentJoin, incrementalSetSim, incrementalContainment)
 }

@@ -924,6 +924,79 @@ object SimilaritySuite extends QuerySuite {
                       ELSE 0.8 * v0[i - 1] + 0.6 * v0[i] END) AS v
                FROM e0)""")))
 
+  // ---- trained OPQ, end to end through the stored index ---------------
+  // The PRODUCTION OPQ lifecycle in one gate: opqTrain (Lloyd ⊕
+  // Procrustes alternation) on the clustered fixture → saveIndex with
+  // the LEARNED rotation (residual layout) → loadIndex → queryIndex
+  // shortlist → exact rerank against the vector store — the
+  // integration seam q_embedding_opq (fixed Givens rotation, full
+  // value oracle) cannot see, composed the way ANN ships (ADC
+  // shortlist, exact top-k rerank: the q_mrl_rerank/ivfPqRerank
+  // deployment shape — queryIndex itself never touches the corpus, so
+  // the rerank join IS the "fetch vectors by id" lookup). A trained
+  // rotation is deterministic only up to float summation order, so the
+  // oracle is the q_kmeans_centroids convention: SQL-decidable shape
+  // facts (query count, exactly k rows per query) plus a recall floor
+  // against the exact top-k with wide margin. Measured (ProfileOpqGate
+  // decomposition): plain ADC@5 reads 0.11–0.20 on this fixture at
+  // every rotation incl. NONE (within-cluster points are near-ties m=16
+  // codes cannot split — the fixture has 35 distinct positions per
+  // cluster), while shortlist-200 + exact rerank reads 0.95 triple-SF
+  // (shortlist-50 reads 0.55 at sf0.1: exact top-5 there is 5-of-~7
+  // IDENTICAL duplicate copies, and an ADC-tie-broken 50-shortlist
+  // cannot hold every member of a 250-deep tie group — a wide
+  // shortlist/k ratio is the standard answer on tie-dense corpora).
+  // Floor 0.7 guards the integration (a wrong rotation, stale stamp,
+  // mixed artifact, or broken shortlist collapses rerank recall toward
+  // the ADC floor) without flapping on Lloyd's run-to-run summation
+  // noise.
+  private val opqTrained = GraftQuery(
+    "q_opq_trained",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"opq_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val c = graft.Tables.clusteredEmbeddings(s, d).localCheckpoint(true)
+      val qs = c.filter(col("vec_id") % 25 === 11 && col("vec_id") < 1000)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val (r, _, _) = graft.operators.Opq.opqTrain(c, m = 16, ksub = 16,
+        outerIters = 2, lloydIters = 2)
+      graft.operators.Opq.saveIndex(c, path, r, nCells = 16, m = 16,
+        ksub = 16, trainIters = 3, residual = true)
+      val short = graft.operators.Opq.queryIndex(
+          graft.operators.Opq.loadIndex(s, path), qs, k = 200, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val cv = c.select(col("vec_id").as("neighbor_id"),
+        Similarity.asDouble(col("embedding")).as("nv"))
+      val qv = qs.select(col("query_id"),
+        Similarity.asDouble(col("query_vec")).as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(desc("cos"), asc("neighbor_id"))
+      val got = short.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+        .withColumn("cos", Similarity.cosine(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.bruteForceTopK(c, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("nhit"))
+      val nex = exact.agg(count(lit(1)).as("nex"))
+      got.groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("c")).as("n_results"),
+          (min(col("c")) === 5 && max(col("c")) === 5).as("k_ok"))
+        .crossJoin(hits).crossJoin(nex)
+        .select(col("n_queries"), col("n_results"), col("k_ok"),
+          (col("nhit").cast("double") / col("nex") >= 0.7).as("recall_ok"))
+    },
+    Some("""WITH q AS (
+              SELECT COUNT(*) AS nq FROM embeddings
+              WHERE vec_id % 25 = 11 AND vec_id < 1000)
+            SELECT CAST(nq AS BIGINT) AS n_queries,
+              CAST(nq * 5 AS BIGINT) AS n_results,
+              TRUE AS k_ok, TRUE AS recall_ok
+            FROM q"""))
+
   // ---- Matryoshka prefix retrieval ------------------------------------
   // Adaptive retrieval under a dimension-truncated representation
   // (Kusupati et al. 2022): q_mrl_topk pins the prefix-16 EXACT search
@@ -1011,6 +1084,6 @@ object SimilaritySuite extends QuerySuite {
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
         ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize,
         semanticDedup, randomProjQ, pqCodes, ivfPq, ivfPqStored,
-        ivfPqResidual, ivfPqRerankQ, embeddingOpq, clusterBalance,
-        mrlTopKQ, mrlRerankQ)
+        ivfPqResidual, ivfPqRerankQ, embeddingOpq, opqTrained,
+        clusterBalance, mrlTopKQ, mrlRerankQ)
 }

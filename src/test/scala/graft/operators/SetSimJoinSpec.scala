@@ -186,4 +186,58 @@ class SetSimJoinSpec extends AnyFunSuite {
         Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("maxBucket")), msgs(ex).mkString("|"))
   }
+
+  test("incremental containment: batch pairs == rebuild restricted; " +
+       "union with prior == rebuild") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 35).map(i => s"w$i")
+    def mk(ids: Range) = ids.map { id =>
+      val n = 2 + rnd.nextInt(9)
+      id.toLong -> rnd.shuffle(vocab).take(n).mkString(" ")
+    }
+    val stored = mk(0 until 40)
+    // batch includes genuine containment shapes: subsets of stored docs
+    val batch = mk(100 until 120) ++ stored.take(5).map { case (id, s) =>
+      (id + 500L) -> s.split(" ").take(math.max(1, s.split(" ").length / 2))
+        .mkString(" ")
+    }
+    val all = stored ++ batch
+    val path =
+      java.nio.file.Files.createTempDirectory("setsim_incc").toString
+    SetSimJoin.saveSets(toks(stored), "doc_id", "toks", path)
+    for (t <- Seq(0.5, 0.75, 0.9, 1.0)) {
+      val inc = SetSimJoin.incrementalContainmentPairs(spark, path,
+          toks(batch), "doc_id", "toks", t)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batchIds = batch.map(_._1).toSet
+      val expected = bruteContainment(all, t)
+        .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+      assert(inc == expected, s"threshold $t")
+      // incremental ∪ prior == rebuild over the union (directed)
+      assert(inc ++ bruteContainment(stored, t) == bruteContainment(all, t),
+        s"threshold $t union")
+    }
+  }
+
+  test("incremental joins reject batch-stored id collisions eagerly — " +
+       "even when the colliding docs are identical (empty pair output)") {
+    val path =
+      java.nio.file.Files.createTempDirectory("setsim_coll").toString
+    SetSimJoin.saveSets(toks(Seq((1L, "a b c"), (2L, "d e f"))),
+      "doc_id", "toks", path)
+    // the dangerous case: same id, same content — pair output would be
+    // EMPTY (a=b pairs are filtered), so an output-riding lazy guard
+    // would never fire; the eager check must
+    val dup = toks(Seq((1L, "a b c")))
+    val e1 = intercept[IllegalArgumentException] {
+      SetSimJoin.incrementalJaccardPairs(spark, path, dup,
+        "doc_id", "toks", 0.8)
+    }
+    assert(e1.getMessage.contains("collide"))
+    val e2 = intercept[IllegalArgumentException] {
+      SetSimJoin.incrementalContainmentPairs(spark, path, dup,
+        "doc_id", "toks", 0.8)
+    }
+    assert(e2.getMessage.contains("collide"))
+  }
 }
