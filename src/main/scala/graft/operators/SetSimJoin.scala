@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact all-pairs set-similarity join via PREFIX FILTERING (the
@@ -427,6 +427,137 @@ object SetSimJoin {
           (col("na") + col("nb") - col("inter")).cast("double"), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- percolated containment: compiled registry, arriving docs -------
+
+  /** Two-level radix buckets for the compiled registry map — Spark's
+    * `element_at` on MapType is a LINEAR scan (the Bm25 percolation
+    * lesson, 330× measured), so one flat map over a large registry
+    * vocabulary pays O(terms) per probe; bucket → inner-map cuts it to
+    * ~B outer + terms/B inner comparisons.
+    */
+  private[graft] val ProbeBuckets = 1024
+
+  /** Compile a containment registry (the frozen eval/benchmark sets of
+    * a decontamination audit) into ONE relational row:
+    * `qmap: map<bucket, map<tok, array<struct<query_id, nq>>>>` plus
+    * nothing else — containment needs only each query's distinct-token
+    * postings and its set size. The [[graft.operators.Bm25]]
+    * percolate-table convention: registry as broadcast DATA (not plan
+    * literals), probed per-row with zero joins below the ×1-row
+    * broadcast, so the probe side may be a static frame or a stream.
+    *
+    * Eager (compilation is a build step): caps the registry at
+    * `maxQueries` rows and `maxPostings` total distinct-token postings
+    * (the broadcast's size), rejects null ids (the probe's segment
+    * fold uses a null accumulator as its no-open-segment sentinel) and
+    * empty sets (containment |A∩D|/|A| is undefined at |A| = 0).
+    */
+  def compileContainmentRegistry(registry: DataFrame, idCol: String,
+                                 toksCol: String,
+                                 maxQueries: Long = 1000000L,
+                                 maxPostings: Long = 10000000L): DataFrame = {
+    val sets = registry.select(col(idCol).cast("long").as("qid"),
+      array_distinct(col(toksCol)).as("set"))
+    val qn = sets.limit((math.min(maxQueries, Int.MaxValue - 1L) + 1L)
+      .toInt).count()
+    require(qn > 0 && qn <= maxQueries,
+      s"compileContainmentRegistry: registry must have 1..$maxQueries " +
+      s"rows, got $qn")
+    val nBad = sets.filter(col("qid").isNull || size(col("set")) < 1)
+      .limit(1).count()
+    require(nBad == 0L,
+      "compileContainmentRegistry: registry has null/non-numeric ids or " +
+      "empty token sets — every registered query needs a long id and at " +
+      "least one token")
+    val post = sets.select(col("qid"), size(col("set")).as("nq"),
+      explode(col("set")).as("tok"))
+    val nPost = post.limit((math.min(maxPostings, Int.MaxValue - 1L) + 1L)
+      .toInt).count()
+    require(nPost <= maxPostings,
+      s"compileContainmentRegistry: registry has $nPost postings > " +
+      s"$maxPostings — shrink the registry or raise the cap knowingly")
+    post.select(col("tok"),
+        struct(col("qid").as("query_id"), col("nq")).as("e"))
+      .groupBy("tok").agg(sort_array(collect_list(col("e"))).as("entries"))
+      .groupBy(pmod(xxhash64(col("tok")), lit(ProbeBuckets.toLong))
+        .cast("int").as("bucket"))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("entries"))))
+        .as("inner"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("inner"))))
+        .as("qmap"))
+  }
+
+  /** Containment percolation: every (query_id, doc_id, inter,
+    * containment = |A∩D|/|A| ≥ threshold) where A is a compiled
+    * registry set and D an arriving doc's distinct-token set — "the
+    * benchmark leaked into this training document", evaluated fully
+    * IN-ROW against the ×1-row broadcast registry:
+    *
+    *  - the doc's distinct tokens probe the radix-bucketed map (one
+    *    lookup per distinct token);
+    *  - matched postings sort qid-major and ONE segment fold counts
+    *    |A∩D| per query (the Bm25.percolateJoin fold with an integer
+    *    accumulator — no float ever enters the fold, so there is no
+    *    summation-order question at all);
+    *  - alerts explode from the per-query array and threshold on
+    *    inter/nq.
+    *
+    * The plan below the broadcast is scan → project → generate →
+    * filter: stateless, so `docs` may be a Structured Streaming frame
+    * (stream-static join + stateless rows = append-mode legal), the
+    * [[graft.operators.Bm25.percolate]] convention for the exact-set
+    * member of the decontamination family.
+    */
+  def containmentProbe(docs: DataFrame, compiled: DataFrame,
+                       threshold: Double,
+                       idCol: String = "doc_id",
+                       toksCol: String = "toks"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentProbe: threshold must be in (0,1], got $threshold")
+    val noEntries = array().cast(
+      "array<struct<query_id:bigint,nq:int>>")
+    val matches = flatten(transform(array_distinct(col("dtoks")), t =>
+      coalesce(element_at(
+        element_at(col("qmap"),
+          pmod(xxhash64(t), lit(ProbeBuckets.toLong)).cast("int")), t),
+        noEntries)))
+    // qid-major segment fold, integer count accumulator
+    val noPairs =
+      array().cast("array<struct<query_id:bigint,inter:bigint,nq:int>>")
+    def closed(acc: Column) = concat(acc.getField("res"),
+      array(struct(acc.getField("cq").as("query_id"),
+        acc.getField("cn").as("inter"), acc.getField("cnq").as("nq"))))
+    val folded = aggregate(
+      array_sort(col("m")),
+      struct(noPairs.as("res"), lit(null).cast("bigint").as("cq"),
+        lit(0L).as("cn"), lit(0).as("cnq")),
+      (acc, e) =>
+        when(acc.getField("cq").isNull,
+          struct(acc.getField("res").as("res"),
+            e.getField("query_id").as("cq"), lit(1L).as("cn"),
+            e.getField("nq").as("cnq")))
+        .when(e.getField("query_id") === acc.getField("cq"),
+          struct(acc.getField("res").as("res"),
+            acc.getField("cq").as("cq"),
+            (acc.getField("cn") + 1L).as("cn"),
+            acc.getField("cnq").as("cnq")))
+        .otherwise(
+          struct(closed(acc).as("res"), e.getField("query_id").as("cq"),
+            lit(1L).as("cn"), e.getField("nq").as("cnq"))),
+      acc => when(acc.getField("cq").isNull, acc.getField("res"))
+        .otherwise(closed(acc)))
+    docs.filter(size(col(toksCol)) >= 1)
+      .select(col(idCol).as("doc_id"), col(toksCol).as("dtoks"))
+      .crossJoin(broadcast(compiled))
+      .select(col("doc_id"), matches.as("m"))
+      .select(col("doc_id"), explode(folded).as("p"))
+      .select(col("p.query_id").as("query_id"), col("doc_id"),
+        col("p.inter").as("inter"),
+        round(col("p.inter") / col("p.nq").cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** Every DIRECTED pair (a, b, inter, containment = |A∩B|/|A| ≥ t)

@@ -953,9 +953,103 @@ object DedupSuite extends QuerySuite {
              WHERE containment >= 0.9 ORDER BY a, b"""),
     headline = true)
 
+  // ---- streaming containment alerts (percolated registry) ------------
+  // The stream-static member of the decontamination family: the frozen
+  // registry (every 20th doc's FIRST-HALF shingle set under a new id)
+  // is saved, loaded, and compiled into ONE broadcast row of
+  // map<tok, (query_id, nq)> postings; the documents table then
+  // arrives as a REAL stream and each arriving doc is scored fully
+  // in-row — |A∩D|/|A| per registry set via one radix-map probe per
+  // distinct shingle and an integer segment fold (no joins, no
+  // aggregation, no state below the ×1-row broadcast: append-mode
+  // legal by construction, the q_stream_percolate convention with an
+  // exact-set score instead of BM25). Alerts fire at containment ≥
+  // 0.9 — every half hits its source doc at 1.0 by construction. The
+  // count fold is pure integers, so the oracle replays it exactly:
+  // value-sorted distinct sets, full |A∩D| intersection, threshold.
+  private val streamContainment = GraftQuery(
+    "q_stream_containment",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"setsimreg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      def shingles(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("tk")) - 4),
+            g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15), 16, 10).cast("long")).as("shingles"))
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val halves = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 12)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("tk"), lit(1),
+            floor(size(col("tk")) / 2).cast("int"))).as("text"))
+      graft.operators.SetSimJoin.saveSets(shingles(halves), "doc_id",
+        "shingles", path)
+      val compiled = graft.operators.SetSimJoin.compileContainmentRegistry(
+        graft.operators.SetSimJoin.loadSets(s, path), "sid", "stoks")
+      val st = graft.streaming.EventsStream.readTable(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val alerts = graft.operators.SetSimJoin.containmentProbe(
+        shingles(st), compiled, threshold = 0.9,
+        idCol = "doc_id", toksCol = "shingles")
+      graft.streaming.EventsStream.runToCompletion(s, alerts,
+          outputMode = "append")
+        .orderBy(asc("query_id"), asc("doc_id"))
+    },
+    Some(s"""WITH halves AS (
+               SELECT doc_id + 2000000 AS doc_id,
+                 array_to_string(list_slice($toksSql,
+                   1, CAST(floor(len($toksSql) / 2) AS INT)), ' ') AS text
+               FROM documents
+               WHERE doc_id % 20 = 0 AND len($toksSql) >= 12),
+             regtk AS (
+               SELECT doc_id, $toksSql AS t FROM halves
+               WHERE len($toksSql) >= 5),
+             reg AS (
+               SELECT doc_id AS query_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   g -> CAST(('0x' || substr(md5(
+                     array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                     AS BIGINT))) AS qset
+               FROM regtk),
+             doctk AS (
+               SELECT doc_id, $toksSql AS t FROM documents
+               WHERE len($toksSql) >= 5),
+             docs AS (
+               SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   g -> CAST(('0x' || substr(md5(
+                     array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                     AS BIGINT))) AS dset
+               FROM doctk),
+             qinst AS (SELECT query_id, unnest(qset) AS tok FROM reg),
+             dinst AS (SELECT doc_id, unnest(dset) AS tok FROM docs),
+             cand AS (
+               SELECT DISTINCT q.query_id, i.doc_id
+               FROM qinst q JOIN dinst i USING (tok)),
+             scored AS (
+               SELECT c.query_id, c.doc_id,
+                 CAST(len(list_intersect(r.qset, d.dset)) AS BIGINT)
+                   AS inter,
+                 ROUND(len(list_intersect(r.qset, d.dset)) * 1.0 /
+                   len(r.qset), 6) AS containment
+               FROM cand c
+               JOIN reg r ON r.query_id = c.query_id
+               JOIN docs d ON d.doc_id = c.doc_id)
+             SELECT query_id, doc_id, inter, containment FROM scored
+             WHERE containment >= 0.9 ORDER BY query_id, doc_id"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, skewGuard,
     minhashSharded, crossShard, crossShardNear, incrementalDedup,
     incrementalNearDup, minhash10x, simhashSignatures, simhashPairs,
-    setSimJoin, containmentJoin, incrementalSetSim, incrementalContainment)
+    setSimJoin, containmentJoin, incrementalSetSim, incrementalContainment,
+    streamContainment)
 }

@@ -464,7 +464,10 @@ object TextMiningSuite extends QuerySuite {
                  ROUND(list_sum(list(s ORDER BY tok)), 6) AS score
                FROM scored GROUP BY 1, 2)
              SELECT query_id, doc_id, score FROM perdoc
-             WHERE score >= 5.0 ORDER BY query_id, doc_id"""))
+             WHERE score >= 5.0 ORDER BY query_id, doc_id"""),
+    // headline since r14: the radix-bucket probe's 13× win
+    // (BASELINE round 13) is regression-guarded by the bench
+    headline = true)
 
   // ---- hybrid retrieval: BM25 ⊕ dense cosine via RRF ------------------
   // The standard two-tower production shape: sparse (BM25 over

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Percolated containment: a compiled registry probed per-row by
+  * arriving documents. Contracts: exact |A∩D|/|A| equality with a
+  * brute-force restatement, a stateless plan below the ×1-row
+  * broadcast (stream-static legal), streaming append == batch, and
+  * loud compile-time guards.
+  */
+class ContainmentProbeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def setsOf(rows: Seq[(Long, String)]) =
+    rows.toDF("id", "text").select(col("id"),
+      split(col("text"), " ").as("toks"))
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val registry = Seq(
+    (1L, "a b c"),
+    (2L, "d e"),
+    (3L, "a b c d e f g h"))
+  private val docs = Seq(
+    (10L, "a b c x y"),     // contains reg 1 fully
+    (11L, "d e"),           // contains reg 2 fully
+    (12L, "a b d e f g h"), // reg 3 at 7/8, reg 2 fully
+    (13L, "z z2 z3"))       // contains nothing
+
+  private def brute(t: Double): Set[(Long, Long, Long, Double)] = {
+    val reg = registry.map { case (id, s) => id -> s.split(" ").toSet }
+    val ds = docs.map { case (id, s) => id -> s.split(" ").toSet }
+    (for {
+      (q, qs) <- reg; (d, dset) <- ds
+      inter = (qs & dset).size.toLong
+      c = r6(inter.toDouble / qs.size)
+      if c >= t
+    } yield (q, d, inter, c)).toSet
+  }
+
+  private def probe(t: Double): Set[(Long, Long, Long, Double)] = {
+    val compiled = SetSimJoin.compileContainmentRegistry(
+      setsOf(registry), "id", "toks")
+    SetSimJoin.containmentProbe(setsOf(docs), compiled, t,
+        idCol = "id", toksCol = "toks")
+      .as[(Long, Long, Long, Double)].collect().toSet
+  }
+
+  test("probe equals brute-force directed containment across thresholds") {
+    for (t <- Seq(0.3, 0.5, 0.875, 0.9, 1.0))
+      assert(probe(t) == brute(t), s"threshold $t")
+    // and the planted shapes are really there
+    assert(probe(1.0).map(p => (p._1, p._2)) ==
+      Set((1L, 10L), (2L, 11L), (2L, 12L)))
+  }
+
+  test("plan below the broadcast is stateless: no exchange, no aggregate") {
+    val compiled0 = SetSimJoin.compileContainmentRegistry(
+      setsOf(registry), "id", "toks")
+    // materialize the one-row side first so its plan doesn't appear
+    val frozen = {
+      val r = compiled0.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(r.toIndexedSeq), compiled0.schema)
+    }
+    val p = SetSimJoin.containmentProbe(setsOf(docs), frozen, 0.9,
+        idCol = "id", toksCol = "toks")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning") &&
+      !p.contains("ShuffleExchange"),
+      s"containmentProbe plan shuffles:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"containmentProbe plan aggregates:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the x1-row broadcast join:\n$p")
+  }
+
+  test("streaming docs: append-mode run equals the batch run") {
+    implicit val sq = spark.sqlContext
+    val compiled = SetSimJoin.compileContainmentRegistry(
+      setsOf(registry), "id", "toks")
+    def asQuads(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    val batch = asQuads(SetSimJoin.containmentProbe(setsOf(docs),
+      compiled, 0.875, idCol = "id", toksCol = "toks"))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val streamed = in.toDF().toDF("id", "text")
+      .select(col("id"), split(col("text"), " ").as("toks"))
+    val q = SetSimJoin.containmentProbe(streamed, compiled, 0.875,
+        idCol = "id", toksCol = "toks")
+      .writeStream.format("memory").queryName("contain_stream")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    assert(asQuads(spark.table("contain_stream")) == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("compile guards: empty registry, empty set, null id, caps") {
+    intercept[IllegalArgumentException] {
+      SetSimJoin.compileContainmentRegistry(
+        setsOf(Seq.empty), "id", "toks")
+    }
+    val withEmpty = Seq((1L, "a b"), (2L, ""))
+    val e1 = intercept[IllegalArgumentException] {
+      SetSimJoin.compileContainmentRegistry(
+        setsOf(withEmpty).withColumn("toks",
+          filter(col("toks"), x => x =!= "")), "id", "toks")
+    }
+    assert(e1.getMessage.contains("empty token sets"))
+    val e2 = intercept[IllegalArgumentException] {
+      SetSimJoin.compileContainmentRegistry(
+        setsOf(registry).withColumn("id",
+          when(col("id") === 1L, lit(null)).otherwise(col("id"))),
+        "id", "toks")
+    }
+    assert(e2.getMessage.contains("null"))
+    val e3 = intercept[IllegalArgumentException] {
+      SetSimJoin.compileContainmentRegistry(
+        setsOf(registry), "id", "toks", maxQueries = 2)
+    }
+    assert(e3.getMessage.contains("1..2"))
+    val e4 = intercept[IllegalArgumentException] {
+      SetSimJoin.compileContainmentRegistry(
+        setsOf(registry), "id", "toks", maxPostings = 3)
+    }
+    assert(e4.getMessage.contains("postings"))
+  }
+}
