@@ -16,6 +16,50 @@ object Bench {
       .getOrElse(0L)
     catch { case _: Throwable => 0L }
 
+  /** Fixed deterministic CPU work (a 64-bit mix loop) whose wall time
+    * calibrates the HOST, not the engine: steal ticks miss contention
+    * that arrives as frequency scaling or SMT/cache-neighbor pressure
+    * (observed: a 3× rep with only ~1.3k ticks), so the artifact
+    * records an absolute same-work-every-round yardstick. Returns the
+    * loop's final hash so the JIT cannot dead-code it.
+    */
+  private def mixLoop(iters: Long): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) {
+      h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= (h >>> 29); i += 1
+    }
+    h
+  }
+
+  /** (min single-thread seconds, min all-core seconds) over `reps` runs
+    * of the fixed mix loop — all-core wall on an otherwise-idle host
+    * equals single-thread wall; neighbor pressure shows up as the
+    * parallel number drifting above the single one.
+    */
+  private def cpuControl(iters: Long = 200000000L,
+                         reps: Int = 3): (Double, Double) = {
+    var sink = 0L
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      sink ^= mixLoop(iters)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val nThreads = Runtime.getRuntime.availableProcessors()
+    def onceParallel(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to nThreads).map { _ =>
+        new Thread(() => { sink ^= mixLoop(iters) })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val single = (1 to reps).map(_ => once()).min
+    val par = (1 to reps).map(_ => onceParallel()).min
+    if (sink == 42L) println("") // keep the work observable
+    (single, par)
+  }
+
   /** The registered number for one query given its (sec, stealTicks)
     * reps: min over STEAL-QUIET reps when any exist (quiet = steal
     * during the rep < `quietThreshold` ticks), else min over all reps
@@ -54,6 +98,7 @@ object Bench {
     val quietThreshold =
       sys.env.getOrElse("SPARK_GRAFT_STEAL_QUIET", "300").toLong
     val headlines = SparkEntry.headlines
+    val (ctlS0, ctlP0) = cpuControl()
     // BenchAction.consumeAll (not .count) so column pruning can't delete the
     // measured work — a projection-only headline timed via count() measures
     // a pruned scan, not the projection.
@@ -101,10 +146,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val allQuiet = results.forall(_._4)
+    val (ctlS1, ctlP1) = cpuControl()
+    val control = s"""{"single":${fmt(ctlS0)},"parallel":${fmt(ctlP0)},""" +
+      s""""singleEnd":${fmt(ctlS1)},"parallelEnd":${fmt(ctlP1)}}"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"rows":$rs,"sf":"$sfDir",""" +
       s""""quiet":$allQuiet,"stealQuietThreshold":$quietThreshold,""" +
-      s""""queryQuiet":$qq,"reps":$repJson}""")
+      s""""control":$control,"queryQuiet":$qq,"reps":$repJson}""")
     spark.stop()
   }
 }

@@ -516,9 +516,49 @@ object SetSimJoin {
                        toksCol: String = "toks"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containmentProbe: threshold must be in (0,1], got $threshold")
+    probeCounts(docs, compiled, idCol, toksCol)
+      .select(col("query_id"), col("doc_id"), col("inter"),
+        round(col("inter") / col("nq").cast("double"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** The SYMMETRIC member of the percolated family: every
+    * (query_id, doc_id, inter, jaccard = |A∩D|/(|A|+|D|−|A∩D|) ≥
+    * threshold) between a compiled registry set and an arriving doc —
+    * streaming near-duplicate alerts against a frozen catalogue
+    * (takedown lists, canonical-document registries), where
+    * [[containmentProbe]] is the leak detector. Shares the in-row
+    * machinery verbatim: |D| is the doc's own distinct-token count
+    * (computed in the same row), |A| rides each posting, the
+    * intersection count comes from the one integer segment fold —
+    * still no float anywhere before the final division, so the SQL
+    * oracle replays it exactly. Same stateless plan ⇒ same
+    * stream-static append-mode legality.
+    */
+  def jaccardProbe(docs: DataFrame, compiled: DataFrame,
+                   threshold: Double,
+                   idCol: String = "doc_id",
+                   toksCol: String = "toks"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardProbe: threshold must be in (0,1], got $threshold")
+    probeCounts(docs, compiled, idCol, toksCol)
+      .select(col("query_id"), col("doc_id"), col("inter"),
+        round(col("inter") /
+          (col("nq") + col("ndoc") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shared probe core: (query_id, doc_id, inter, nq, ndoc) rows for
+    * every registry set with a nonzero intersection against each doc —
+    * one radix-map lookup per distinct doc token, one qid-major
+    * integer segment fold, stateless below the ×1-row broadcast.
+    */
+  private def probeCounts(docs: DataFrame, compiled: DataFrame,
+                          idCol: String, toksCol: String): DataFrame = {
     val noEntries = array().cast(
       "array<struct<query_id:bigint,nq:int>>")
-    val matches = flatten(transform(array_distinct(col("dtoks")), t =>
+    val matches = flatten(transform(col("dtoks"), t =>
       coalesce(element_at(
         element_at(col("qmap"),
           pmod(xxhash64(t), lit(ProbeBuckets.toLong)).cast("int")), t),
@@ -549,15 +589,13 @@ object SetSimJoin {
       acc => when(acc.getField("cq").isNull, acc.getField("res"))
         .otherwise(closed(acc)))
     docs.filter(size(col(toksCol)) >= 1)
-      .select(col(idCol).as("doc_id"), col(toksCol).as("dtoks"))
+      .select(col(idCol).as("doc_id"),
+        array_distinct(col(toksCol)).as("dtoks"))
       .crossJoin(broadcast(compiled))
-      .select(col("doc_id"), matches.as("m"))
-      .select(col("doc_id"), explode(folded).as("p"))
+      .select(col("doc_id"), size(col("dtoks")).as("ndoc"), matches.as("m"))
+      .select(col("doc_id"), col("ndoc"), explode(folded).as("p"))
       .select(col("p.query_id").as("query_id"), col("doc_id"),
-        col("p.inter").as("inter"),
-        round(col("p.inter") / col("p.nq").cast("double"), 6)
-          .as("containment"))
-      .filter(col("containment") >= threshold)
+        col("p.inter").as("inter"), col("p.nq").as("nq"), col("ndoc"))
   }
 
   /** Every DIRECTED pair (a, b, inter, containment = |A∩B|/|A| ≥ t)

@@ -1046,10 +1046,92 @@ object DedupSuite extends QuerySuite {
              SELECT query_id, doc_id, inter, containment FROM scored
              WHERE containment >= 0.9 ORDER BY query_id, doc_id"""))
 
+  // ---- streaming exact near-dup alerts (jaccard vs a registry) -------
+  // The SYMMETRIC percolated member: a frozen catalogue (the nearmark
+  // clones of every 10th doc — the q_setsim_join plant, so each clone
+  // alerts on exactly its source at jaccard (m−1)/(m+1) ≥ 0.8) probed
+  // by the arriving documents stream. Same compiled registry, same
+  // integer fold; the score divides by |A|+|D|−|A∩D| with |D| computed
+  // in the same row — still no float before the final division, so the
+  // oracle replays the whole thing exactly.
+  private val streamSetSim = GraftQuery(
+    "q_stream_setsim",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"setsimjreg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      def shingles(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("tk")) - 4),
+            g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15), 16, 10).cast("long")).as("shingles"))
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val clones = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "nearmark").as("text"))
+      graft.operators.SetSimJoin.saveSets(shingles(clones), "doc_id",
+        "shingles", path)
+      val compiled = graft.operators.SetSimJoin.compileContainmentRegistry(
+        graft.operators.SetSimJoin.loadSets(s, path), "sid", "stoks")
+      val st = graft.streaming.EventsStream.readTable(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val alerts = graft.operators.SetSimJoin.jaccardProbe(
+        shingles(st), compiled, threshold = 0.8,
+        idCol = "doc_id", toksCol = "shingles")
+      graft.streaming.EventsStream.runToCompletion(s, alerts,
+          outputMode = "append")
+        .orderBy(asc("query_id"), asc("doc_id"))
+    },
+    Some(s"""WITH clones AS (
+               SELECT doc_id + 1000000 AS doc_id,
+                 regexp_replace(text, '^\\S+', 'nearmark') AS text
+               FROM documents WHERE doc_id % 10 = 0),
+             regtk AS (
+               SELECT doc_id, $toksSql AS t FROM clones
+               WHERE len($toksSql) >= 5),
+             reg AS (
+               SELECT doc_id AS query_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   g -> CAST(('0x' || substr(md5(
+                     array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                     AS BIGINT))) AS qset
+               FROM regtk),
+             doctk AS (
+               SELECT doc_id, $toksSql AS t FROM documents
+               WHERE len($toksSql) >= 5),
+             docs AS (
+               SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   g -> CAST(('0x' || substr(md5(
+                     array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                     AS BIGINT))) AS dset
+               FROM doctk),
+             qinst AS (SELECT query_id, unnest(qset) AS tok FROM reg),
+             dinst AS (SELECT doc_id, unnest(dset) AS tok FROM docs),
+             cand AS (
+               SELECT DISTINCT q.query_id, i.doc_id
+               FROM qinst q JOIN dinst i USING (tok)),
+             scored AS (
+               SELECT c.query_id, c.doc_id,
+                 CAST(len(list_intersect(r.qset, d.dset)) AS BIGINT)
+                   AS inter,
+                 ROUND(len(list_intersect(r.qset, d.dset)) * 1.0 /
+                   (len(r.qset) + len(d.dset) -
+                    len(list_intersect(r.qset, d.dset))), 6) AS jaccard
+               FROM cand c
+               JOIN reg r ON r.query_id = c.query_id
+               JOIN docs d ON d.doc_id = c.doc_id)
+             SELECT query_id, doc_id, inter, jaccard FROM scored
+             WHERE jaccard >= 0.8 ORDER BY query_id, doc_id"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, skewGuard,
     minhashSharded, crossShard, crossShardNear, incrementalDedup,
     incrementalNearDup, minhash10x, simhashSignatures, simhashPairs,
     setSimJoin, containmentJoin, incrementalSetSim, incrementalContainment,
-    streamContainment)
+    streamContainment, streamSetSim)
 }

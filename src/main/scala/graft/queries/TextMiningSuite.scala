@@ -412,13 +412,21 @@ object TextMiningSuite extends QuerySuite {
     (s, d) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
         s"bm25reg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      val sh = documents(s, d)
+      // repartition BEFORE the md5-shingle transform (the r13
+      // narrow-scan lesson: one tiny parquet file = 2 splits, so the
+      // CPU-dense per-5-gram md5 work otherwise runs 2-wide), and CUT:
+      // `sh` feeds THREE consumers (the index build, the registry
+      // derivation, and the probe side) — without the boundary the
+      // shingling runs three times (TimeQ-measured: 17.3 s warm floor
+      // without, 6.3 s with)
+      val sh = graft.plans.Lineage.cut(documents(s, d)
+        .repartition(2 * s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 5)
         .select(col("doc_id"),
           concat_ws(" ", transform(sequence(lit(1), size(col("tk")) - 4),
             g => substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
-              1, 15))).as("text"))
+              1, 15))).as("text")))
       graft.operators.Bm25.saveIndex(sh, path)
       val reg = sh.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("query_id"),

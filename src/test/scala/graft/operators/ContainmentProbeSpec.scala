@@ -105,6 +105,55 @@ class ContainmentProbeSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("jaccardProbe equals brute-force registry-vs-doc jaccard") {
+    val compiled = SetSimJoin.compileContainmentRegistry(
+      setsOf(registry), "id", "toks")
+    def bruteJ(t: Double): Set[(Long, Long, Long, Double)] = {
+      val reg = registry.map { case (id, s) => id -> s.split(" ").toSet }
+      val ds = docs.map { case (id, s) => id -> s.split(" ").toSet }
+      (for {
+        (q, qs) <- reg; (d, dset) <- ds
+        inter = (qs & dset).size.toLong
+        j = r6(inter.toDouble / (qs.size + dset.size - inter))
+        if j >= t
+      } yield (q, d, inter, j)).toSet
+    }
+    for (t <- Seq(0.2, 0.5, 0.6, 1.0)) {
+      val got = SetSimJoin.jaccardProbe(setsOf(docs), compiled, t,
+          idCol = "id", toksCol = "toks")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == bruteJ(t), s"threshold $t")
+    }
+    // the exact-duplicate shape: reg 2 "d e" vs doc 11 "d e" → 1.0
+    val exact = SetSimJoin.jaccardProbe(setsOf(docs), compiled, 1.0,
+        idCol = "id", toksCol = "toks")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(exact.map(p => (p._1, p._2)) == Set((2L, 11L)))
+  }
+
+  test("jaccardProbe streaming append == batch (shared stateless core)") {
+    implicit val sq = spark.sqlContext
+    val compiled = SetSimJoin.compileContainmentRegistry(
+      setsOf(registry), "id", "toks")
+    def asQuads(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    val batch = asQuads(SetSimJoin.jaccardProbe(setsOf(docs),
+      compiled, 0.4, idCol = "id", toksCol = "toks"))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val streamed = in.toDF().toDF("id", "text")
+      .select(col("id"), split(col("text"), " ").as("toks"))
+    val q = SetSimJoin.jaccardProbe(streamed, compiled, 0.4,
+        idCol = "id", toksCol = "toks")
+      .writeStream.format("memory").queryName("jac_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(docs); q.processAllAvailable()
+    } finally q.stop()
+    assert(asQuads(spark.table("jac_stream")) == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("compile guards: empty registry, empty set, null id, caps") {
     intercept[IllegalArgumentException] {
       SetSimJoin.compileContainmentRegistry(
