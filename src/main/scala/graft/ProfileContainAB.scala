@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Interleaved A/B for the containment-join container-side prune (r13
-  * verdict item #1): variant A = the shipped Bloom-pruned plan; variant
-  * B = the r13 unpruned shape (full inverted index into the candidate
-  * join), reproduced inline. Reports per-rep wall + /proc/stat steal
+  * verdict item #1): variant A = the shipped plan (Bloom prune,
+  * ADAPTIVE on the broadcast threshold — engaged only in the
+  * forced-shuffle regime below); variant B = the r13 unpruned shape
+  * (full inverted index into the candidate join), reproduced inline. Reports per-rep wall + /proc/stat steal
   * ticks + total shuffle-write bytes (the ProfileSetSim meter) and the
   * container-side instance-row count before/after the prune.
   * Usage: `ProfileContainAB <sfDir> [pairs]`. Dev-only instrument.

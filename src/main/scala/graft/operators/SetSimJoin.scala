@@ -205,25 +205,32 @@ object SetSimJoin {
         (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
           .cast("int"))).as(Seq("pos", "tok")))
     // Container side: FULL slim instance rows with positions — but
-    // BLOOM-PRUNED before the candidate exchange. Only instances whose
-    // token appears in SOME doc's prefix can ever find a candidate
-    // partner, yet when the prefix frame outgrows the broadcast
-    // threshold (it does at real scale; at gate scale it broadcasts and
-    // the container side never shuffles) the equi-join below would
-    // hash, serialize, and shuffle every token instance in the corpus
-    // — at 1k-token web docs the container-side exchange IS the
-    // tokenized corpus (the r13 verdict's one plan finding). A Bloom
-    // filter over the prefix tokens reaches the probe as a broadcast
-    // scalar subquery (the [[BloomJoin]] machinery), prunes at the
-    // project stage BEFORE any exchange, and is semantics-free by
-    // construction: no false negatives (recall 1.0 intact), false
-    // positives only inflate candidates the exact verify already
-    // removes. Bounded memory at any corpus size (`bloomItems` sizes
-    // the bits — pass the expected DISTINCT prefix-token count at
-    // scale), unlike a broadcast semi-join on the raw prefix-token
-    // set. The build aggregates pref's tok column directly — no
-    // distinct() first: Bloom insertion is idempotent, and the dedup
-    // exchange would cost more than the duplicate inserts it saves.
+    // BLOOM-PRUNED before the candidate exchange when the prefix frame
+    // will not broadcast. Only instances whose token appears in SOME
+    // doc's prefix can ever find a candidate partner, yet when the
+    // prefix frame outgrows the broadcast threshold (it does at real
+    // scale) the equi-join below would hash, serialize, and shuffle
+    // every token instance in the corpus — at 1k-token web docs the
+    // container-side exchange IS the tokenized corpus (the r13
+    // verdict's one plan finding). A Bloom filter over the prefix
+    // tokens reaches the probe as a broadcast scalar subquery (the
+    // [[BloomJoin]] machinery), prunes at the project stage BEFORE any
+    // exchange, and is semantics-free by construction: no false
+    // negatives (recall 1.0 intact), false positives only inflate
+    // candidates the exact verify already removes. Bounded memory at
+    // any corpus size (`bloomItems` sizes the bits — pass the expected
+    // DISTINCT prefix-token count at scale), unlike a broadcast
+    // semi-join on the raw prefix-token set. The build aggregates
+    // pref's tok column directly — no distinct() first: Bloom
+    // insertion is idempotent, and the dedup exchange would cost more
+    // than the duplicate inserts it saves.
+    //
+    // ADAPTIVE: the prune engages only when the corpus' Catalyst leaf
+    // stats exceed the session broadcast threshold (unknown stats ⇒
+    // prune — the scale-safe default). Below the threshold the planner
+    // broadcasts the prefix side, the container side never shuffles,
+    // and the Bloom would be pure overhead — the same signal the
+    // planner itself keys on, read lazily (no job at call time).
     // Measured on the q_containment_join corpus (sf0.1, same-JVM
     // interleaved A/B in the forced-shuffle regime = the at-scale plan
     // shape): total shuffle write 21.5 → 18.3 MB, records 1.13M →
@@ -232,11 +239,16 @@ object SetSimJoin {
     // distribution (this fixture's tiny vocabulary makes per-doc-rare
     // tokens corpus-common); on df≈1-dominated web shingles survival
     // approaches the prefix fraction itself.
-    val full = ranked.select(col("sid"), col("n"),
-        posexplode(col("stoks")).as(Seq("pos", "tok")))
-      .where(BloomJoin.mightContain(
+    val bThr = docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val prune = bloomItems > 0 && (bThr < 0 ||
+      graft.plans.Lineage.estimateBytes(docs).forall(_ > bThr))
+    val fullRaw = ranked.select(col("sid"), col("n"),
+      posexplode(col("stoks")).as(Seq("pos", "tok")))
+    val full =
+      if (prune) fullRaw.where(BloomJoin.mightContain(
         BloomJoin.bloomOf(pref.select(col("tok")), "tok", bloomItems),
         col("tok")))
+      else fullRaw
     // guard on prefix-token corpus df — the per-token candidate volume
     val chk = pref.join(dfreq, Seq("tok"))
       .agg(max_by(struct(col("tok"), col("df")), col("df")).as("w"))
@@ -368,11 +380,17 @@ object SetSimJoin {
     * re-emitted: incremental(stored, batch) ∪ prior == rebuild over
     * stored ∪ batch (spec-pinned).
     */
+  /** @param bloomItems sizing for the batch-token Bloom that prunes
+    *                    the union-side prefix exchange (see below);
+    *                    ≤ 0 disables the prune — the measurement
+    *                    escape hatch ProfileIncPrune A/Bs with.
+    */
   def incrementalJaccardPairs(spark: org.apache.spark.sql.SparkSession,
                               path: String, newDocs: DataFrame,
                               idCol: String, toksCol: String,
                               threshold: Double,
-                              maxBucket: Int = 10000): DataFrame = {
+                              maxBucket: Int = 10000,
+                              bloomItems: Long = 1000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"incrementalJaccardPairs: threshold must be in (0,1], got $threshold")
     val stored = loadSets(spark, path)
@@ -395,7 +413,34 @@ object SetSimJoin {
             lit(s" docs (> maxBucket=$maxBucket); raise the threshold, " +
               "pre-dedup, or raise maxBucket knowingly"))))
           .otherwise(lit(1)).as("guard_ok"))
-    val a = prefAll.select(col("tok"), col("sid").as("a"),
+    // The a-side is the UNION's prefixes — archive-sized — but only
+    // rows whose token appears in some BATCH prefix can ever join the
+    // b-side. Bloom-prune the a-side against the batch's prefix tokens
+    // before its exchange (the containmentPairs treatment): each audit
+    // then shuffles the archive in proportion to the BATCH on BOTH
+    // join inputs. No false negatives; spurious survivors die in the
+    // equi-join itself. The skew guard stays on the UNPRUNED frame
+    // (conservative). ADAPTIVE (the containmentPairs rule, stated on
+    // batch stats because the checkpointed batch has no Catalyst leaf
+    // stats): when the batch's slim prefix rows fit the broadcast
+    // threshold the planner broadcasts them, the a-side never
+    // exchanges, and the Bloom would be pure measured overhead
+    // (ProfileIncPrune: +0.9 s on the gate corpus for zero exchange
+    // saved) — so the prune engages only above it. The one-row stats
+    // agg triggers the batch's checkpoint materialization, which the
+    // main query reuses.
+    val bst = batch.agg(count(lit(1)).as("r"),
+      coalesce(sum(col("n")), lit(0L)).as("t")).head()
+    val batchSlimBytes = 24L * (bst.getLong(0) + bst.getLong(1))
+    val bThr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val prune = bloomItems > 0 && (bThr < 0 || batchSlimBytes > bThr)
+    val aPruned =
+      if (prune)
+        prefAll.where(BloomJoin.mightContain(
+          BloomJoin.bloomOf(prefBatch.select(col("tok")), "tok", bloomItems),
+          col("tok")))
+      else prefAll
+    val a = aPruned.select(col("tok"), col("sid").as("a"),
       col("n").as("na"), col("pos").as("pa"))
     val b = prefBatch.select(col("tok"), col("sid").as("b"),
       col("n").as("nb"), col("pos").as("pb"))
@@ -670,14 +715,35 @@ object SetSimJoin {
             lit(s" (> maxBucket=$maxBucket); raise the threshold, " +
               "pre-dedup, or raise maxBucket knowingly"))))
           .otherwise(lit(1)).as("guard_ok"))
-    def candBranch(pref: DataFrame, full: DataFrame,
-                   prunePref: DataFrame): DataFrame = {
+    // Each branch Bloom-prunes BOTH inputs before their exchange (no
+    // false negatives; survivors die in the equi-join / exact verify):
+    // the container side against the contained side's prefix tokens
+    // (the containmentPairs treatment), and an archive-sized contained
+    // side against the BATCH's tokens — so branch 1's union-wide
+    // prefix exchange ships only rows that can meet an arriving doc.
+    // Branch 2's contained side is already batch-sized (no prune).
+    // ADAPTIVE on batch stats (the incrementalJaccardPairs rule): when
+    // the batch's slim instance rows fit the broadcast threshold, both
+    // branches broadcast their batch-sized input, no archive exchange
+    // exists, and every Bloom is measured pure overhead (+1.5–2 s on
+    // the gate corpus, ProfileIncPrune) — engage only above it. The
+    // one-row stats agg triggers the batch checkpoint the main query
+    // reuses.
+    val bst = batch.agg(count(lit(1)).as("r"),
+      coalesce(sum(col("n")), lit(0L)).as("t")).head()
+    val batchSlimBytes = 24L * (bst.getLong(0) + bst.getLong(1))
+    val bThr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val pruneOn = bloomItems > 0 && (bThr < 0 || batchSlimBytes > bThr)
+    def bloomPrune(df: DataFrame, tokens: DataFrame): DataFrame =
+      if (pruneOn)
+        df.where(BloomJoin.mightContain(
+          BloomJoin.bloomOf(tokens.select(col("tok")), "tok", bloomItems),
+          col("tok")))
+      else df
+    def candBranch(pref: DataFrame, full: DataFrame): DataFrame = {
       val a = pref.select(col("tok"), col("sid").as("a"),
         col("n").as("na"), col("pos").as("pa"))
-      val b = full
-        .where(BloomJoin.mightContain(
-          BloomJoin.bloomOf(prunePref.select(col("tok")), "tok", bloomItems),
-          col("tok")))
+      val b = bloomPrune(full, pref)
         .select(col("tok"), col("sid").as("b"),
           col("n").as("nb"), col("pos").as("pb"))
       val alpha = ceil(lit(threshold) * col("na") - lit(1e-9))
@@ -688,8 +754,10 @@ object SetSimJoin {
           least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
         .select(col("a"), col("b"), col("na"))
     }
-    val candIds = candBranch(prefAll, fullInst(batch), prefAll)
-      .unionByName(candBranch(prefBatch, fullInst(stored), prefBatch))
+    val batchToks = batch.select(explode(col("stoks")).as("tok"))
+    val candIds =
+      candBranch(bloomPrune(prefAll, batchToks), fullInst(batch))
+      .unionByName(candBranch(prefBatch, fullInst(stored)))
       .dropDuplicates("a", "b")
     val cand = candIds
       .join(union.select(col("sid").as("a"), col("stoks").as("ta")), Seq("a"))
