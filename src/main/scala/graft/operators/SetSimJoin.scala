@@ -433,7 +433,8 @@ object SetSimJoin {
       coalesce(sum(col("n")), lit(0L)).as("t")).head()
     val batchSlimBytes = 24L * (bst.getLong(0) + bst.getLong(1))
     val bThr = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val prune = bloomItems > 0 && (bThr < 0 || batchSlimBytes > bThr)
+    val fitsBroadcast = bThr >= 0 && batchSlimBytes <= bThr
+    val prune = bloomItems > 0 && !fitsBroadcast
     val aPruned =
       if (prune)
         prefAll.where(BloomJoin.mightContain(
@@ -442,8 +443,14 @@ object SetSimJoin {
       else prefAll
     val a = aPruned.select(col("tok"), col("sid").as("a"),
       col("n").as("na"), col("pos").as("pa"))
-    val b = prefBatch.select(col("tok"), col("sid").as("b"),
+    // Below the threshold the batch side must BROADCAST — but the
+    // checkpointed batch has no Catalyst stats, so the planner can't
+    // see that it is small (measured: without the hint the candidate
+    // join degraded to a shuffle join and the gate read ~2× its floor).
+    // We just computed the true size; state the hint explicitly.
+    val bRaw = prefBatch.select(col("tok"), col("sid").as("b"),
       col("n").as("nb"), col("pos").as("pb"))
+    val b = if (fitsBroadcast) broadcast(bRaw) else bRaw
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("na") + col("nb")) - lit(1e-9))
     // per-ORIENTATION min positions (batch-internal pairs arrive in both
@@ -733,19 +740,22 @@ object SetSimJoin {
       coalesce(sum(col("n")), lit(0L)).as("t")).head()
     val batchSlimBytes = 24L * (bst.getLong(0) + bst.getLong(1))
     val bThr = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val pruneOn = bloomItems > 0 && (bThr < 0 || batchSlimBytes > bThr)
+    val fitsBroadcast = bThr >= 0 && batchSlimBytes <= bThr
+    val pruneOn = bloomItems > 0 && !fitsBroadcast
     def bloomPrune(df: DataFrame, tokens: DataFrame): DataFrame =
       if (pruneOn)
         df.where(BloomJoin.mightContain(
           BloomJoin.bloomOf(tokens.select(col("tok")), "tok", bloomItems),
           col("tok")))
       else df
-    def candBranch(pref: DataFrame, full: DataFrame): DataFrame = {
-      val a = pref.select(col("tok"), col("sid").as("a"),
-        col("n").as("na"), col("pos").as("pa"))
-      val b = bloomPrune(full, pref)
-        .select(col("tok"), col("sid").as("b"),
-          col("n").as("nb"), col("pos").as("pb"))
+    // Below the threshold the batch-derived join input must BROADCAST
+    // — the checkpointed batch has no Catalyst stats, so the planner
+    // can't see that it is small (measured: without the hint the
+    // candidate join degraded to a shuffle join and the gate read ~2×
+    // its floor). We just computed the true size; state the hint.
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (fitsBroadcast) broadcast(df) else df
+    def candBranch(a: DataFrame, b: DataFrame): DataFrame = {
       val alpha = ceil(lit(threshold) * col("na") - lit(1e-9))
       a.join(b, Seq("tok")).filter(col("a") =!= col("b"))
         .groupBy(col("a"), col("b"), col("na"), col("nb"))
@@ -754,10 +764,18 @@ object SetSimJoin {
           least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
         .select(col("a"), col("b"), col("na"))
     }
+    def aSide(pref: DataFrame) = pref.select(col("tok"),
+      col("sid").as("a"), col("n").as("na"), col("pos").as("pa"))
+    def bSide(full: DataFrame) = full.select(col("tok"),
+      col("sid").as("b"), col("n").as("nb"), col("pos").as("pb"))
     val batchToks = batch.select(explode(col("stoks")).as("tok"))
-    val candIds =
-      candBranch(bloomPrune(prefAll, batchToks), fullInst(batch))
-      .unionByName(candBranch(prefBatch, fullInst(stored)))
+    val branch1 = candBranch(
+      aSide(bloomPrune(prefAll, batchToks)),
+      maybeBroadcast(bSide(bloomPrune(fullInst(batch), prefAll))))
+    val branch2 = candBranch(
+      maybeBroadcast(aSide(prefBatch)),
+      bSide(bloomPrune(fullInst(stored), prefBatch)))
+    val candIds = branch1.unionByName(branch2)
       .dropDuplicates("a", "b")
     val cand = candIds
       .join(union.select(col("sid").as("a"), col("stoks").as("ta")), Seq("a"))
