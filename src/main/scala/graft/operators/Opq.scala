@@ -347,6 +347,25 @@ object Opq {
     OpqIndex((0 until dim).map(rows), pqIdx)
   }
 
+  /** Append a new vector batch to a stored OPQ index: rotate the batch
+    * with the STORED rotation (the index answers queries it also
+    * rotates — a batch appended unrotated would be plausible garbage),
+    * then [[Pq.appendVectors]] encodes it with the stored codebooks/
+    * centroids and enforces the id-collision and width guards. The
+    * incremental lifecycle member of the OPQ family: the archive is
+    * never re-trained or re-encoded for an arriving batch.
+    */
+  def appendVectors(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newCorpus: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val idx = loadIndex(spark, path)
+    val rotated = rotateVectors(
+        newCorpus.select(col(idCol), col(vecCol)), vecCol,
+        idx.rotation, "rot")
+      .select(col(idCol), col("rot").as(vecCol))
+    Pq.appendVectors(spark, s"$path/pq", rotated, idCol, vecCol)
+  }
+
   /** Answer from a stored OPQ index: rotate the queries with the STORED
     * rotation, then [[Pq.queryIndex]] — no corpus access, no encode.
     */

@@ -601,6 +601,26 @@ object SetSimJoin {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The REVERSE containment direction: every (query_id, doc_id,
+    * inter, containment = |A∩D|/|D| ≥ threshold) — "the arriving doc
+    * is mostly made of registry item A" (boilerplate/template/quote
+    * reuse detection against a frozen catalogue), where
+    * [[containmentProbe]]'s |A∩D|/|A| is the leak detector. Same
+    * machinery, the division runs over the doc's own distinct count.
+    */
+  def docContainmentProbe(docs: DataFrame, compiled: DataFrame,
+                          threshold: Double,
+                          idCol: String = "doc_id",
+                          toksCol: String = "toks"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"docContainmentProbe: threshold must be in (0,1], got $threshold")
+    probeCounts(docs, compiled, idCol, toksCol)
+      .select(col("query_id"), col("doc_id"), col("inter"),
+        round(col("inter") / col("ndoc").cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Shared probe core: (query_id, doc_id, inter, nq, ndoc) rows for
     * every registry set with a nonzero intersection against each doc —
     * one radix-map lookup per distinct doc token, one qid-major

@@ -1128,10 +1128,105 @@ object DedupSuite extends QuerySuite {
              SELECT query_id, doc_id, inter, jaccard FROM scored
              WHERE jaccard >= 0.8 ORDER BY query_id, doc_id"""))
 
+  // ---- streaming REVERSE containment (boilerplate detection) ---------
+  // The other division of the same probe: |A∩D|/|D| ≥ t — "the arriving
+  // document is mostly made of registry item A" (template/boilerplate
+  // reuse against a frozen catalogue), where q_stream_containment's
+  // |A∩D|/|A| is the leak detector. Registry = every 20th doc's FULL
+  // shingle set under a new id; the stream derives each arriving doc's
+  // FIRST HALF (stateless transforms on the stream) — a half is wholly
+  // inside its source's registry copy, so the plants alert at exactly
+  // 1.0. Integer fold ⇒ exact SQL replay, same stateless append-legal
+  // plan.
+  private val streamDocContainment = GraftQuery(
+    "q_stream_doc_containment",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"setsimdreg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      def shingles(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("tk")) - 4),
+            g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15), 16, 10).cast("long")).as("shingles"))
+      def halves(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 12)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("tk"), lit(1),
+            floor(size(col("tk")) / 2).cast("int"))).as("text"))
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val registry = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      graft.operators.SetSimJoin.saveSets(shingles(registry), "doc_id",
+        "shingles", path)
+      val compiled = graft.operators.SetSimJoin.compileContainmentRegistry(
+        graft.operators.SetSimJoin.loadSets(s, path), "sid", "stoks")
+      val st = graft.streaming.EventsStream.readTable(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val alerts = graft.operators.SetSimJoin.docContainmentProbe(
+        shingles(halves(st)), compiled, threshold = 0.9,
+        idCol = "doc_id", toksCol = "shingles")
+      graft.streaming.EventsStream.runToCompletion(s, alerts,
+          outputMode = "append")
+        .orderBy(asc("query_id"), asc("doc_id"))
+    },
+    Some(s"""WITH reg0 AS (
+               SELECT doc_id + 3000000 AS doc_id, text FROM documents
+               WHERE doc_id % 20 = 0),
+             regtk AS (
+               SELECT doc_id, $toksSql AS t FROM reg0
+               WHERE len($toksSql) >= 5),
+             reg AS (
+               SELECT doc_id AS query_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   g -> CAST(('0x' || substr(md5(
+                     array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                     AS BIGINT))) AS qset
+               FROM regtk),
+             halves AS (
+               SELECT doc_id + 2000000 AS doc_id,
+                 array_to_string(list_slice($toksSql,
+                   1, CAST(floor(len($toksSql) / 2) AS INT)), ' ') AS text
+               FROM documents
+               WHERE doc_id % 20 = 0 AND len($toksSql) >= 12),
+             doctk AS (
+               SELECT doc_id, $toksSql AS t FROM halves
+               WHERE len($toksSql) >= 5),
+             docs AS (
+               SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   g -> CAST(('0x' || substr(md5(
+                     array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                     AS BIGINT))) AS dset
+               FROM doctk),
+             qinst AS (SELECT query_id, unnest(qset) AS tok FROM reg),
+             dinst AS (SELECT doc_id, unnest(dset) AS tok FROM docs),
+             cand AS (
+               SELECT DISTINCT q.query_id, i.doc_id
+               FROM qinst q JOIN dinst i USING (tok)),
+             scored AS (
+               SELECT c.query_id, c.doc_id,
+                 CAST(len(list_intersect(r.qset, d.dset)) AS BIGINT)
+                   AS inter,
+                 ROUND(len(list_intersect(r.qset, d.dset)) * 1.0 /
+                   len(d.dset), 6) AS containment
+               FROM cand c
+               JOIN reg r ON r.query_id = c.query_id
+               JOIN docs d ON d.doc_id = c.doc_id)
+             SELECT query_id, doc_id, inter, containment FROM scored
+             WHERE containment >= 0.9 ORDER BY query_id, doc_id"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, skewGuard,
     minhashSharded, crossShard, crossShardNear, incrementalDedup,
     incrementalNearDup, minhash10x, simhashSignatures, simhashPairs,
     setSimJoin, containmentJoin, incrementalSetSim, incrementalContainment,
-    streamContainment, streamSetSim)
+    streamContainment, streamSetSim, streamDocContainment)
 }

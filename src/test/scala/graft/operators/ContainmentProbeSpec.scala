@@ -105,6 +105,39 @@ class ContainmentProbeSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("docContainmentProbe equals brute-force |A∩D|/|D| (reverse direction)") {
+    val compiled = SetSimJoin.compileContainmentRegistry(
+      setsOf(registry), "id", "toks")
+    def bruteDoc(t: Double): Set[(Long, Long, Long, Double)] = {
+      val reg = registry.map { case (id, s) => id -> s.split(" ").toSet }
+      val ds = docs.map { case (id, s) => id -> s.split(" ").toSet }
+      (for {
+        (q, qs) <- reg; (d, dset) <- ds
+        inter = (qs & dset).size.toLong
+        c = r6(inter.toDouble / dset.size)
+        if c >= t
+      } yield (q, d, inter, c)).toSet
+    }
+    for (t <- Seq(0.3, 0.5, 0.857, 1.0)) {
+      val got = SetSimJoin.docContainmentProbe(setsOf(docs), compiled, t,
+          idCol = "id", toksCol = "toks")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == bruteDoc(t), s"threshold $t")
+    }
+    // the boilerplate shapes: doc 11 "d e" and doc 12 (all 7 tokens)
+    // are WHOLLY inside reg 3's 8-token set — doc containment 1.0
+    // where the registry direction reads only 2/8 and 7/8
+    val exact = SetSimJoin.docContainmentProbe(setsOf(docs), compiled, 1.0,
+        idCol = "id", toksCol = "toks")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(exact.map(p => (p._1, p._2)) ==
+      Set((2L, 11L), (3L, 11L), (3L, 12L)))
+    val fwd = SetSimJoin.containmentProbe(setsOf(docs), compiled, 1.0,
+        idCol = "id", toksCol = "toks")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fwd.map(p => (p._1, p._2)) == Set((1L, 10L), (2L, 11L), (2L, 12L)))
+  }
+
   test("jaccardProbe equals brute-force registry-vs-doc jaccard") {
     val compiled = SetSimJoin.compileContainmentRegistry(
       setsOf(registry), "id", "toks")

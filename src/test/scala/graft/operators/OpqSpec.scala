@@ -130,6 +130,38 @@ class OpqSpec extends AnyFunSuite {
       s"OPQ recall $opq fell below raw PQ recall $raw")
   }
 
+  test("appendVectors: stored-OPQ append equals a rebuild over the union") {
+    // id-prefix split so the seed codebooks/centroids (first ksub ids)
+    // are identical for the incremental and rebuilt indexes — the
+    // PqIndexSpec convention
+    val base = corpus.filter($"vec_id" < 30)
+    val extra = corpus.filter($"vec_id" >= 30)
+    val r = Opq.givensRotation(64)
+    val pathInc =
+      java.nio.file.Files.createTempDirectory("opq_inc").toString
+    Opq.saveIndex(base, pathInc, r, nCells = 8, m = 8, ksub = 16)
+    Opq.appendVectors(spark, pathInc, extra)
+    val pathFull =
+      java.nio.file.Files.createTempDirectory("opq_full").toString
+    Opq.saveIndex(corpus, pathFull, r, nCells = 8, m = 8, ksub = 16)
+    val qs = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    def answers(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "rank", "neighbor_id", "adc")
+        .collect().map(_.toSeq).toSeq
+    val inc = answers(Opq.queryIndex(Opq.loadIndex(spark, pathInc),
+      qs, k = 5, nProbe = 8))
+    val full = answers(Opq.queryIndex(Opq.loadIndex(spark, pathFull),
+      qs, k = 5, nProbe = 8))
+    assert(inc == full)
+    // the appended ids actually answer (rotated with the stored R —
+    // an unrotated append would rank them as garbage, not win)
+    assert(Opq.queryIndex(Opq.loadIndex(spark, pathInc), qs, k = 50,
+        nProbe = 8)
+      .filter($"neighbor_id" >= 30).count() > 0)
+  }
+
   test("stored index round-trip: queryIndex == opqTopK; stamps enforced") {
     val path = java.nio.file.Files.createTempDirectory("opq_idx").toString
     val r = Opq.givensRotation(64)
