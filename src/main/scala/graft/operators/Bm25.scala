@@ -238,6 +238,81 @@ object Bm25 {
       .write.mode("append").parquet(s"$path/postings")
   }
 
+  /** Remove documents from a stored index by id — the retraction /
+    * GDPR-delete member of the sparse-index lifecycle ([[saveIndex]] /
+    * [[appendDocs]] / [[queryIndex]]). All three stored tables update
+    * EXACTLY (so remove == rebuild-over-the-difference, spec-pinned):
+    *
+    *  - postings: the removed ids' rows drop (tmp + swap rename — the
+    *    [[appendDocs]] dfreq convention, both tables are read by their
+    *    own rewrite plans);
+    *  - dfreq: df is additive over disjoint doc sets, so the removed
+    *    postings' per-term counts subtract; terms reaching df = 0 drop;
+    *  - stats: n and Σdl decrement by the removed docs' counts (per-doc
+    *    dl rides every posting row — first(dl) per removed id).
+    *
+    * Unknown ids are a LOUD error, and so is a removal id with zero
+    * postings: a token-less doc contributes no postings, so its
+    * membership is not reconstructible from the index — it cannot be
+    * removed individually (rebuild instead). Removing every posting-
+    * bearing doc is also loud (an emptied index is unloadable). The
+    * update is NOT transactional — a failure mid-sequence leaves a
+    * mixed index; rebuild with [[saveIndex]] if it dies midway.
+    *
+    * @param removeIds one column of ids (any name); null ids rejected.
+    */
+  def removeDocs(spark: org.apache.spark.sql.SparkSession, path: String,
+                 removeIds: DataFrame): Unit = {
+    val idx = loadIndex(spark, path)
+    val ids = removeIds.select(removeIds.columns.head).toDF("doc_id")
+    require(ids.filter(col("doc_id").isNull).limit(1).count() == 0L,
+      "bm25 removeDocs: removal list contains null ids")
+    val missing = ids.join(idx.postings.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"bm25 removeDocs: id '${missing.headOption.map(_.get(0)).orNull}' " +
+      "has no stored postings — unknown or token-less; a retraction " +
+      "must fail loudly, and token-less docs need a rebuild")
+    val removed = idx.postings.join(ids, Seq("doc_id"), "left_semi")
+    val remaining = idx.postings.join(ids, Seq("doc_id"), "left_anti")
+    require(remaining.limit(1).count() == 1L,
+      "bm25 removeDocs: removal would empty the index — delete the " +
+      "path and rebuild with saveIndex instead")
+    // removed-side facts, collected BEFORE any table is swapped
+    val del = removed.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("sdl"))
+      .head()
+    val old = idx.stats.select(col("n").cast("long"),
+      col("sum_dl").cast("long")).head()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swapIn(df: DataFrame, sub: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_remove_tmp")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      df.withColumn("index_format", lit(IndexFormatPrefix))
+        .write.mode("overwrite").parquet(tmp.toString)
+      require(fs.delete(dst, true),
+        s"bm25 removeDocs: could not delete $dst for the swap")
+      require(fs.rename(tmp, dst),
+        s"bm25 removeDocs: $sub swap rename failed — data is at $tmp")
+    }
+    // dfreq first: its rewrite reads the OLD postings (the removed
+    // rows), which the postings swap below invalidates
+    val dfDelta = removed.groupBy("tok").agg(count(lit(1)).as("ddf"))
+    swapIn(idx.dfreq.join(dfDelta, Seq("tok"), "left")
+      .select(col("tok"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0), "dfreq")
+    swapIn(remaining, "postings")
+    spark.range(1).select(
+        lit(old.getLong(0) - del.getLong(0)).as("n"),
+        lit(old.getLong(1) - del.getLong(1)).as("sum_dl"),
+        lit(IndexFormatPrefix).as("index_format"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** Answer top-k from a stored index — no text access, no tokenize. */
   def queryIndex(index: Bm25Index, queries: DataFrame, k: Int,
                  k1: Double = 1.2, b: Double = 0.75,
@@ -405,6 +480,17 @@ object Bm25 {
     require(nNull == 0L,
       "compilePercolateTable: registry has null (or non-numeric) " +
       "query_id rows — every registered query needs a long id")
+    // duplicate qids after the long cast would silently SUM their term
+    // scores in percolateJoin's qid-major segment fold — the
+    // compileContainmentRegistry hazard, guarded the same way
+    val nDup = queries.select(col("query_id").cast("long").as("qid"))
+      .groupBy("qid").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(nDup == 0L,
+      "compilePercolateTable: registry has duplicate query ids " +
+      "(possibly distinct source ids colliding after the long cast) — " +
+      "duplicate-qid postings would silently merge scores in the " +
+      "percolate fold; re-id the registry")
     val qt = queries.select(col("query_id").cast("long").as("query_id"),
       explode(array_distinct(TextFunctions.tokens(col("query_text"))))
         .as("tok"))
@@ -422,9 +508,19 @@ object Bm25 {
       s"compilePercolateTable: query ${worst.getLong(1)} has " +
       s"${worst.getLong(0)} terms > $maxTermsPerQuery; tighten the query " +
       "or raise the cap")
-    qt.join(index.dfreq, Seq("tok"), "left")
-      .select(col("tok"), struct(col("query_id"),
-        idf(lit(n), coalesce(col("df"), lit(0L))).as("idf")).as("e"))
+    foldPercolate(
+      qt.join(index.dfreq, Seq("tok"), "left")
+        .select(col("query_id"), col("tok"),
+          idf(lit(n), coalesce(col("df"), lit(0L))).as("idf")),
+      avgdl)
+  }
+
+  /** (query_id, tok, idf) postings → the one-row (qmap, avgdl) compiled
+    * registry — shared by [[compilePercolateTable]] and the incremental
+    * registry members below.
+    */
+  private def foldPercolate(post: DataFrame, avgdl: Double): DataFrame =
+    post.select(col("tok"), struct(col("query_id"), col("idf")).as("e"))
       .groupBy("tok").agg(sort_array(collect_list(col("e"))).as("entries"))
       .groupBy(pmod(xxhash64(col("tok")), lit(PercolateBuckets.toLong))
         .cast("int").as("bucket"))
@@ -433,6 +529,87 @@ object Bm25 {
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("inner"))))
         .as("qmap"))
       .select(col("qmap"), lit(avgdl).as("avgdl"))
+
+  /** Explode a compiled percolate registry back into its
+    * (query_id, tok, idf) postings — registry-sized, the inverse of
+    * [[foldPercolate]]. Public: audits want to ASK a compiled registry
+    * what it contains.
+    */
+  def percolatePostings(compiled: DataFrame): DataFrame =
+    compiled.select(explode(col("qmap")).as(Seq("bucket", "inner")))
+      .select(explode(col("inner")).as(Seq("tok", "entries")))
+      .select(col("tok"), explode(col("entries")).as("e"))
+      .select(col("e.query_id").as("query_id"), col("tok"),
+        col("e.idf").as("idf"))
+
+  /** Append new queries to a COMPILED percolate registry without
+    * recompiling the existing ones — the daily alert-list update. The
+    * new side compiles against the SAME stored index (inheriting the
+    * null/empty/duplicate/terms-cap guards), which must carry the same
+    * frozen statistics the old compile saw: idf and avgdl are baked
+    * into the compiled postings, so an index that drifted in between
+    * (an [[appendDocs]]) would silently mix two corpus models — checked
+    * loudly via the baked avgdl. append == recompile-over-union
+    * (spec-pinned).
+    */
+  def appendToPercolateTable(index: Bm25Index, compiled: DataFrame,
+                             newQueries: DataFrame,
+                             maxQueries: Long = 1000000L,
+                             maxTermsPerQuery: Int = 64): DataFrame = {
+    val newCompiled = compilePercolateTable(index, newQueries, maxQueries,
+      maxTermsPerQuery)
+    val oldAvgdl = compiled.select(col("avgdl")).head().getDouble(0)
+    val newAvgdl = newCompiled.select(col("avgdl")).head().getDouble(0)
+    require(oldAvgdl == newAvgdl,
+      s"appendToPercolateTable: the registry was compiled against " +
+      s"different index statistics (stored avgdl $oldAvgdl, index avgdl " +
+      s"$newAvgdl) — scores would mix two corpus models; recompile the " +
+      "whole registry against the current index")
+    val oldPost = percolatePostings(compiled)
+    val newPost = percolatePostings(newCompiled)
+    val clash = newPost.select("query_id").distinct()
+      .join(oldPost.select("query_id").distinct(), Seq("query_id"),
+        "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      "appendToPercolateTable: new query ids collide with compiled ids " +
+      "— duplicate-qid postings would silently merge scores; re-id the " +
+      "batch or recompile")
+    val union = oldPost.unionByName(newPost)
+    val nq = union.select("query_id").distinct().count()
+    require(nq <= maxQueries,
+      s"appendToPercolateTable: union has $nq queries > $maxQueries — " +
+      "shrink the registry or raise the cap knowingly")
+    foldPercolate(union, oldAvgdl)
+  }
+
+  /** Remove queries from a COMPILED percolate registry by id — loud on
+    * unknown ids and on emptying the registry (the
+    * [[graft.operators.SetSimJoin.removeFromContainmentRegistry]]
+    * contract). remove == recompile-over-difference; removed ids stop
+    * alerting.
+    */
+  def removeFromPercolateTable(compiled: DataFrame,
+                               removeIds: DataFrame): DataFrame = {
+    val avgdl = compiled.select(col("avgdl")).head().getDouble(0)
+    val ids = removeIds.select(removeIds.columns.head).toDF("raw")
+      .select(col("raw").cast("long").as("query_id"))
+    require(ids.filter(col("query_id").isNull).limit(1).count() == 0L,
+      "removeFromPercolateTable: removal list contains null or " +
+      "non-numeric ids")
+    val post = percolatePostings(compiled)
+    val missing = ids.join(post.select("query_id").distinct(),
+        Seq("query_id"), "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"removeFromPercolateTable: id " +
+      s"'${missing.headOption.map(_.get(0)).orNull}' is not in the " +
+      "registry — a typo'd retraction must fail loudly")
+    val remaining = post.join(ids, Seq("query_id"), "left_anti")
+    require(remaining.limit(1).count() == 1L,
+      "removeFromPercolateTable: removal would empty the registry — an " +
+      "empty registry cannot alert; recompile instead")
+    foldPercolate(remaining, avgdl)
   }
 
   /** Percolation against a COMPILED REGISTRY TABLE: each arriving
@@ -476,8 +653,8 @@ object Bm25 {
       "array<struct<query_id:bigint,idf:double>>")
     val matches = flatten(transform(array_sort(array_distinct(tk)), t => {
       val tf = size(filter(tk, x => x === t)).cast("double")
-      val entries = element_at(
-        element_at(col("qmap"),
+      val entries = try_element_at(
+        try_element_at(col("qmap"),
           pmod(xxhash64(t), lit(PercolateBuckets.toLong)).cast("int")), t)
       transform(coalesce(entries, noEntries), e =>
         struct(e.getField("query_id").as("qid"),
@@ -513,11 +690,12 @@ object Bm25 {
     // float (bit-exact fold order, the engine-wide convention)
     val matches = flatten(transform(array_sort(array_distinct(tk)), (t, i) => {
       val tf = size(filter(tk, x => x === t)).cast("double")
-      // two-level radix probe: element_at(null, t) is null under
-      // non-ANSI, so a missing bucket and a missing token coalesce the
-      // same way
-      val entries = element_at(
-        element_at(col("qmap"),
+      // two-level radix probe via try_element_at: a missing bucket and a
+      // missing token both yield null (coalesced below) under ANSI and
+      // non-ANSI alike — plain element_at would raise
+      // MAP_KEY_DOES_NOT_EXIST on nearly every probe under ansi=true
+      val entries = try_element_at(
+        try_element_at(col("qmap"),
           pmod(xxhash64(t), lit(PercolateBuckets.toLong)).cast("int")), t)
       transform(coalesce(entries, noEntries), e =>
         struct(e.getField("query_id").as("qid"), i.as("ti"),

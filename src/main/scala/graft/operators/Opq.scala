@@ -359,12 +359,32 @@ object Opq {
                     newCorpus: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
     val idx = loadIndex(spark, path)
+    // The width MUST be checked BEFORE rotating: rotateVectors coerces
+    // any input width to rotation.length (zip_with null-pads the short
+    // side and a null product nulls the whole aggregate coordinate), so
+    // a wrong-width batch would sail through Pq.appendVectors' own
+    // newDim == idx.dim check as a dim-long array of nulls/garbage and
+    // poison the persisted codes instead of failing loudly here.
+    val newDim = newCorpus.select(size(col(vecCol))).head().getInt(0)
+    require(newDim == idx.rotation.length,
+      s"opq appendVectors: new batch width $newDim != stored rotation " +
+      s"width ${idx.rotation.length} — the batch cannot be rotated into " +
+      "this index; re-embed the batch or rebuild with Opq.saveIndex")
     val rotated = rotateVectors(
         newCorpus.select(col(idCol), col(vecCol)), vecCol,
         idx.rotation, "rot")
       .select(col(idCol), col("rot").as(vecCol))
     Pq.appendVectors(spark, s"$path/pq", rotated, idCol, vecCol)
   }
+
+  /** Remove vectors from a stored OPQ index by id — codes live under
+    * `path/pq` and the rotation is membership-independent, so removal
+    * delegates to [[Pq.removeVectors]] verbatim (same loud unknown-id /
+    * would-empty guards, same swap-rename write).
+    */
+  def removeVectors(spark: org.apache.spark.sql.SparkSession, path: String,
+                    removeIds: DataFrame): Unit =
+    Pq.removeVectors(spark, s"$path/pq", removeIds)
 
   /** Answer from a stored OPQ index: rotate the queries with the STORED
     * rotation, then [[Pq.queryIndex]] — no corpus access, no encode.

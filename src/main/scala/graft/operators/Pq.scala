@@ -645,6 +645,54 @@ object Pq {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Remove vectors from a stored index by id — the retraction /
+    * GDPR-delete member of the stored-index lifecycle ([[saveIndex]] /
+    * [[appendVectors]] / [[queryIndex]]). Scoring is per-code-row, so
+    * dropping a vector's code row IS the rebuild-over-difference:
+    * centroids and codebooks stay frozen (exactly the [[appendVectors]]
+    * geometry contract — the index's coordinate system never moves for
+    * membership changes), and queryIndex afterwards equals the
+    * pre-removal answers with the removed ids excluded and ranks
+    * recomputed (spec-pinned). Unknown ids are a LOUD error (a typo'd
+    * retraction must not report success); removing every vector is too
+    * (an empty codes table is unloadable by the stamp check — that is a
+    * delete-the-path operation, not a removal). The codes table
+    * rewrites through a sibling tmp dir + Hadoop-FS swap rename
+    * (Spark cannot overwrite a path its own plan reads); not
+    * transactional — a failure between delete and rename leaves the
+    * surviving rows at the tmp path.
+    *
+    * @param removeIds one column of ids (any name); null ids rejected.
+    */
+  def removeVectors(spark: org.apache.spark.sql.SparkSession, path: String,
+                    removeIds: DataFrame): Unit = {
+    val idx = loadIndex(spark, path)
+    val ids = removeIds.select(removeIds.columns.head).toDF("pq_id")
+    require(ids.filter(col("pq_id").isNull).limit(1).count() == 0L,
+      "removeVectors: removal list contains null ids")
+    val missing = ids.join(idx.codes.select("pq_id"), Seq("pq_id"),
+        "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"removeVectors: id '${missing.headOption.map(_.get(0)).orNull}' " +
+      "is not in the stored index — a typo'd retraction must fail " +
+      "loudly, not report success")
+    val remaining = idx.codes.join(ids, Seq("pq_id"), "left_anti")
+    require(remaining.limit(1).count() == 1L,
+      "removeVectors: removal would empty the index — delete the path " +
+      "and rebuild with saveIndex instead")
+    val hp = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_remove_tmp")
+    remaining.withColumn("index_format",
+        lit(stampOf(idx.m, idx.ksub, idx.nCells, idx.dim, idx.residual)))
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.delete(hp, true),
+      s"removeVectors: could not delete $hp for the swap")
+    require(fs.rename(tmp, hp),
+      s"removeVectors: swap rename failed — surviving codes are at $tmp")
+  }
+
   /** Answer top-k from a stored index — no corpus access, no encode:
     * the probed working set is (cell, id, m bytes) per candidate.
     */

@@ -57,10 +57,24 @@ object SetSimJoin {
     *                  generation is quadratic per bucket; a corpus
     *                  where a prefix token collects more docs than
     *                  this needs a higher threshold or pre-dedup)
+    * @param hotBucketSalt 0 (default) keeps the loud-raise contract: a
+    *                  bucket over `maxBucket` aborts. > 0 degrades
+    *                  GRACEFULLY instead: buckets over `maxBucket`
+    *                  split into this many salt sub-buckets (one side
+    *                  salted by doc id, the other replicated across
+    *                  every salt — each pair still meets exactly once,
+    *                  so the output is EXACT), spreading a hot
+    *                  template token's quadratic candidate work across
+    *                  the cluster instead of one task. The candidate
+    *                  COUNT is still quadratic in the bucket — salting
+    *                  bounds per-task latency/memory, not total work —
+    *                  so the loud backstop survives at the scaled cap
+    *                  maxBucket × hotBucketSalt.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, toksCol: String,
                    threshold: Double,
-                   maxBucket: Int = 10000): DataFrame = {
+                   maxBucket: Int = 10000,
+                   hotBucketSalt: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"setSimJoin: threshold must be in (0,1], got $threshold")
     // Cut here too: `sets` feeds BOTH the df aggregation and the rank
@@ -112,19 +126,55 @@ object SetSimJoin {
     // A dangling unused guard column is NOT enough — column pruning
     // deletes the projection and raise_error never evaluates (the
     // BenchAction.consumeAll lesson, re-learned here in a failing spec).
-    val chk = pref.groupBy("tok").agg(count(lit(1)).as("c"))
+    val cnt = pref.groupBy("tok").agg(count(lit(1)).as("c"))
+    // with salting on, the loud cap survives at the scaled threshold —
+    // a split bucket's per-salt share tracks c/salt, so c ≤ maxBucket ×
+    // salt keeps per-task volume at the unsalted contract
+    val guardCap =
+      if (hotBucketSalt > 0) maxBucket.toLong * hotBucketSalt
+      else maxBucket.toLong
+    val chk = cnt
       .agg(max_by(struct(col("tok"), col("c")), col("c")).as("w"))
       .select(
-        when(coalesce(col("w.c"), lit(0L)) > maxBucket,
+        when(coalesce(col("w.c"), lit(0L)) > guardCap,
           raise_error(concat(lit("setSimJoin: prefix token '"),
             col("w.tok"), lit("' collects "), col("w.c"),
-            lit(s" docs (> maxBucket=$maxBucket); raise the threshold, " +
-              "pre-dedup, or raise maxBucket knowingly"))))
+            lit(s" docs (> ${if (hotBucketSalt > 0) "salted cap " else ""}" +
+              s"$guardCap); raise the threshold, " +
+              "pre-dedup, or raise maxBucket/hotBucketSalt knowingly"))))
           .otherwise(lit(1)).as("guard_ok"))
     val a = pref.select(col("tok"), col("sid").as("a"),
       col("n").as("na"), col("pos").as("pa"))
     val b = pref.select(col("tok"), col("sid").as("b"),
       col("n").as("nb"), col("pos").as("pb"))
+    // Token-level matches. hotBucketSalt == 0: the plain equi self-join
+    // (one bucket = one task's hash cell — fine until a template token
+    // concentrates a quadratic bucket, which then raises loudly above).
+    // hotBucketSalt > 0: buckets beyond maxBucket split EXACTLY — the
+    // a-side of a hot token salts by hash(doc id) into `salt`
+    // sub-buckets, the b-side replicates across all of them, and the
+    // join key becomes (tok, salt): every (a, b) match meets exactly
+    // once (at a's salt), so downstream candidate aggregation sees the
+    // identical multiset of rows while no single task holds the whole
+    // bucket. Cold tokens keep the plain join (no replication cost).
+    val matched =
+      if (hotBucketSalt <= 0) a.join(b, Seq("tok"))
+      else {
+        // hot set is vocab-derived and tiny by construction (each hot
+        // token costs > maxBucket prefix rows, so there are at most
+        // |pref| / maxBucket of them) — broadcastable at any corpus size
+        val hot = broadcast(cnt.filter(col("c") > maxBucket).select("tok"))
+        val aCold = a.join(hot, Seq("tok"), "left_anti")
+        val bCold = b.join(hot, Seq("tok"), "left_anti")
+        val aHot = a.join(hot, Seq("tok"), "left_semi")
+          .withColumn("salt",
+            pmod(xxhash64(col("a")), lit(hotBucketSalt.toLong)).cast("int"))
+        val bHot = b.join(hot, Seq("tok"), "left_semi")
+          .withColumn("salt",
+            explode(sequence(lit(0), lit(hotBucketSalt - 1))))
+        aCold.join(bCold, Seq("tok"))
+          .unionByName(aHot.join(bHot, Seq("tok", "salt")).drop("salt"))
+      }
     // Candidate ids: the min-aggregation both deduplicates multi-token
     // matches AND finds the minimal shared prefix token — both docs are
     // sorted in the SAME global (df, tok) order, so min(pa) and min(pb)
@@ -135,7 +185,7 @@ object SetSimJoin {
     // positions), so min(na−pa, nb−pb) bounds the overlap from above.
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("na") + col("nb")) - lit(1e-9))
-    val candIds = a.join(b, Seq("tok")).filter(col("a") < col("b"))
+    val candIds = matched.filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
       .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
@@ -184,7 +234,8 @@ object SetSimJoin {
   def containmentPairs(docs: DataFrame, idCol: String, toksCol: String,
                        threshold: Double,
                        maxBucket: Int = 10000,
-                       bloomItems: Long = 1000000L): DataFrame = {
+                       bloomItems: Long = 1000000L,
+                       hotBucketSalt: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containmentPairs: threshold must be in (0,1], got $threshold")
     val sets = graft.plans.Lineage.cut(
@@ -249,22 +300,49 @@ object SetSimJoin {
         BloomJoin.bloomOf(pref.select(col("tok")), "tok", bloomItems),
         col("tok")))
       else fullRaw
-    // guard on prefix-token corpus df — the per-token candidate volume
+    // guard on prefix-token corpus df — the per-token candidate volume;
+    // with salting on the loud cap survives at the scaled threshold
+    // (the jaccardPairs convention)
+    val guardCap =
+      if (hotBucketSalt > 0) maxBucket.toLong * hotBucketSalt
+      else maxBucket.toLong
     val chk = pref.join(dfreq, Seq("tok"))
       .agg(max_by(struct(col("tok"), col("df")), col("df")).as("w"))
       .select(
-        when(coalesce(col("w.df"), lit(0L)) > maxBucket,
+        when(coalesce(col("w.df"), lit(0L)) > guardCap,
           raise_error(concat(lit("containmentPairs: prefix token '"),
             col("w.tok"), lit("' has corpus df "), col("w.df"),
-            lit(s" (> maxBucket=$maxBucket); raise the threshold, " +
-              "pre-dedup, or raise maxBucket knowingly"))))
+            lit(s" (> ${if (hotBucketSalt > 0) "salted cap " else ""}" +
+              s"$guardCap); raise the threshold, " +
+              "pre-dedup, or raise maxBucket/hotBucketSalt knowingly"))))
           .otherwise(lit(1)).as("guard_ok"))
     val a = pref.select(col("tok"), col("sid").as("a"),
       col("n").as("na"), col("pos").as("pa"))
     val b = full.select(col("tok"), col("sid").as("b"),
       col("n").as("nb"), col("pos").as("pb"))
+    // inverted-index matches; hotBucketSalt > 0 splits buckets whose
+    // corpus df exceeds maxBucket exactly as in [[jaccardPairs]]: the
+    // prefix side salts by contained-doc id, the instance side
+    // replicates across all salts — each (a, b) match meets once
+    val matched =
+      if (hotBucketSalt <= 0) a.join(b, Seq("tok"))
+      else {
+        val hot = broadcast(pref.select(col("tok")).distinct()
+          .join(dfreq, Seq("tok")).filter(col("df") > maxBucket)
+          .select("tok"))
+        val aCold = a.join(hot, Seq("tok"), "left_anti")
+        val bCold = b.join(hot, Seq("tok"), "left_anti")
+        val aHot = a.join(hot, Seq("tok"), "left_semi")
+          .withColumn("salt",
+            pmod(xxhash64(col("a")), lit(hotBucketSalt.toLong)).cast("int"))
+        val bHot = b.join(hot, Seq("tok"), "left_semi")
+          .withColumn("salt",
+            explode(sequence(lit(0), lit(hotBucketSalt - 1))))
+        aCold.join(bCold, Seq("tok"))
+          .unionByName(aHot.join(bHot, Seq("tok", "salt")).drop("salt"))
+      }
     val alpha = ceil(lit(threshold) * col("na") - lit(1e-9))
-    val candIds = a.join(b, Seq("tok")).filter(col("a") =!= col("b"))
+    val candIds = matched.filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
       .filter(col("nb") >= alpha &&
@@ -345,6 +423,83 @@ object SetSimJoin {
       "re-id the batch or rebuild with saveSets")
     batch.withColumn("setsim_format", lit(SetsFormatStamp))
       .write.mode("append").parquet(path)
+  }
+
+  /** Rewrite the stored sets into ~`targetFileBytes` parquet files —
+    * the maintenance half of the append lifecycle: [[appendSets]] adds
+    * one small file-set per batch, and at daily-batch cadence the
+    * stored corpus becomes a small-files problem (every [[loadSets]]
+    * pays per-file open/footer costs; at 1000 executors the driver
+    * pays listing). Contract: the ROW SET is untouched (same sids, same
+    * arrays, same stamp — spec-pinned), only the file layout changes.
+    *
+    * Plan shape: one stamped read, a COALESCE (no shuffle — compaction
+    * must not pay an exchange to merge files), a write to a sibling
+    * tmp dir, then a Hadoop-FS swap rename (metadata-only on
+    * hdfs:// s3a:// file: alike — the [[Bm25.appendDocs]] dfreq-swap
+    * convention, because Spark cannot overwrite a path its own plan is
+    * reading). Not transactional: a failure between delete and rename
+    * leaves the tmp dir next to nothing — rebuild with [[saveSets]] or
+    * rename by hand.
+    */
+  def compactSets(spark: org.apache.spark.sql.SparkSession, path: String,
+                  targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0,
+      s"compactSets: targetFileBytes must be > 0, got $targetFileBytes")
+    val stored = loadSets(spark, path) // stamp-checked
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hp).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue.toLong).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    stored.withColumn("setsim_format", lit(SetsFormatStamp))
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.delete(hp, true),
+      s"compactSets: could not delete $path for the swap")
+    require(fs.rename(tmp, hp),
+      s"compactSets: swap rename failed — compacted data is at $tmp")
+  }
+
+  /** Remove stored sets by id — the retraction/GDPR-delete member of
+    * the stored-state lifecycle ([[saveSets]]/[[appendSets]]/
+    * [[compactSets]]). Contract: remove == rebuild over the difference
+    * (spec-pinned — the stored rows are per-doc facts, so dropping rows
+    * IS the rebuild), and removed ids stop answering every downstream
+    * audit. Unknown ids are a LOUD error, not a no-op: a takedown list
+    * with a typo'd id must not report success while the doc keeps
+    * answering. Same tmp + swap-rename write as [[compactSets]].
+    *
+    * @param removeIds one column of ids (any name); null ids rejected.
+    */
+  def removeSets(spark: org.apache.spark.sql.SparkSession, path: String,
+                 removeIds: DataFrame): Unit = {
+    val stored = loadSets(spark, path)
+    val ids = removeIds.select(removeIds.columns.head).toDF("sid")
+    require(ids.filter(col("sid").isNull).limit(1).count() == 0L,
+      "removeSets: removal list contains null ids")
+    val missing = ids.join(stored.select("sid"), Seq("sid"), "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"removeSets: id '${missing.headOption.map(_.get(0)).orNull}' is not " +
+      "in the stored state — a typo'd retraction must fail loudly, not " +
+      "report success")
+    val remaining = stored.join(ids, Seq("sid"), "left_anti")
+    // an emptied store is unloadable by the stamp check (no rows ⇒ no
+    // stamp) — removing EVERYTHING is a rebuild-shaped operation
+    require(remaining.limit(1).count() == 1L,
+      "removeSets: removal would empty the store — delete the path and " +
+      "rebuild with saveSets instead")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_remove_tmp")
+    remaining.withColumn("setsim_format", lit(SetsFormatStamp))
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.delete(hp, true),
+      s"removeSets: could not delete $path for the swap")
+    require(fs.rename(tmp, hp),
+      s"removeSets: swap rename failed — surviving data is at $tmp")
   }
 
   /** Loud EAGER check that no batch id collides with a stored sid — a
@@ -523,6 +678,21 @@ object SetSimJoin {
       "compileContainmentRegistry: registry has null/non-numeric ids or " +
       "empty token sets — every registered query needs a long id and at " +
       "least one token")
+    // Duplicate qids (including distinct source ids that collide after
+    // the cast('long'), e.g. '1' and '01') are a loud error, not a merge:
+    // duplicate-qid postings sit adjacent in the probe's qid-major
+    // segment fold and silently SUM their intersection counts across
+    // registry rows — containment can exceed 1.0 and alerts
+    // false-fire/miss. Everywhere else stored ids are duplicate-checked
+    // eagerly (appendSets, requireDisjointIds, Pq.appendVectors); the
+    // registry compile is the same lifecycle boundary.
+    val nDup = sets.groupBy("qid").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(nDup == 0L,
+      "compileContainmentRegistry: registry has duplicate query ids " +
+      "(possibly distinct source ids colliding after the long cast) — " +
+      "duplicate-qid postings would silently merge in the probe fold; " +
+      "re-id the registry")
     val post = sets.select(col("qid"), size(col("set")).as("nq"),
       explode(col("set")).as("tok"))
     val nPost = post.limit((math.min(maxPostings, Int.MaxValue - 1L) + 1L)
@@ -530,8 +700,17 @@ object SetSimJoin {
     require(nPost <= maxPostings,
       s"compileContainmentRegistry: registry has $nPost postings > " +
       s"$maxPostings — shrink the registry or raise the cap knowingly")
+    foldRegistry(post.select(col("tok"), col("qid").as("query_id"),
+      col("nq")))
+  }
+
+  /** (query_id, tok, nq) postings → the one-row radix-bucketed qmap —
+    * shared by [[compileContainmentRegistry]] and the incremental
+    * registry members below.
+    */
+  private def foldRegistry(post: DataFrame): DataFrame =
     post.select(col("tok"),
-        struct(col("qid").as("query_id"), col("nq")).as("e"))
+        struct(col("query_id"), col("nq")).as("e"))
       .groupBy("tok").agg(sort_array(collect_list(col("e"))).as("entries"))
       .groupBy(pmod(xxhash64(col("tok")), lit(ProbeBuckets.toLong))
         .cast("int").as("bucket"))
@@ -539,6 +718,90 @@ object SetSimJoin {
         .as("inner"))
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("inner"))))
         .as("qmap"))
+
+  /** Explode a compiled registry row back into its (query_id, tok, nq)
+    * postings — registry-sized, the inverse of [[foldRegistry]]. Public
+    * because audits want to ASK a compiled registry what it contains.
+    */
+  def registryPostings(compiled: DataFrame): DataFrame =
+    compiled.select(explode(col("qmap")).as(Seq("bucket", "inner")))
+      .select(explode(col("inner")).as(Seq("tok", "entries")))
+      .select(col("tok"), explode(col("entries")).as("e"))
+      .select(col("e.query_id").as("query_id"), col("tok"),
+        col("e.nq").as("nq"))
+
+  /** Append new queries to a COMPILED containment registry without
+    * recompiling the existing ones — the daily eval-suite/takedown-list
+    * update (VERDICT r14: the one-shot compile made every registry
+    * change a full recompile). The stored side is exploded back to
+    * postings (registry-sized — the corpus is never touched), the new
+    * side compiles through [[compileContainmentRegistry]] (inheriting
+    * its null/empty/duplicate guards on the BATCH), ids are checked
+    * disjoint eagerly, the union is re-capped, and the fold re-runs
+    * over registry-sized rows. append == recompile-over-union
+    * (spec-pinned, the [[Opq.appendVectors]] convention).
+    */
+  def appendToContainmentRegistry(compiled: DataFrame,
+                                  newRegistry: DataFrame, idCol: String,
+                                  toksCol: String,
+                                  maxQueries: Long = 1000000L,
+                                  maxPostings: Long = 10000000L): DataFrame = {
+    val newCompiled = compileContainmentRegistry(newRegistry, idCol,
+      toksCol, maxQueries, maxPostings)
+    val oldPost = registryPostings(compiled)
+    val newPost = registryPostings(newCompiled)
+    val clash = newPost.select("query_id").distinct()
+      .join(oldPost.select("query_id").distinct(), Seq("query_id"),
+        "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      "appendToContainmentRegistry: new query ids collide with compiled " +
+      "ids — duplicate-qid postings would silently merge in the probe " +
+      "fold; re-id the batch or recompile")
+    val union = oldPost.unionByName(newPost)
+    val stats = union.agg(
+      countDistinct(col("query_id")).as("nq"),
+      count(lit(1)).as("np")).head()
+    require(stats.getLong(0) <= maxQueries,
+      s"appendToContainmentRegistry: union has ${stats.getLong(0)} " +
+      s"queries > $maxQueries — shrink the registry or raise the cap " +
+      "knowingly")
+    require(stats.getLong(1) <= maxPostings,
+      s"appendToContainmentRegistry: union has ${stats.getLong(1)} " +
+      s"postings > $maxPostings — shrink the registry or raise the cap " +
+      "knowingly")
+    foldRegistry(union)
+  }
+
+  /** Remove queries from a COMPILED containment registry by id — the
+    * retraction half of the registry lifecycle. Unknown ids are a loud
+    * error (the [[removeSets]] takedown-typo argument); removing every
+    * query is too (an empty registry cannot alert — and
+    * [[compileContainmentRegistry]] would refuse to build it). remove ==
+    * recompile-over-difference (spec-pinned); removed ids stop alerting.
+    *
+    * @param removeIds one column of long-castable ids (any name).
+    */
+  def removeFromContainmentRegistry(compiled: DataFrame,
+                                    removeIds: DataFrame): DataFrame = {
+    val ids = removeIds.select(removeIds.columns.head).toDF("raw")
+      .select(col("raw").cast("long").as("query_id"))
+    require(ids.filter(col("query_id").isNull).limit(1).count() == 0L,
+      "removeFromContainmentRegistry: removal list contains null or " +
+      "non-numeric ids")
+    val post = registryPostings(compiled)
+    val missing = ids.join(post.select("query_id").distinct(),
+        Seq("query_id"), "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"removeFromContainmentRegistry: id " +
+      s"'${missing.headOption.map(_.get(0)).orNull}' is not in the " +
+      "registry — a typo'd retraction must fail loudly")
+    val remaining = post.join(ids, Seq("query_id"), "left_anti")
+    require(remaining.limit(1).count() == 1L,
+      "removeFromContainmentRegistry: removal would empty the registry " +
+      "— an empty registry cannot alert; recompile instead")
+    foldRegistry(remaining)
   }
 
   /** Containment percolation: every (query_id, doc_id, inter,
@@ -630,9 +893,14 @@ object SetSimJoin {
                           idCol: String, toksCol: String): DataFrame = {
     val noEntries = array().cast(
       "array<struct<query_id:bigint,nq:int>>")
+    // try_element_at, not element_at: almost every probed doc token is
+    // ABSENT from the registry map, and under spark.sql.ansi.enabled
+    // element_at raises MAP_KEY_DOES_NOT_EXIST on a miss — the probe
+    // must not depend on the session pinning ansi=false. try_element_at
+    // yields null on a miss under both regimes; the coalesce handles it.
     val matches = flatten(transform(col("dtoks"), t =>
-      coalesce(element_at(
-        element_at(col("qmap"),
+      coalesce(try_element_at(
+        try_element_at(col("qmap"),
           pmod(xxhash64(t), lit(ProbeBuckets.toLong)).cast("int")), t),
         noEntries)))
     // qid-major segment fold, integer count accumulator

@@ -256,4 +256,95 @@ class Bm25Spec extends AnyFunSuite {
     val s2 = Bm25.topK(docs, q2, k = 1).select($"score").as[Double].head()
     assert(s1 == s2)
   }
+
+  test("removeDocs == rebuild over the difference; loud guards") {
+    val eight = Seq(
+      (0L, "a b a"), (1L, "a c"), (2L, "b b b b"), (3L, "a a a a"),
+      (4L, "c d e"), (5L, "a d"), (6L, "e e b"), (7L, "c c a b"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bm25_rm").toString
+    Bm25.saveIndex(eight, path)
+    Bm25.removeDocs(spark, path, Seq(2L, 5L).toDF("doc_id"))
+    val rebuilt =
+      java.nio.file.Files.createTempDirectory("bm25_rb").toString
+    Bm25.saveIndex(eight.filter(!$"doc_id".isin(2L, 5L)), rebuilt)
+    val qs = Seq((0L, "a b"), (1L, "c d e")).toDF("query_id", "query_text")
+    def ans(p: String) =
+      Bm25.queryIndex(Bm25.loadIndex(spark, p), qs, k = 10)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // idf re-derives from the decremented (n, df), avgdl from the
+    // decremented stats — scores must be EXACTLY the rebuild's
+    assert(ans(path) == ans(rebuilt))
+    assert(ans(path).nonEmpty)
+    // removed ids never answer
+    assert(!ans(path).exists(r => r(2) == 2L || r(2) == 5L))
+    // the decremented dfreq equals the rebuild's exactly
+    val dfreq = Bm25.loadIndex(spark, path).dfreq
+      .as[(String, Long)].collect().toMap
+    assert(dfreq == Bm25.loadIndex(spark, rebuilt).dfreq
+      .as[(String, Long)].collect().toMap)
+    // unknown id: loud
+    val e1 = intercept[IllegalArgumentException] {
+      Bm25.removeDocs(spark, path, Seq(999L).toDF("doc_id"))
+    }
+    assert(e1.getMessage.contains("no stored postings"))
+    // removing everything: loud
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25.removeDocs(spark, path,
+        Seq(0L, 1L, 3L, 4L, 6L, 7L).toDF("doc_id"))
+    }
+    assert(e2.getMessage.contains("empty"))
+  }
+
+  test("percolate-table append == recompile over union; remove == difference") {
+    val path = java.nio.file.Files.createTempDirectory("bm25_reg").toString
+    Bm25.saveIndex(fixture, path)
+    val idx = Bm25.loadIndex(spark, path)
+    val reg1 = Seq((1L, "a b"), (2L, "c")).toDF("query_id", "query_text")
+    val reg2 = Seq((10L, "b b"), (11L, "a c")).toDF("query_id", "query_text")
+    val c1 = Bm25.compilePercolateTable(idx, reg1)
+    val appended = Bm25.appendToPercolateTable(idx, c1, reg2)
+    val full = Bm25.compilePercolateTable(idx,
+      reg1.unionByName(reg2))
+    def alerts(c: org.apache.spark.sql.DataFrame) =
+      Bm25.percolateJoin(fixture, c, threshold = 0.1)
+        .as[(Long, Long, Double)].collect().toSet
+    // identical postings and identical alerts to a from-scratch compile
+    assert(Bm25.percolatePostings(appended)
+        .as[(Long, String, Double)].collect().toSet ==
+      Bm25.percolatePostings(full)
+        .as[(Long, String, Double)].collect().toSet)
+    assert(alerts(appended) == alerts(full))
+    // the appended queries actually alert
+    assert(alerts(appended).exists(_._1 == 10L))
+    // remove == recompile over the difference
+    val removed = Bm25.removeFromPercolateTable(appended,
+      Seq(2L, 10L).toDF("qid"))
+    val diff = Bm25.compilePercolateTable(idx,
+      Seq((1L, "a b"), (11L, "a c")).toDF("query_id", "query_text"))
+    assert(alerts(removed) == alerts(diff))
+    assert(!alerts(removed).exists(p => p._1 == 2L || p._1 == 10L))
+    // guards: id clash, unknown removal id, emptying removal
+    val e1 = intercept[IllegalArgumentException] {
+      Bm25.appendToPercolateTable(idx, c1, reg1)
+    }
+    assert(e1.getMessage.contains("collide"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25.removeFromPercolateTable(c1, Seq(42L).toDF("qid"))
+    }
+    assert(e2.getMessage.contains("not in the registry"))
+    val e3 = intercept[IllegalArgumentException] {
+      Bm25.removeFromPercolateTable(c1, Seq(1L, 2L).toDF("qid"))
+    }
+    assert(e3.getMessage.contains("empty"))
+    // drifted index statistics are rejected: append after an appendDocs
+    // must not silently mix corpus models
+    Bm25.appendDocs(spark, path, Seq((90L, "f g h")).toDF("doc_id", "text"))
+    val drifted = Bm25.loadIndex(spark, path)
+    val e4 = intercept[IllegalArgumentException] {
+      Bm25.appendToPercolateTable(drifted, c1,
+        Seq((50L, "e")).toDF("query_id", "query_text"))
+    }
+    assert(e4.getMessage.contains("statistics"))
+  }
 }

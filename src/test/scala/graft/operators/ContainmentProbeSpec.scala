@@ -217,4 +217,35 @@ class ContainmentProbeSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("postings"))
   }
+
+  test("duplicate qids are rejected at compile, including long-cast collisions") {
+    // plain duplicate long ids
+    val e = intercept[IllegalArgumentException] {
+      SetSimJoin.compileContainmentRegistry(
+        setsOf(Seq((1L, "a b"), (1L, "c d"))), "id", "toks")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // distinct STRING ids that collide only after cast('long'): '1' and
+    // '01' — the silent-merge shape the guard exists for (adjacent
+    // postings in the qid-major fold would sum inter across rows and
+    // containment could exceed 1.0)
+    val strIds = Seq(("1", "a b"), ("01", "c d")).toDF("id", "text")
+      .select(col("id"), split(col("text"), " ").as("toks"))
+    val e2 = intercept[IllegalArgumentException] {
+      SetSimJoin.compileContainmentRegistry(strIds, "id", "toks")
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
+  test("probe is ANSI-safe: registry misses yield no entries, not errors") {
+    // under spark.sql.ansi.enabled=true a plain element_at raises
+    // MAP_KEY_DOES_NOT_EXIST for any doc token absent from the registry
+    // (i.e. almost every probe) — the try_element_at probe must return
+    // the identical result under both regimes
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      for (t <- Seq(0.5, 0.9)) assert(probe(t) == brute(t), s"threshold $t")
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
+  }
 }

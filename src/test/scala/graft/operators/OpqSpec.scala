@@ -160,6 +160,16 @@ class OpqSpec extends AnyFunSuite {
     assert(Opq.queryIndex(Opq.loadIndex(spark, pathInc), qs, k = 50,
         nProbe = 8)
       .filter($"neighbor_id" >= 30).count() > 0)
+    // a wrong-width batch is rejected BEFORE rotating: rotateVectors
+    // coerces any width to rotation.length (zip_with null-pads), so
+    // without this guard a 32-wide batch would append null/garbage codes
+    // that pass Pq's own dim check
+    val narrow = extra.select(($"vec_id" + 100000L).as("vec_id"),
+      slice($"embedding", 1, 32).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Opq.appendVectors(spark, pathInc, narrow)
+    }
+    assert(ex.getMessage.contains("width"))
   }
 
   test("stored index round-trip: queryIndex == opqTopK; stamps enforced") {

@@ -162,4 +162,31 @@ class PercolateJoinSpec extends AnyFunSuite {
       Bm25.percolateJoin(docs, compiled, threshold = 0.0)
     }
   }
+
+  test("duplicate registry qids are rejected, including long-cast collisions") {
+    // duplicate qids would silently SUM their term scores in the
+    // qid-major segment fold; '1' and '01' collide only after the cast
+    val dup = Seq(("1", "fast sort"), ("01", "spark hash"))
+      .toDF("query_id", "query_text")
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.compilePercolateTable(index, dup)
+    }
+    assert(ex.getMessage.contains("duplicate"))
+  }
+
+  test("probe is ANSI-safe: registry misses yield null entries, not errors") {
+    // try_element_at keeps the two-level map probe legal under
+    // spark.sql.ansi.enabled=true (element_at raises on missing keys)
+    val compiled = Bm25.compilePercolateTable(index, vocabQueries)
+    val expected = asTriples(
+      Bm25.percolateJoin(docs, compiled, threshold = 1.0))
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val ansi = asTriples(
+        Bm25.percolateJoin(docs, compiled, threshold = 1.0))
+      assert(ansi == expected)
+      assert(ansi.nonEmpty)
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
+  }
 }

@@ -149,4 +149,48 @@ class PqIndexSpec extends AnyFunSuite {
     }
     assert(width.getMessage.contains("width"))
   }
+
+  test("removeVectors == rebuild over the difference; removed ids stop " +
+       "answering; loud guards") {
+    val pathRm = freshPath("rm")
+    Pq.saveIndex(corpus, pathRm, nCells = 8, m = 8, ksub = 16)
+    // removal ids past the seed window (>= max(nCells, ksub)) so the
+    // rebuilt index seeds identical centroids/codebooks and the
+    // equality is EXACT, not approximate
+    val gone = Seq(40L, 41L, 55L)
+    Pq.removeVectors(spark, pathRm, gone.toDF("vec_id"))
+    val pathRb = freshPath("rb")
+    Pq.saveIndex(corpus.filter(!$"vec_id".isin(gone: _*)), pathRb,
+      nCells = 8, m = 8, ksub = 16)
+    val removedAns = answers(Pq.queryIndex(Pq.loadIndex(spark, pathRm),
+      queries, k = 5, nProbe = 8))
+    val rebuiltAns = answers(Pq.queryIndex(Pq.loadIndex(spark, pathRb),
+      queries, k = 5, nProbe = 8))
+    assert(removedAns == rebuiltAns)
+    assert(removedAns.nonEmpty)
+    // removed ids never answer, at any depth
+    assert(Pq.queryIndex(Pq.loadIndex(spark, pathRm), queries, k = 1000,
+        nProbe = 8)
+      .filter($"neighbor_id".isin(gone: _*)).count() == 0)
+    // unknown id: loud, not a silent no-op
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.removeVectors(spark, pathRm, Seq(999999L).toDF("vec_id"))
+    }
+    assert(e1.getMessage.contains("not in the stored index"))
+    // removing everything: loud
+    val remainingIds = Pq.loadIndex(spark, pathRm).codes
+      .select($"pq_id").as[Long].collect().toSeq
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.removeVectors(spark, pathRm, remainingIds.toDF("vec_id"))
+    }
+    assert(e2.getMessage.contains("empty"))
+    // the OPQ wrapper removes through the same path
+    val pathOpq = freshPath("opqrm")
+    Opq.saveIndex(corpus, pathOpq, Opq.givensRotation(64), nCells = 8,
+      m = 8, ksub = 16)
+    Opq.removeVectors(spark, pathOpq, Seq(40L).toDF("vec_id"))
+    assert(Opq.queryIndex(Opq.loadIndex(spark, pathOpq), queries, k = 1000,
+        nProbe = 8)
+      .filter($"neighbor_id" === 40L).count() == 0)
+  }
 }

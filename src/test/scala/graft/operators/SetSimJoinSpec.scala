@@ -240,4 +240,199 @@ class SetSimJoinSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("collide"))
   }
+
+  // ---- hot-bucket salted split (graceful degradation) ------------------
+
+  /** One hot template token shared by `n` docs, each doc otherwise a
+    * unique token + shared fillers: the hot token and the fillers land
+    * in every prefix (the unique token is rarest, then the template,
+    * then fillers), so prefix buckets reach `n` — over any small
+    * maxBucket.
+    */
+  private def hotCorpus(n: Int): Seq[(Long, String)] =
+    (0 until n).map(i =>
+      i.toLong -> (s"hotmark u$i " + (1 to 8).map(j => s"f$j").mkString(" ")))
+
+  test("salted split: output equals brute force where unsalted raises") {
+    val rows = hotCorpus(40)
+    // unsalted: the hot bucket (40 > maxBucket=10) raises loudly
+    val ex = intercept[Exception] {
+      SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
+        threshold = 0.8, maxBucket = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxBucket")))
+    // salted: passes and is EXACT (each pair meets exactly once)
+    val got = SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
+        threshold = 0.8, maxBucket = 10, hotBucketSalt = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == got.toSet.size, "salted join duplicated pairs")
+    assert(got.toSet == brute(rows, 0.8))
+    assert(got.nonEmpty)
+  }
+
+  test("salted split: no-op equality on corpora with no hot buckets") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val rows = (0L until 50L).map { id =>
+      id -> rnd.shuffle(vocab).take(3 + rnd.nextInt(8)).mkString(" ")
+    }
+    for (t <- Seq(0.5, 0.8)) {
+      val plain = engine(rows, t)
+      val salted = SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
+          t, maxBucket = 10000, hotBucketSalt = 8)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(salted == plain, s"threshold $t")
+    }
+  }
+
+  test("salted split: containment matches brute force on a hot corpus") {
+    val rows = hotCorpus(30) ++ Seq(
+      (900L, "hotmark u3"), // contained in doc 3
+      (901L, "u5 f1 f2"))   // contained in doc 5
+    val got = SetSimJoin.containmentPairs(toks(rows), "doc_id", "toks",
+        threshold = 0.9, maxBucket = 10, hotBucketSalt = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == got.toSet.size, "salted join duplicated pairs")
+    assert(got.toSet == bruteContainment(rows, 0.9))
+    assert(got.toSet.map((p: (Long, Long, Long, Double)) => (p._1, p._2))
+      .contains((900L, 3L)))
+    // the scaled backstop still raises when even the split would be hot
+    val ex = intercept[Exception] {
+      SetSimJoin.containmentPairs(toks(hotCorpus(50)), "doc_id", "toks",
+        threshold = 0.9, maxBucket = 10, hotBucketSalt = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("salted cap")))
+  }
+
+  // ---- stored-state maintenance: compact, remove -----------------------
+
+  test("compactSets: identical rows back, fewer files") {
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def mk(ids: Range) = ids.map(id =>
+      id.toLong -> rnd.shuffle(vocab).take(3 + rnd.nextInt(6)).mkString(" "))
+    val path = java.nio.file.Files.createTempDirectory("setsim_cmp").toString
+    SetSimJoin.saveSets(toks(mk(0 until 20)), "doc_id", "toks", path)
+    // five appended generations — the small-files shape
+    (1 to 5).foreach { g =>
+      SetSimJoin.appendSets(spark, path,
+        toks(mk(100 * g until 100 * g + 10)), "doc_id", "toks")
+    }
+    def rows() = SetSimJoin.loadSets(spark, path)
+      .as[(Long, Seq[String], Int)].collect().toSet
+    def nParquetFiles() = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(hp, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = rows()
+    val filesBefore = nParquetFiles()
+    SetSimJoin.compactSets(spark, path)
+    assert(rows() == before, "compaction changed the stored rows")
+    val filesAfter = nParquetFiles()
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files ($filesBefore -> $filesAfter)")
+    // loadSets still stamps-checks the compacted store
+    SetSimJoin.appendSets(spark, path, toks(mk(900 until 905)),
+      "doc_id", "toks")
+  }
+
+  test("removeSets: remove == rebuild over the difference; loud guards") {
+    val rnd = new scala.util.Random(37)
+    val vocab = (0 until 35).map(i => s"w$i")
+    def mk(ids: Range) = ids.map(id =>
+      id.toLong -> rnd.shuffle(vocab).take(3 + rnd.nextInt(8)).mkString(" "))
+    val stored = mk(0 until 40)
+    val gone = Set(3L, 7L, 21L)
+    val path = java.nio.file.Files.createTempDirectory("setsim_rm").toString
+    SetSimJoin.saveSets(toks(stored), "doc_id", "toks", path)
+    SetSimJoin.removeSets(spark, path, gone.toSeq.toDF("doc_id"))
+    // remove == rebuild over the difference, byte-for-byte on the rows
+    val kept = SetSimJoin.loadSets(spark, path)
+      .as[(Long, Seq[String], Int)].collect().toSet
+    val rebuilt = java.nio.file.Files.createTempDirectory("setsim_rb").toString
+    SetSimJoin.saveSets(toks(stored.filterNot(r => gone(r._1))),
+      "doc_id", "toks", rebuilt)
+    assert(kept == SetSimJoin.loadSets(spark, rebuilt)
+      .as[(Long, Seq[String], Int)].collect().toSet)
+    // removed ids stop answering downstream audits
+    val batch = toks(Seq((999L, stored.find(_._1 == 3L).get._2)))
+    val pairs = SetSimJoin.incrementalJaccardPairs(spark, path, batch,
+        "doc_id", "toks", 1.0)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // unknown id: loud, not a silent no-op
+    val e1 = intercept[IllegalArgumentException] {
+      SetSimJoin.removeSets(spark, path, Seq(123456L).toDF("doc_id"))
+    }
+    assert(e1.getMessage.contains("not"))
+    // removing everything: loud
+    val e2 = intercept[IllegalArgumentException] {
+      SetSimJoin.removeSets(spark, path,
+        stored.map(_._1).filterNot(gone).toDF("doc_id"))
+    }
+    assert(e2.getMessage.contains("empty"))
+  }
+
+  // ---- compiled-registry maintenance: append, remove --------------------
+
+  test("registry append == recompile over the union; remove == difference") {
+    val reg1 = Seq((1L, "a b c"), (2L, "d e f g"))
+    val reg2 = Seq((10L, "a b x"), (11L, "h i"))
+    val docs = Seq((100L, "a b c d x"), (101L, "d e f g h i"),
+      (102L, "h i"), (103L, "zz zy"))
+    def probeAll(compiled: org.apache.spark.sql.DataFrame) =
+      SetSimJoin.containmentProbe(toks(docs).toDF("doc_id", "toks"),
+          compiled, threshold = 0.5, idCol = "doc_id", toksCol = "toks")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    def setsOf(rows: Seq[(Long, String)]) = toks(rows).toDF("id", "toks")
+    val c1 = SetSimJoin.compileContainmentRegistry(setsOf(reg1), "id", "toks")
+    val appended = SetSimJoin.appendToContainmentRegistry(c1,
+      setsOf(reg2), "id", "toks")
+    val full = SetSimJoin.compileContainmentRegistry(
+      setsOf(reg1 ++ reg2), "id", "toks")
+    // same postings, same probe alerts as a from-scratch recompile
+    assert(SetSimJoin.registryPostings(appended)
+        .as[(Long, String, Int)].collect().toSet ==
+      SetSimJoin.registryPostings(full)
+        .as[(Long, String, Int)].collect().toSet)
+    assert(probeAll(appended) == probeAll(full))
+    // the appended queries actually alert
+    assert(probeAll(appended).exists(_._1 == 11L))
+    // remove == recompile over the difference
+    val removed = SetSimJoin.removeFromContainmentRegistry(appended,
+      Seq(2L, 10L).toDF("qid"))
+    val diff = SetSimJoin.compileContainmentRegistry(
+      setsOf(Seq(reg1.head, reg2.last)), "id", "toks")
+    assert(probeAll(removed) == probeAll(diff))
+    assert(!probeAll(removed).exists(p => p._1 == 2L || p._1 == 10L))
+    // guards: clashing append ids, unknown removal id, emptying removal
+    val e1 = intercept[IllegalArgumentException] {
+      SetSimJoin.appendToContainmentRegistry(c1, setsOf(reg1), "id", "toks")
+    }
+    assert(e1.getMessage.contains("collide"))
+    val e2 = intercept[IllegalArgumentException] {
+      SetSimJoin.removeFromContainmentRegistry(c1, Seq(42L).toDF("qid"))
+    }
+    assert(e2.getMessage.contains("not in the registry"))
+    val e3 = intercept[IllegalArgumentException] {
+      SetSimJoin.removeFromContainmentRegistry(c1, Seq(1L, 2L).toDF("qid"))
+    }
+    assert(e3.getMessage.contains("empty"))
+    // union cap re-checked on append
+    val e4 = intercept[IllegalArgumentException] {
+      SetSimJoin.appendToContainmentRegistry(c1, setsOf(reg2), "id",
+        "toks", maxQueries = 3)
+    }
+    assert(e4.getMessage.contains("queries"))
+  }
 }
