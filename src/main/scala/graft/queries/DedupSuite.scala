@@ -30,6 +30,32 @@ object DedupSuite extends QuerySuite {
       docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
   }
 
+  /** Stage a gate's STORED setsim state once per (dataDir, plant
+    * revision) and return its path — the incremental/percolated gates
+    * must benchmark LOAD + PROBE, not a full-corpus saveSets rebuild
+    * (VERDICT r14 #1: the first cut called saveSets inside the timed
+    * query body, so every bench rep re-shingled and re-wrote the
+    * store — the exact work "incremental" exists to avoid — and the
+    * headline's wall was setup-dominated, 7.4 s vs 60–68 s excursions
+    * on steal-quiet reps). Keyed exactly the way the verdict
+    * prescribes: path existence + the format stamp loadSets already
+    * enforces; `rev` is baked into the path so a changed plant never
+    * reads a stale store (the tmpdir outlives binaries). The staging
+    * build itself runs AT MOST once per JVM × dataDir — later reps and
+    * later gates sharing the plant reuse the files.
+    */
+  private def stagedSetsPath(s: SparkSession, tag: String, rev: String,
+                             d: String)(build: => DataFrame): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      s"${tag}_${rev}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val staged =
+      try { graft.operators.SetSimJoin.loadSets(s, path); true }
+      catch { case _: Throwable => false }
+    if (!staged)
+      graft.operators.SetSimJoin.saveSets(build, "doc_id", "shingles", path)
+    path
+  }
+
   // ---- exact dedup: hash-groupBy (oracle-checked) --------------------
   private val dedupExact = GraftQuery(
     "q_dedup_exact",
@@ -799,8 +825,6 @@ object DedupSuite extends QuerySuite {
   private val incrementalSetSim = GraftQuery(
     "q_incremental_setsim",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
-        s"setsim_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       def shingled(df: org.apache.spark.sql.DataFrame) = df
         .repartition(2 * s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
@@ -811,8 +835,8 @@ object DedupSuite extends QuerySuite {
             g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
               1, 15), 16, 10).cast("long")).as("shingles"))
       val base = documents(s, d).select(col("doc_id"), col("text"))
-      graft.operators.SetSimJoin.saveSets(shingled(base), "doc_id",
-        "shingles", path)
+      // staged once per (dataDir, plant rev): the gate times LOAD+probe
+      val path = stagedSetsPath(s, "setsim", "r15", d)(shingled(base))
       val batch = shingled(base.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           regexp_replace(col("text"), "^\\S+", "nearmark").as("text")))
@@ -880,8 +904,6 @@ object DedupSuite extends QuerySuite {
   private val incrementalContainment = GraftQuery(
     "q_incremental_containment",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
-        s"setsimc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       def shingled(df: org.apache.spark.sql.DataFrame) = df
         .repartition(2 * s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
@@ -892,8 +914,8 @@ object DedupSuite extends QuerySuite {
             g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
               1, 15), 16, 10).cast("long")).as("shingles"))
       val base = documents(s, d).select(col("doc_id"), col("text"))
-      graft.operators.SetSimJoin.saveSets(shingled(base), "doc_id",
-        "shingles", path)
+      // staged once per (dataDir, plant rev): the gate times LOAD+probe
+      val path = stagedSetsPath(s, "setsimc", "r15", d)(shingled(base))
       val halves = base.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"))
@@ -970,8 +992,6 @@ object DedupSuite extends QuerySuite {
   private val streamContainment = GraftQuery(
     "q_stream_containment",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
-        s"setsimreg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       def shingles(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"))
@@ -981,15 +1001,18 @@ object DedupSuite extends QuerySuite {
             g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
               1, 15), 16, 10).cast("long")).as("shingles"))
       val base = documents(s, d).select(col("doc_id"), col("text"))
-      val halves = base.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 12)
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("tk"), lit(1),
-            floor(size(col("tk")) / 2).cast("int"))).as("text"))
-      graft.operators.SetSimJoin.saveSets(shingles(halves), "doc_id",
-        "shingles", path)
+      // staged once per (dataDir, plant rev): the gate times the
+      // registry LOAD + compile + stream probe, not the registry build
+      val path = stagedSetsPath(s, "setsimreg", "r15", d) {
+        val halves = base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 12)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("tk"), lit(1),
+              floor(size(col("tk")) / 2).cast("int"))).as("text"))
+        shingles(halves)
+      }
       val compiled = graft.operators.SetSimJoin.compileContainmentRegistry(
         graft.operators.SetSimJoin.loadSets(s, path), "sid", "stoks")
       val st = graft.streaming.EventsStream.readTable(s, d, "documents")
@@ -1057,8 +1080,6 @@ object DedupSuite extends QuerySuite {
   private val streamSetSim = GraftQuery(
     "q_stream_setsim",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
-        s"setsimjreg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       def shingles(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"))
@@ -1068,11 +1089,13 @@ object DedupSuite extends QuerySuite {
             g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
               1, 15), 16, 10).cast("long")).as("shingles"))
       val base = documents(s, d).select(col("doc_id"), col("text"))
-      val clones = base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          regexp_replace(col("text"), "^\\S+", "nearmark").as("text"))
-      graft.operators.SetSimJoin.saveSets(shingles(clones), "doc_id",
-        "shingles", path)
+      // staged once per (dataDir, plant rev) — see stagedSetsPath
+      val path = stagedSetsPath(s, "setsimjreg", "r15", d) {
+        val clones = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+", "nearmark").as("text"))
+        shingles(clones)
+      }
       val compiled = graft.operators.SetSimJoin.compileContainmentRegistry(
         graft.operators.SetSimJoin.loadSets(s, path), "sid", "stoks")
       val st = graft.streaming.EventsStream.readTable(s, d, "documents")
@@ -1141,8 +1164,6 @@ object DedupSuite extends QuerySuite {
   private val streamDocContainment = GraftQuery(
     "q_stream_doc_containment",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
-        s"setsimdreg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       def shingles(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"))
@@ -1160,10 +1181,12 @@ object DedupSuite extends QuerySuite {
           concat_ws(" ", slice(col("tk"), lit(1),
             floor(size(col("tk")) / 2).cast("int"))).as("text"))
       val base = documents(s, d).select(col("doc_id"), col("text"))
-      val registry = base.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
-      graft.operators.SetSimJoin.saveSets(shingles(registry), "doc_id",
-        "shingles", path)
+      // staged once per (dataDir, plant rev) — see stagedSetsPath
+      val path = stagedSetsPath(s, "setsimdreg", "r15", d) {
+        val registry = base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+        shingles(registry)
+      }
       val compiled = graft.operators.SetSimJoin.compileContainmentRegistry(
         graft.operators.SetSimJoin.loadSets(s, path), "sid", "stoks")
       val st = graft.streaming.EventsStream.readTable(s, d, "documents")
@@ -1223,10 +1246,271 @@ object DedupSuite extends QuerySuite {
              SELECT query_id, doc_id, inter, containment FROM scored
              WHERE containment >= 0.9 ORDER BY query_id, doc_id"""))
 
+  // ---- hot-bucket salted split (graceful degradation under skew) -----
+  // A template token shared by 200 docs: every doc is {hotmark, u_i,
+  // f1..f8}, so (df, tok)-rarity puts u_i first and the shared tokens
+  // right behind it — prefix buckets reach 200, over the gate's
+  // maxBucket = 50. Unsalted this RAISES (the loud-cap contract, pinned
+  // in SetSimJoinSpec); with hotBucketSalt = 8 the hot buckets split
+  // exactly (a-side salted by doc id, b-side replicated — each pair
+  // meets once) and the output equals brute force, which the oracle
+  // restates as the literal all-pairs intersection. At 100× corpus the
+  // same plan holds: the quadratic candidate volume of a hot template
+  // token spreads across salt × partitions instead of one task.
+  private val setSimHotToken = GraftQuery(
+    "q_setsim_hot_token",
+    (s, d) => {
+      val fillers = (1 to 8).map(j => lit(s"f$j"))
+      val docs = documents(s, d)
+        .filter(col("doc_id") < 400 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          array(lit("hotmark") +:
+            concat(lit("u"), col("doc_id").cast("string")) +:
+            fillers: _*).as("toks"))
+      graft.operators.SetSimJoin.jaccardPairs(docs, "doc_id", "toks",
+          threshold = 0.8, maxBucket = 50, hotBucketSalt = 8)
+        .orderBy(asc("a"), asc("b"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                ['hotmark', 'u' || CAST(doc_id AS VARCHAR),
+                 'f1', 'f2', 'f3', 'f4', 'f5', 'f6', 'f7', 'f8'] AS s
+              FROM documents WHERE doc_id < 400 AND doc_id % 2 = 0),
+            pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+                ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                  6) AS jaccard
+              FROM d a JOIN d b ON a.doc_id < b.doc_id)
+            SELECT a, b, inter, jaccard FROM pairs
+            WHERE jaccard >= 0.8 ORDER BY a, b"""))
+
+  // ---- stored-set removal (the retraction / GDPR-delete shape) -------
+  // The store holds every 5th doc's distinct tokens; a takedown removes
+  // every 10th doc (half the store); then an arriving batch of
+  // nearmark clones (of ALL original 5th docs) audits against the
+  // surviving store. Clones of removed docs must find NOTHING — the
+  // oracle replays the audit over the DIFFERENCE, so a removal that
+  // left rows behind (or dropped the wrong rows) fails the hash. The
+  // store rebuilds fresh each run (saveSets overwrite) because removal
+  // mutates it — correctness gate, not a headline.
+  private val setSimRemoved = GraftQuery(
+    "q_setsim_removed",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"setsimrm_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      def toked(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      graft.operators.SetSimJoin.saveSets(toked(base), "doc_id", "toks",
+        path)
+      graft.operators.SetSimJoin.removeSets(s, path,
+        base.filter(col("doc_id") % 10 === 0).select(col("doc_id")))
+      val batch = toked(base
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "nearmark").as("text")))
+      graft.operators.SetSimJoin.incrementalJaccardPairs(s, path, batch,
+          "doc_id", "toks", threshold = 0.7)
+        .orderBy(asc("a"), asc("b"))
+    },
+    Some(s"""WITH survivors AS (
+               SELECT doc_id, text, 0 AS isb FROM documents
+               WHERE doc_id % 5 = 0 AND doc_id % 10 <> 0),
+             batch AS (
+               SELECT doc_id + 1000000 AS doc_id,
+                 regexp_replace(text, '^\\S+', 'nearmark') AS text,
+                 1 AS isb
+               FROM documents WHERE doc_id % 5 = 0),
+             corpus AS (
+               SELECT * FROM survivors UNION ALL SELECT * FROM batch),
+             sized AS (
+               SELECT doc_id, isb, list_distinct($toksSql) AS stoks,
+                 len(list_distinct($toksSql)) AS n
+               FROM corpus WHERE len($toksSql) >= 1),
+             cand AS (
+               SELECT DISTINCT least(p1.doc_id, p2.doc_id) AS a,
+                 greatest(p1.doc_id, p2.doc_id) AS b
+               FROM (SELECT doc_id, isb, unnest(stoks) AS tok FROM sized) p1
+               JOIN (SELECT doc_id, isb, unnest(stoks) AS tok FROM sized) p2
+                 USING (tok)
+               WHERE p1.doc_id <> p2.doc_id AND (p1.isb = 1 OR p2.isb = 1)),
+             scored AS (
+               SELECT c.a, c.b,
+                 CAST(len(list_intersect(ra.stoks, rb.stoks)) AS BIGINT)
+                   AS inter,
+                 ROUND(len(list_intersect(ra.stoks, rb.stoks)) * 1.0 /
+                   (ra.n + rb.n - len(list_intersect(ra.stoks, rb.stoks))),
+                   6) AS jaccard
+               FROM cand c
+               JOIN sized ra ON ra.doc_id = c.a
+               JOIN sized rb ON rb.doc_id = c.b)
+             SELECT a, b, inter, jaccard FROM scored
+             WHERE jaccard >= 0.7 ORDER BY a, b"""))
+
+  // ---- stored-set compaction (small-files maintenance) ----------------
+  // Build + two appendSets generations (the daily-batch shape), compact
+  // to target file size, then read back: the oracle replays the stored
+  // CONTENT (per-doc value-sorted distinct-token set sizes) — a
+  // compaction that dropped, duplicated, or mangled rows fails the
+  // hash; the files_reduced fact is computed Spark-side against the
+  // pre-compact file count.
+  private val compactSetsGate = GraftQuery(
+    "q_compact_sets",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"setsimcp_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      def toked(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      graft.operators.SetSimJoin.saveSets(
+        toked(docs.filter(col("doc_id") % 7 === 0)), "doc_id", "toks", path)
+      graft.operators.SetSimJoin.appendSets(s, path,
+        toked(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))),
+        "doc_id", "toks")
+      graft.operators.SetSimJoin.appendSets(s, path,
+        toked(docs.filter(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))),
+        "doc_id", "toks")
+      def nFiles(): Long = {
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(hp, true)
+        var n = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      val before = nFiles()
+      graft.operators.SetSimJoin.compactSets(s, path)
+      val reduced = nFiles() < before
+      graft.operators.SetSimJoin.loadSets(s, path)
+        .select(col("sid"), col("n"), lit(reduced).as("files_reduced"))
+        .orderBy(asc("sid"))
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+               UNION ALL
+               SELECT doc_id + 10000000, text FROM documents
+               WHERE doc_id % 7 = 1
+               UNION ALL
+               SELECT doc_id + 20000000, text FROM documents
+               WHERE doc_id % 7 = 2)
+             SELECT doc_id AS sid,
+               CAST(len(list_distinct($toksSql)) AS INT) AS n,
+               TRUE AS files_reduced
+             FROM corpus WHERE len($toksSql) >= 1
+             ORDER BY sid"""))
+
+  // ---- compiled-registry maintenance (append + remove, then probe) ---
+  // The daily eval-suite update without a full recompile: compile the
+  // first registry generation (every 40th doc's first half), APPEND the
+  // second (every 40th+20 doc's half), REMOVE half of generation one
+  // (every 80th), then probe the whole documents table. The oracle
+  // replays the FINAL membership — (gen1 \ removed) ∪ gen2 — through
+  // the standard containment-probe restatement, so an append that
+  // recompiled wrong, a removal that left postings behind, or a merge
+  // that duplicated entries (containment > 1.0) all fail the hash.
+  private val registryMaintenance = GraftQuery(
+    "q_registry_maintenance",
+    (s, d) => {
+      def shingles(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("tk")) - 4),
+            g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15), 16, 10).cast("long")).as("shingles"))
+      def halves(df: org.apache.spark.sql.DataFrame, m: Int, off: Long) = df
+        .filter(col("doc_id") % 40 === m)
+        .select((col("doc_id") + off).as("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 12)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("tk"), lit(1),
+            floor(size(col("tk")) / 2).cast("int"))).as("text"))
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val gen1 = graft.operators.SetSimJoin.compileContainmentRegistry(
+        shingles(halves(base, 0, 2000000L)), "doc_id", "shingles")
+      val merged = graft.operators.SetSimJoin.appendToContainmentRegistry(
+        gen1, shingles(halves(base, 20, 4000000L)), "doc_id", "shingles")
+      val pruned = graft.operators.SetSimJoin.removeFromContainmentRegistry(
+        merged, base.filter(col("doc_id") % 80 === 0 &&
+            col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2000000L).as("qid"))
+          .join(graft.operators.SetSimJoin.registryPostings(gen1)
+            .select(col("query_id").as("qid")).distinct(), Seq("qid"),
+            "left_semi"))
+      graft.operators.SetSimJoin.containmentProbe(
+          shingles(base), pruned, threshold = 0.9,
+          idCol = "doc_id", toksCol = "shingles")
+        .orderBy(asc("query_id"), asc("doc_id"))
+    },
+    Some(s"""WITH reg0 AS (
+               SELECT doc_id + 2000000 AS doc_id,
+                 array_to_string(list_slice($toksSql,
+                   1, CAST(floor(len($toksSql) / 2) AS INT)), ' ') AS text
+               FROM documents
+               WHERE doc_id % 40 = 0 AND doc_id % 80 <> 0
+                 AND len($toksSql) >= 12
+               UNION ALL
+               SELECT doc_id + 4000000 AS doc_id,
+                 array_to_string(list_slice($toksSql,
+                   1, CAST(floor(len($toksSql) / 2) AS INT)), ' ') AS text
+               FROM documents
+               WHERE doc_id % 40 = 20 AND len($toksSql) >= 12),
+             regtk AS (
+               SELECT doc_id, $toksSql AS t FROM reg0
+               WHERE len($toksSql) >= 5),
+             reg AS (
+               SELECT doc_id AS query_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   g -> CAST(('0x' || substr(md5(
+                     array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                     AS BIGINT))) AS qset
+               FROM regtk),
+             doctk AS (
+               SELECT doc_id, $toksSql AS t FROM documents
+               WHERE len($toksSql) >= 5),
+             docs AS (
+               SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   g -> CAST(('0x' || substr(md5(
+                     array_to_string(list_slice(t, g, g + 4), ' ')), 1, 15))
+                     AS BIGINT))) AS dset
+               FROM doctk),
+             qinst AS (SELECT query_id, unnest(qset) AS tok FROM reg),
+             dinst AS (SELECT doc_id, unnest(dset) AS tok FROM docs),
+             cand AS (
+               SELECT DISTINCT q.query_id, i.doc_id
+               FROM qinst q JOIN dinst i USING (tok)),
+             scored AS (
+               SELECT c.query_id, c.doc_id,
+                 CAST(len(list_intersect(r.qset, d.dset)) AS BIGINT)
+                   AS inter,
+                 ROUND(len(list_intersect(r.qset, d.dset)) * 1.0 /
+                   len(r.qset), 6) AS containment
+               FROM cand c
+               JOIN reg r ON r.query_id = c.query_id
+               JOIN docs d ON d.doc_id = c.doc_id)
+             SELECT query_id, doc_id, inter, containment FROM scored
+             WHERE containment >= 0.9 ORDER BY query_id, doc_id"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     dedupExact, dedupDrop, ngramJaccard, minhashPairs, skewGuard,
     minhashSharded, crossShard, crossShardNear, incrementalDedup,
     incrementalNearDup, minhash10x, simhashSignatures, simhashPairs,
     setSimJoin, containmentJoin, incrementalSetSim, incrementalContainment,
-    streamContainment, streamSetSim, streamDocContainment)
+    streamContainment, streamSetSim, streamDocContainment, setSimHotToken,
+    setSimRemoved, compactSetsGate, registryMaintenance)
 }

@@ -563,6 +563,35 @@ object SimilaritySuite extends QuerySuite {
     },
     Some(ivfPqOracleSql))
 
+  // ---- stored-index removal (retraction / GDPR-delete) ---------------
+  // q_ivfpq_stored's lifecycle plus removeVectors: every vec_id % 50 ==
+  // 37 row is retracted, then queries answer from the pruned codes.
+  // Scoring is per-code-row and the removed ids sit past the seed
+  // window (<16 seeds cells AND codebooks), so remove == rebuild over
+  // the difference EXACTLY — the oracle is the ivfPq value oracle with
+  // the corpus CTE filtered to the survivors. A removal that left rows
+  // behind answers with retracted neighbors; one that dropped extra
+  // rows changes ranks — either fails the hash.
+  private val ivfPqRemoved = GraftQuery(
+    "q_ivfpq_removed",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"ivfpqrm_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.operators.Pq.saveIndex(embeddings(s, d), path,
+        nCells = 16, m = 8, ksub = 16)
+      graft.operators.Pq.removeVectors(s, path,
+        embeddings(s, d).select(col("vec_id"))
+          .filter(col("vec_id") % 50 === 37))
+      graft.operators.Pq.queryIndex(
+          graft.operators.Pq.loadIndex(s, path), queryVectors(s, d),
+          k = 3, nProbe = 4)
+        .orderBy(asc("query_id"), asc("rank"))
+    },
+    Some(ivfPqOracleSqlFrom(
+      """e AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 50 <> 37)""")))
+
   // ---- residual IVF-PQ: the full Jégou IVF-ADC construction ---------
   // Codes quantize rv = nv − ĉ(cell) instead of nv itself, and ADC
   // decomposes as dot(qn, ĉ) + Σ_sub lut[code] — the first term exact
@@ -1084,6 +1113,6 @@ object SimilaritySuite extends QuerySuite {
     Seq(topK, pairCosine, lshTopK, lshTopKMp, embDedup, embNearDup, ivfTopK,
         ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize,
         semanticDedup, randomProjQ, pqCodes, ivfPq, ivfPqStored,
-        ivfPqResidual, ivfPqRerankQ, embeddingOpq, opqTrained,
+        ivfPqRemoved, ivfPqResidual, ivfPqRerankQ, embeddingOpq, opqTrained,
         clusterBalance, mrlTopKQ, mrlRerankQ)
 }
