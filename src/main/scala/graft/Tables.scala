@@ -120,6 +120,73 @@ object Tables {
           .as("embedding"))
   }
 
+  /** Deterministic FULL-RANK anisotropic embedding fixture — the
+    * corpus shape where a learned OPQ rotation has something to win,
+    * which [[clusteredEmbeddings]] cannot provide (VERDICT r14 #4: its
+    * rank-2 integer coefficients give 35 distinct within-cluster
+    * positions, so ADC recall reads 0.05–0.19 at EVERY rotation — tie
+    * groups hundreds deep make the gate rotation-blind). Derived only
+    * from the driver's parquet, same (vec_id, embedding) contract:
+    *
+    *  - centers: the raw vectors at vec_id < nClusters (exact, the
+    *    seed-cell convention);
+    *  - within-cluster displacement: Σ_{r<dirs} t_r(i)·spread·u_r, the
+    *    u_r = raw rows [nClusters, nClusters+dirs) — DENSE directions
+    *    spread across every PQ subspace (raw synthetic rows are
+    *    near-isotropic), which is exactly the inter-subspace
+    *    correlation a rotation exists to remove. Integer coefficients
+    *    t_r(i) = (⌊i/p_r⌋ mod 5) − 2 over pairwise-coprime strides
+    *    p = 1, 5, 7, 11, 13, 17 give 5^dirs distinct positions per
+    *    cluster;
+    *  - a FULL-RANK tie-breaking jitter: ± eps·hash(i, dim)/1000 per
+    *    coordinate (xxhash64 — deterministic, replayable), so no two
+    *    vectors are identical and exact top-k has no deep tie groups.
+    */
+  def anisotropicEmbeddings(s: SparkSession, d: String,
+                            nClusters: Int = 8, dirs: Int = 6,
+                            spread: Double = 0.02,
+                            eps: Double = 5e-4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nClusters >= 1 && dirs >= 1,
+      s"anisotropicEmbeddings: need nClusters/dirs >= 1, got " +
+      s"$nClusters/$dirs")
+    val strides = Seq(1L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+    require(dirs <= strides.length,
+      s"anisotropicEmbeddings: at most ${strides.length} directions")
+    val base = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // rows-not-dim dependency check (the clusteredEmbeddings lesson):
+    // centers + direction vectors must exist or the broadcast joins
+    // silently emit an empty frame
+    val nSeed = base.filter(col("vec_id") >= 0 &&
+      col("vec_id") < nClusters + dirs).count()
+    require(nSeed == nClusters + dirs.toLong,
+      s"anisotropicEmbeddings: corpus must contain rows vec_id 0..${
+        nClusters + dirs - 1} (centers + direction vectors); found " +
+      s"$nSeed of ${nClusters + dirs}")
+    val centers = base.filter(col("vec_id") < nClusters)
+      .select((col("vec_id") % nClusters).as("cid"), col("v").as("cv"))
+    def dirCol(r: Int) = base.filter(col("vec_id") === (nClusters + r))
+      .select(col("v").as(s"u$r"))
+    def t(r: Int) = when(col("vec_id") < nClusters, lit(0.0))
+      .otherwise((floor(col("vec_id") / strides(r)) % 5 - 2).cast("double"))
+    val withDirs = (0 until dirs).foldLeft(
+      base.select(col("vec_id"), (col("vec_id") % nClusters).as("cid"))
+        .join(broadcast(centers), Seq("cid"))) {
+      (df, r) => df.crossJoin(broadcast(dirCol(r)))
+    }
+    val displaced = (0 until dirs).foldLeft(col("cv")) { (acc, r) =>
+      zip_with(acc, col(s"u$r"), (x, u) => x + t(r) * lit(spread) * u)
+    }
+    // centers stay EXACT (no jitter at vec_id < nClusters — the seed
+    // convention); every other row gets the full-rank tie-breaker
+    val jittered = transform(displaced, (x, i) =>
+      x + when(col("vec_id") < nClusters, lit(0.0)).otherwise(
+        lit(eps) * (pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L)
+          .cast("double") / 1000.0))
+    withDirs.select(col("vec_id"), jittered.as("embedding"))
+  }
+
   /** Register all tables as temp views so `spark.sql` entry points work
     * (the reference's fourth surface, SURVEY.md §3 "musemotion-queries.sql").
     */
