@@ -73,6 +73,26 @@ object Bench {
     else (reps.map(_._1).min, false)
   }
 
+  /** The CPU-control single-thread seconds of the round-14 registered
+    * basis (BASELINE.md: single 0.38–0.41 s across five runs) — the
+    * reference host generation every cross-round total normalizes to.
+    */
+  private[graft] val ControlRefSingle = 0.39
+
+  /** Host-generation normalization, applied MECHANICALLY (VERDICT r14
+    * #3): the fixed mix-loop runs the same work every round, so
+    * `total × (ref / run)` restates a total as if measured on the
+    * reference host — a slower host (run > ref) deflates its inflated
+    * walls, a faster one inflates them. Non-positive/absent control
+    * (the /proc-less fallback) leaves the total unscaled rather than
+    * dividing by zero.
+    */
+  private[graft] def normalizedTotal(total: Double, controlRun: Double,
+                                     controlRef: Double = ControlRefSingle)
+      : Double =
+    if (controlRun > 0.0 && controlRef > 0.0) total * (controlRef / controlRun)
+    else total
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -148,11 +168,42 @@ object Bench {
     val allQuiet = results.forall(_._4)
     val (ctlS1, ctlP1) = cpuControl()
     val control = s"""{"single":${fmt(ctlS0)},"parallel":${fmt(ctlP0)},""" +
-      s""""singleEnd":${fmt(ctlS1)},"parallelEnd":${fmt(ctlP1)}}"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""singleEnd":${fmt(ctlS1)},"parallelEnd":${fmt(ctlP1)},""" +
+      s""""refSingle":${fmt(ControlRefSingle)}}"""
+    // host-generation normalization, in the artifact itself (VERDICT r14
+    // #3): best (min) single-thread control of the run is the host's
+    // speed on fixed work; the normalized total is directly comparable
+    // across rounds with no prose adjudication
+    val controlRun = math.min(ctlS0, ctlS1)
+    val normTotal = normalizedTotal(total, controlRun)
+    // Full self-adjudicating evidence (per-rep walls + steal, row
+    // counts, per-query quiet verdicts) goes to a FILE: 14 rounds of
+    // BENCH_rN.json carried `parsed: null` because this object printed
+    // as one huge [info] line that the driver's tail-capture truncated
+    // mid-object (VERDICT r14 #2). The driver parses stdout's final
+    // line, so that line must stay SMALL — everything bulky lives here.
+    val evidence =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""normalized_value":${fmt(normTotal)},""" +
       s""""queries":$qs,"rows":$rs,"sf":"$sfDir",""" +
       s""""quiet":$allQuiet,"stealQuietThreshold":$quietThreshold,""" +
-      s""""control":$control,"queryQuiet":$qq,"reps":$repJson}""")
+      s""""control":$control,"queryQuiet":$qq,"reps":$repJson}"""
+    val evPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVIDENCE",
+      "bench_evidence.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(evPath),
+      (evidence + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] evidence write to $evPath failed: $e") }
+    // The machine-parsable artifact line, printed LAST and kept compact
+    // (~1 KB for 32 headlines — well inside the driver's tail window):
+    // registered totals raw AND normalized, per-query registered
+    // seconds, the run's control, and where the full evidence lives.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""normalized_value":${fmt(normTotal)},""" +
+      s""""control_run":${fmt(controlRun)},""" +
+      s""""control_ref":${fmt(ControlRefSingle)},""" +
+      s""""quiet":$allQuiet,"sf":"$sfDir","evidence":"$evPath",""" +
+      s""""queries":$qs}""")
     spark.stop()
   }
 }

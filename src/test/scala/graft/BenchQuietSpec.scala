@@ -27,4 +27,16 @@ class BenchQuietSpec extends AnyFunSuite {
       Seq((2.0, 300L), (4.0, 299L)), quietThreshold = 300L)
     assert(sec == 4.0 && quiet)
   }
+
+  test("control normalization: slower host deflates, faster inflates") {
+    // run control 2× the reference ⇒ host is 2× slower on fixed work ⇒
+    // the measured total halves when restated on the reference host
+    assert(math.abs(Bench.normalizedTotal(80.0, controlRun = 0.78,
+      controlRef = 0.39) - 40.0) < 1e-9)
+    assert(math.abs(Bench.normalizedTotal(40.0, controlRun = 0.195,
+      controlRef = 0.39) - 80.0) < 1e-9)
+    // degenerate control (the /proc-less fallback) leaves totals raw
+    assert(Bench.normalizedTotal(80.0, controlRun = 0.0) == 80.0)
+    assert(Bench.normalizedTotal(80.0, controlRun = -1.0) == 80.0)
+  }
 }
