@@ -16,6 +16,8 @@ object ProfileOpqGain {
   def main(args: Array[String]): Unit = {
     val d = args(0)
     val reps = if (args.length > 1) args(1).toInt else 1
+    val fixture = if (args.length > 2) args(2) else "aniso"
+    val residual = fixture != "spectral"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -25,7 +27,12 @@ object ProfileOpqGain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val c = Tables.anisotropicEmbeddings(spark, d).localCheckpoint(true)
+    val rho = if (args.length > 3) args(3).toDouble else 0.9
+    val c = (fixture match {
+      case "spectral" => Tables.spectralEmbeddings(spark, d, rho = rho)
+      case "clustered" => Tables.clusteredEmbeddings(spark, d)
+      case _ => Tables.anisotropicEmbeddings(spark, d)
+    }).localCheckpoint(true)
     val qs = c.filter(col("vec_id") % 25 === 11 && col("vec_id") < 1000)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       .localCheckpoint(true)
@@ -43,16 +50,16 @@ object ProfileOpqGain {
     (1 to reps).foreach { rep =>
       val t0 = System.nanoTime()
       val rNone = recallOf(Pq.ivfPqTopK(c, qs, k = 5, nCells = 16,
-        nProbe = 4, m = 16, ksub = 16, trainIters = 3, residual = true))
+        nProbe = 16, m = 16, ksub = 16, trainIters = 3, residual = residual))
       val rId = recallOf(Opq.opqTopK(c, qs, identity, k = 5, nCells = 16,
-        nProbe = 4, m = 16, ksub = 16, trainIters = 3, residual = true))
+        nProbe = 16, m = 16, ksub = 16, trainIters = 3, residual = residual))
       val rGivens = recallOf(Opq.opqTopK(c, qs, Opq.givensRotation(dim),
-        k = 5, nCells = 16, nProbe = 4, m = 16, ksub = 16, trainIters = 3,
-        residual = true))
+        k = 5, nCells = 16, nProbe = 16, m = 16, ksub = 16, trainIters = 3,
+        residual = residual))
       val (rt, _, hist) = Opq.opqTrain(c, m = 16, ksub = 16,
         outerIters = 2, lloydIters = 2)
       val rTrained = recallOf(Opq.opqTopK(c, qs, rt, k = 5, nCells = 16,
-        nProbe = 4, m = 16, ksub = 16, trainIters = 3, residual = true))
+        nProbe = 16, m = 16, ksub = 16, trainIters = 3, residual = residual))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"rep $rep: none=$rNone%.3f identity=$rId%.3f " +
         f"givens=$rGivens%.3f trained=$rTrained%.3f " +

@@ -187,6 +187,63 @@ object Tables {
     withDirs.select(col("vec_id"), jittered.as("embedding"))
   }
 
+  /** Deterministic SPECTRAL embedding fixture — the canonical
+    * OPQ-gain shape (Ge et al. 2013 §5's "unbalanced variance" regime):
+    * a latent vector with strongly DECAYING per-coordinate variance,
+    * observed through a fixed orthogonal MIXER that spreads the
+    * high-variance latent directions across every PQ subspace. Raw PQ
+    * must quantize correlated, mixed-scale marginals in each subspace;
+    * a learned rotation can invert the mixer, concentrate the variance
+    * back into few coordinates, and spend the (m, ksub) budget where
+    * the signal lives — the gap a rotation-sensitive gate measures.
+    *
+    *  - latent z_i[d] = v_i[d] · rho^d over the raw (near-isotropic)
+    *    synthetic rows — independent-ish coordinates, geometric decay;
+    *  - observed x_i = R0 · z_i with R0 = (G·P)^layers: G the fixed
+    *    Pythagorean Givens layer, P the stride-37 coordinate
+    *    permutation (coprime to 64, so it is a permutation) — each
+    *    layer doubles the nonzeros per row and the stride jumps across
+    *    subspace boundaries, so after 3 layers every observed
+    *    coordinate mixes ≥ 8 far-apart latent coordinates.
+    *
+    * Fully deterministic and derived only from the driver's parquet;
+    * rotations preserve inner products, so exact cosine rankings are
+    * the latent rankings.
+    */
+  def spectralEmbeddings(s: SparkSession, d: String, rho: Double = 0.9,
+                         layers: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    val z = base.select(col("vec_id"),
+      transform(col("v"), (x, i) =>
+        x * pow(lit(rho), i.cast("double"))).as("z"))
+    graft.operators.Opq.rotateVectors(z, "z", mixerRotation(dim, layers),
+        "embedding")
+      .select(col("vec_id"), col("embedding"))
+  }
+
+  /** (G·P)^layers — a fixed orthogonal mixer: Givens layer composed
+    * with the stride-37 permutation, driver-side d×d doubles.
+    */
+  private[graft] def mixerRotation(dim: Int,
+                                   layers: Int): Seq[Seq[Double]] = {
+    require(dim % 2 == 0 && layers >= 1,
+      s"mixerRotation: even dim and layers >= 1, got $dim/$layers")
+    val g = graft.operators.Opq.givensRotation(dim)
+      .map(_.toArray).toArray
+    // P[i][j] = 1 iff j == (37·i) mod dim — a permutation when
+    // gcd(37, dim) = 1 (it is for dim = 64)
+    val p = Array.tabulate(dim, dim)((i, j) =>
+      if (j == (37 * i) % dim) 1.0 else 0.0)
+    val gp = graft.operators.Opq.matmul(g, p)
+    var m = gp
+    var l = 1
+    while (l < layers) { m = graft.operators.Opq.matmul(gp, m); l += 1 }
+    m.map(_.toSeq).toSeq
+  }
+
   /** Register all tables as temp views so `spark.sql` entry points work
     * (the reference's fourth surface, SURVEY.md §3 "musemotion-queries.sql").
     */

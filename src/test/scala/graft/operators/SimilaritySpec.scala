@@ -250,4 +250,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rerank8 >= trunc8 - 1e-9,
       s"rerank ($rerank8) must not fall below trunc ($trunc8)")
   }
+
+  test("spectral fixture: mixer is orthogonal, output deterministic") {
+    // the mixer must preserve inner products (rotation gains measured
+    // on spectralEmbeddings are meaningless otherwise)
+    val m = graft.Tables.mixerRotation(64, 3).map(_.toArray).toArray
+    val mt = graft.operators.Opq.transpose(m)
+    val prod = graft.operators.Opq.matmul(m, mt)
+    for (i <- 0 until 64; j <- 0 until 64)
+      assert(math.abs(prod(i)(j) - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"M·Mᵀ[$i][$j] = ${prod(i)(j)}")
+    val d = "/root/testdata/sf0.001"
+    val a = graft.Tables.spectralEmbeddings(spark, d)
+      .orderBy($"vec_id").limit(5).collect().map(_.toSeq).toSeq
+    val b = graft.Tables.spectralEmbeddings(spark, d)
+      .orderBy($"vec_id").limit(5).collect().map(_.toSeq).toSeq
+    assert(a == b, "spectralEmbeddings must be deterministic")
+  }
+
+  test("anisotropic fixture: full rank — no duplicate vectors, exact centers") {
+    val d = "/root/testdata/sf0.001"
+    val c = graft.Tables.anisotropicEmbeddings(spark, d)
+    val n = c.count()
+    val distinct = c.select($"embedding").distinct().count()
+    assert(distinct == n,
+      s"anisotropic fixture has duplicate vectors ($distinct of $n " +
+      "distinct) — the clusteredEmbeddings tie ceiling is back")
+    // centers (vec_id < nClusters) stay EXACTLY the raw vectors
+    val raw = graft.Tables.embeddings(spark, d)
+      .filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    graft.Tables.anisotropicEmbeddings(spark, d).filter($"vec_id" < 8)
+      .collect().foreach { r =>
+        assert(r.getSeq[Double](1) == raw(r.getLong(0)),
+          s"center ${r.getLong(0)} is not the raw vector")
+      }
+  }
 }
