@@ -238,6 +238,41 @@ object Bm25 {
       .write.mode("append").parquet(s"$path/postings")
   }
 
+  /** Rewrite the stored postings and dfreq tables into
+    * ~`targetFileBytes` parquet files — [[appendDocs]] appends one
+    * file-set per batch, and at daily cadence the index becomes a
+    * small-files problem (the [[graft.operators.SetSimJoin.compactSets]]
+    * maintenance shape, applied to the sparse index). Row sets are
+    * untouched (spec-pinned); COALESCE only (a file-layout change must
+    * not pay an exchange); tmp write + Hadoop-FS swap rename per
+    * sub-table. The one-row stats table never needs compaction.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0,
+      s"bm25 compactIndex: targetFileBytes must be > 0, got " +
+      s"$targetFileBytes")
+    val idx = loadIndex(spark, path) // stamp-checked
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swapCompact(sub: String, df: DataFrame): Unit = {
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val bytes = fs.getContentSummary(dst).getLength
+      val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+        .min(Int.MaxValue.toLong).toInt
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_compact_tmp")
+      df.withColumn("index_format", lit(IndexFormatPrefix))
+        .coalesce(n)
+        .write.mode("overwrite").parquet(tmp.toString)
+      require(fs.delete(dst, true),
+        s"bm25 compactIndex: could not delete $dst for the swap")
+      require(fs.rename(tmp, dst),
+        s"bm25 compactIndex: $sub swap rename failed — data is at $tmp")
+    }
+    swapCompact("postings", idx.postings)
+    swapCompact("dfreq", idx.dfreq)
+  }
+
   /** Remove documents from a stored index by id — the retraction /
     * GDPR-delete member of the sparse-index lifecycle ([[saveIndex]] /
     * [[appendDocs]] / [[queryIndex]]). All three stored tables update

@@ -386,6 +386,13 @@ object Opq {
                     removeIds: DataFrame): Unit =
     Pq.removeVectors(spark, s"$path/pq", removeIds)
 
+  /** Compact a stored OPQ index's codes table — [[Pq.compactCodes]]
+    * under `path/pq`; the rotation table is d rows and never needs it.
+    */
+  def compactCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Unit =
+    Pq.compactCodes(spark, s"$path/pq", targetFileBytes)
+
   /** Answer from a stored OPQ index: rotate the queries with the STORED
     * rotation, then [[Pq.queryIndex]] — no corpus access, no encode.
     */

@@ -645,6 +645,34 @@ object Pq {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Rewrite the stored codes table into ~`targetFileBytes` parquet
+    * files — [[appendVectors]] appends one file-set per batch (the
+    * [[graft.operators.SetSimJoin.compactSets]] small-files shape,
+    * applied to the dense index; centroids/codebooks are tiny and
+    * write-once). Row set untouched; COALESCE only; tmp write +
+    * Hadoop-FS swap rename.
+    */
+  def compactCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0,
+      s"compactCodes: targetFileBytes must be > 0, got $targetFileBytes")
+    val idx = loadIndex(spark, path) // stamp-checked
+    val dst = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(dst).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue.toLong).toInt
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compact_tmp")
+    idx.codes.withColumn("index_format",
+        lit(stampOf(idx.m, idx.ksub, idx.nCells, idx.dim, idx.residual)))
+      .coalesce(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.delete(dst, true),
+      s"compactCodes: could not delete $dst for the swap")
+    require(fs.rename(tmp, dst),
+      s"compactCodes: swap rename failed — compacted codes are at $tmp")
+  }
+
   /** Remove vectors from a stored index by id — the retraction /
     * GDPR-delete member of the stored-index lifecycle ([[saveIndex]] /
     * [[appendVectors]] / [[queryIndex]]). Scoring is per-code-row, so

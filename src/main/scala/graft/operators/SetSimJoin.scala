@@ -502,6 +502,36 @@ object SetSimJoin {
       s"removeSets: swap rename failed — surviving data is at $tmp")
   }
 
+  /** Token-keyed candidate join with the hot-bucket salted split (the
+    * [[jaccardPairs]] `hotBucketSalt` machinery, shared by the
+    * incremental members): cold tokens keep the plain equi-join with
+    * the caller's broadcast hints; tokens in `hot` split into `salt`
+    * sub-buckets — the a-side salted by doc id, the b-side replicated
+    * across every salt — so each (a, b) match still meets exactly once
+    * while no single task holds a whole hot bucket. Hot branches never
+    * carry a broadcast hint (a replicated hot side is exactly what
+    * must not broadcast).
+    */
+  private def saltedTokenJoin(a: DataFrame, b: DataFrame,
+                              hot: Option[DataFrame], salt: Int,
+                              hintA: Boolean, hintB: Boolean): DataFrame = {
+    def h(df: DataFrame, on: Boolean) = if (on) broadcast(df) else df
+    hot match {
+      case None => h(a, hintA).join(h(b, hintB), Seq("tok"))
+      case Some(ht) =>
+        val hb = broadcast(ht.select(col("tok")))
+        val aCold = a.join(hb, Seq("tok"), "left_anti")
+        val bCold = b.join(hb, Seq("tok"), "left_anti")
+        val aHot = a.join(hb, Seq("tok"), "left_semi")
+          .withColumn("salt",
+            pmod(xxhash64(col("a")), lit(salt.toLong)).cast("int"))
+        val bHot = b.join(hb, Seq("tok"), "left_semi")
+          .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+        h(aCold, hintA).join(h(bCold, hintB), Seq("tok"))
+          .unionByName(aHot.join(bHot, Seq("tok", "salt")).drop("salt"))
+    }
+  }
+
   /** Loud EAGER check that no batch id collides with a stored sid — a
     * collision duplicates that sid in the union, multiplying
     * verify-join rows into silently wrong pair output, and the
@@ -545,7 +575,8 @@ object SetSimJoin {
                               idCol: String, toksCol: String,
                               threshold: Double,
                               maxBucket: Int = 10000,
-                              bloomItems: Long = 1000000L): DataFrame = {
+                              bloomItems: Long = 1000000L,
+                              hotBucketSalt: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"incrementalJaccardPairs: threshold must be in (0,1], got $threshold")
     val stored = loadSets(spark, path)
@@ -559,14 +590,19 @@ object SetSimJoin {
           .cast("int"))).as(Seq("pos", "tok")))
     val prefAll = prefixes(union)
     val prefBatch = prefixes(batch)
-    val chk = prefAll.groupBy("tok").agg(count(lit(1)).as("c"))
+    val cnt = prefAll.groupBy("tok").agg(count(lit(1)).as("c"))
+    val guardCap =
+      if (hotBucketSalt > 0) maxBucket.toLong * hotBucketSalt
+      else maxBucket.toLong
+    val chk = cnt
       .agg(max_by(struct(col("tok"), col("c")), col("c")).as("w"))
       .select(
-        when(coalesce(col("w.c"), lit(0L)) > maxBucket,
+        when(coalesce(col("w.c"), lit(0L)) > guardCap,
           raise_error(concat(lit("incrementalJaccardPairs: prefix token '"),
             col("w.tok"), lit("' collects "), col("w.c"),
-            lit(s" docs (> maxBucket=$maxBucket); raise the threshold, " +
-              "pre-dedup, or raise maxBucket knowingly"))))
+            lit(s" docs (> ${if (hotBucketSalt > 0) "salted cap " else ""}" +
+              s"$guardCap); raise the threshold, " +
+              "pre-dedup, or raise maxBucket/hotBucketSalt knowingly"))))
           .otherwise(lit(1)).as("guard_ok"))
     // The a-side is the UNION's prefixes — archive-sized — but only
     // rows whose token appears in some BATCH prefix can ever join the
@@ -602,16 +638,23 @@ object SetSimJoin {
     // checkpointed batch has no Catalyst stats, so the planner can't
     // see that it is small (measured: without the hint the candidate
     // join degraded to a shuffle join and the gate read ~2× its floor).
-    // We just computed the true size; state the hint explicitly.
+    // We just computed the true size; state the hint explicitly (on
+    // the COLD branch only when salting — a replicated hot side is
+    // exactly what must not broadcast).
     val bRaw = prefBatch.select(col("tok"), col("sid").as("b"),
       col("n").as("nb"), col("pos").as("pb"))
-    val b = if (fitsBroadcast) broadcast(bRaw) else bRaw
+    val hot =
+      if (hotBucketSalt > 0)
+        Some(cnt.filter(col("c") > maxBucket).select("tok"))
+      else None
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("na") + col("nb")) - lit(1e-9))
     // per-ORIENTATION min positions (batch-internal pairs arrive in both
     // orientations), positional filter per orientation, THEN normalize
     // a < b and dedupe
-    val candIds = a.join(b, Seq("tok")).filter(col("a") =!= col("b"))
+    val candIds = saltedTokenJoin(a, bRaw, hot, hotBucketSalt,
+        hintA = false, hintB = fitsBroadcast)
+      .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
       .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
@@ -973,7 +1016,8 @@ object SetSimJoin {
                                   idCol: String, toksCol: String,
                                   threshold: Double,
                                   maxBucket: Int = 10000,
-                                  bloomItems: Long = 1000000L): DataFrame = {
+                                  bloomItems: Long = 1000000L,
+                                  hotBucketSalt: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"incrementalContainmentPairs: threshold must be in (0,1], got " +
         s"$threshold")
@@ -1000,16 +1044,29 @@ object SetSimJoin {
     // (a Bloom's false positives must not raise the loud cap).
     val dfreq = union.select(col("sid"), explode(col("stoks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    val chk = prefAll.select(col("tok")).distinct()
+    val prefDf = prefAll.select(col("tok")).distinct()
       .join(dfreq, Seq("tok"))
+    val guardCap =
+      if (hotBucketSalt > 0) maxBucket.toLong * hotBucketSalt
+      else maxBucket.toLong
+    val chk = prefDf
       .agg(max_by(struct(col("tok"), col("df")), col("df")).as("w"))
       .select(
-        when(coalesce(col("w.df"), lit(0L)) > maxBucket,
+        when(coalesce(col("w.df"), lit(0L)) > guardCap,
           raise_error(concat(lit("incrementalContainmentPairs: prefix " +
             "token '"), col("w.tok"), lit("' has corpus df "), col("w.df"),
-            lit(s" (> maxBucket=$maxBucket); raise the threshold, " +
-              "pre-dedup, or raise maxBucket knowingly"))))
+            lit(s" (> ${if (hotBucketSalt > 0) "salted cap " else ""}" +
+              s"$guardCap); raise the threshold, " +
+              "pre-dedup, or raise maxBucket/hotBucketSalt knowingly"))))
           .otherwise(lit(1)).as("guard_ok"))
+    // hot set for the salted split: prefix tokens whose UNION-corpus df
+    // exceeds maxBucket — the same measure the guard caps (per-token
+    // candidate volume ≤ prefix-rows × df ≤ df²), vocab-derived and
+    // broadcast-tiny by construction
+    val hot =
+      if (hotBucketSalt > 0)
+        Some(prefDf.filter(col("df") > maxBucket).select("tok"))
+      else None
     // Each branch Bloom-prunes BOTH inputs before their exchange (no
     // false negatives; survivors die in the equi-join / exact verify):
     // the container side against the contained side's prefix tokens
@@ -1040,12 +1097,14 @@ object SetSimJoin {
     // — the checkpointed batch has no Catalyst stats, so the planner
     // can't see that it is small (measured: without the hint the
     // candidate join degraded to a shuffle join and the gate read ~2×
-    // its floor). We just computed the true size; state the hint.
-    def maybeBroadcast(df: DataFrame): DataFrame =
-      if (fitsBroadcast) broadcast(df) else df
-    def candBranch(a: DataFrame, b: DataFrame): DataFrame = {
+    // its floor). We just computed the true size; the hint is stated
+    // inside [[saltedTokenJoin]] on the COLD branch only (a replicated
+    // hot side is exactly what must not broadcast).
+    def candBranch(a: DataFrame, b: DataFrame,
+                   hintA: Boolean, hintB: Boolean): DataFrame = {
       val alpha = ceil(lit(threshold) * col("na") - lit(1e-9))
-      a.join(b, Seq("tok")).filter(col("a") =!= col("b"))
+      saltedTokenJoin(a, b, hot, hotBucketSalt, hintA, hintB)
+        .filter(col("a") =!= col("b"))
         .groupBy(col("a"), col("b"), col("na"), col("nb"))
         .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
         .filter(col("nb") >= alpha &&
@@ -1059,10 +1118,12 @@ object SetSimJoin {
     val batchToks = batch.select(explode(col("stoks")).as("tok"))
     val branch1 = candBranch(
       aSide(bloomPrune(prefAll, batchToks)),
-      maybeBroadcast(bSide(bloomPrune(fullInst(batch), prefAll))))
+      bSide(bloomPrune(fullInst(batch), prefAll)),
+      hintA = false, hintB = fitsBroadcast)
     val branch2 = candBranch(
-      maybeBroadcast(aSide(prefBatch)),
-      bSide(bloomPrune(fullInst(stored), prefBatch)))
+      aSide(prefBatch),
+      bSide(bloomPrune(fullInst(stored), prefBatch)),
+      hintA = fitsBroadcast, hintB = false)
     val candIds = branch1.unionByName(branch2)
       .dropDuplicates("a", "b")
     val cand = candIds

@@ -257,6 +257,39 @@ class Bm25Spec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("compactIndex: identical answers back, fewer files") {
+    val path = java.nio.file.Files.createTempDirectory("bm25_cmp").toString
+    Bm25.saveIndex(fixture, path)
+    // several appended generations — the small-files shape
+    (1 to 4).foreach { g =>
+      Bm25.appendDocs(spark, path,
+        Seq((100L * g, s"a b w$g"), (100L * g + 1, s"c w$g w$g"))
+          .toDF("doc_id", "text"))
+    }
+    def nParquetFiles(sub: String): Int = {
+      val hp = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(hp, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val qs = Seq((0L, "a b c")).toDF("query_id", "query_text")
+    def ans() = Bm25.queryIndex(Bm25.loadIndex(spark, path), qs, k = 20)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val before = ans()
+    val filesBefore = nParquetFiles("postings")
+    Bm25.compactIndex(spark, path)
+    assert(ans() == before)
+    assert(nParquetFiles("postings") < filesBefore,
+      s"compaction did not reduce postings files ($filesBefore -> " +
+      s"${nParquetFiles("postings")})")
+    // stamp survived: append still works on the compacted index
+    Bm25.appendDocs(spark, path, Seq((999L, "a z")).toDF("doc_id", "text"))
+  }
+
   test("removeDocs == rebuild over the difference; loud guards") {
     val eight = Seq(
       (0L, "a b a"), (1L, "a c"), (2L, "b b b b"), (3L, "a a a a"),

@@ -150,6 +150,40 @@ class PqIndexSpec extends AnyFunSuite {
     assert(width.getMessage.contains("width"))
   }
 
+  test("compactCodes: identical answers back, fewer files") {
+    val path = freshPath("cmp")
+    Pq.saveIndex(corpus.filter($"vec_id" < 100), path, nCells = 8,
+      m = 8, ksub = 16)
+    // several appended generations — the small-files shape
+    Seq((100L, 200L), (200L, 300L), (300L, 400L), (400L, 500L)).foreach {
+      case (lo, hi) =>
+        Pq.appendVectors(spark, path,
+          corpus.filter($"vec_id" >= lo && $"vec_id" < hi))
+    }
+    def nParquetFiles(): Int = {
+      val hp = new org.apache.hadoop.fs.Path(s"$path/codes")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(hp, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = answers(Pq.queryIndex(Pq.loadIndex(spark, path),
+      queries, k = 5, nProbe = 8))
+    val filesBefore = nParquetFiles()
+    Pq.compactCodes(spark, path)
+    assert(answers(Pq.queryIndex(Pq.loadIndex(spark, path),
+      queries, k = 5, nProbe = 8)) == before)
+    assert(nParquetFiles() < filesBefore,
+      s"compaction did not reduce files ($filesBefore -> ${nParquetFiles()})")
+    // the compacted index still appends (stamp survived)
+    Pq.appendVectors(spark, path,
+      corpus.limit(1).select(($"vec_id" + 50000L).as("vec_id"),
+        $"embedding"))
+  }
+
   test("removeVectors == rebuild over the difference; removed ids stop " +
        "answering; loud guards") {
     val pathRm = freshPath("rm")

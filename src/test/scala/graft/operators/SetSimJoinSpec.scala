@@ -310,6 +310,47 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("salted cap")))
   }
 
+  test("salted split: incremental joins match brute where unsalted raises") {
+    val stored = hotCorpus(25) // ids 0..24, shared hotmark + fillers
+    val batch = (0 until 15).map(i =>
+      (1000L + i) -> (s"hotmark v$i " + (1 to 8).map(j => s"f$j")
+        .mkString(" ")))
+    val all = stored ++ batch
+    val batchIds = batch.map(_._1).toSet
+    val path = java.nio.file.Files.createTempDirectory("setsim_hsalt")
+      .toString
+    SetSimJoin.saveSets(toks(stored), "doc_id", "toks", path)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    // unsalted: the shared fillers collect 40-doc buckets > maxBucket
+    val ex1 = intercept[Exception] {
+      SetSimJoin.incrementalJaccardPairs(spark, path, toks(batch),
+        "doc_id", "toks", 0.8, maxBucket = 10).collect()
+    }
+    assert(msgs(ex1).exists(_.contains("maxBucket")))
+    val incJ = SetSimJoin.incrementalJaccardPairs(spark, path, toks(batch),
+        "doc_id", "toks", 0.8, maxBucket = 10, hotBucketSalt = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(incJ.length == incJ.toSet.size, "salted join duplicated pairs")
+    assert(incJ.toSet == brute(all, 0.8)
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2)))
+    assert(incJ.nonEmpty)
+    val ex2 = intercept[Exception] {
+      SetSimJoin.incrementalContainmentPairs(spark, path, toks(batch),
+        "doc_id", "toks", 0.9, maxBucket = 10).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("maxBucket")))
+    val incC = SetSimJoin.incrementalContainmentPairs(spark, path,
+        toks(batch), "doc_id", "toks", 0.9, maxBucket = 10,
+        hotBucketSalt = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(incC.length == incC.toSet.size, "salted join duplicated pairs")
+    assert(incC.toSet == bruteContainment(all, 0.9)
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2)))
+    assert(incC.nonEmpty)
+  }
+
   // ---- stored-state maintenance: compact, remove -----------------------
 
   test("compactSets: identical rows back, fewer files") {
