@@ -320,4 +320,24 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("incremental joins: batch side broadcasts, no shuffle-join demotion") {
+    // The stats-less-checkpoint hazard (BASELINE.md round-14 third
+    // pass): the batch-derived join inputs come off a localCheckpoint
+    // with no Catalyst stats, so the planner cannot see they are small
+    // — the operators state the broadcast() hint from the size they
+    // compute. Measured regression shape when the hint is lost: the
+    // candidate join degrades to a shuffle join and the gate reads ~2x
+    // its floor. Pin it here so the regression fails a test, not a
+    // bench floor. (Round 15 moved the hint inside saltedTokenJoin —
+    // this pin guards that refactor and every future one.)
+    for (name <- Seq("q_incremental_setsim", "q_incremental_containment")) {
+      val s = planNoExec(name)
+      assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+        s"$name: batch-side broadcast hint lost — a join demoted to a " +
+        s"shuffle join:\n$s")
+      assert(s.contains("BroadcastHashJoin"),
+        s"$name: expected broadcast candidate joins:\n$s")
+    }
+  }
 }
