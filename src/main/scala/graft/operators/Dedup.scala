@@ -174,6 +174,163 @@ object Dedup {
     signatures(docs, idCol, textCol, shingleK, numHashes, carryCols)
       .withColumn("sig_family", lit(signatureFamilyVersion))
 
+  // ---- stored signature table: the full lifecycle ---------------------
+
+  /** Path-store stamp: family version PLUS the signature GEOMETRY.
+    * `sig_family` alone is not enough for a persisted table — an append
+    * built with a different shingleK or numHashes carries the same
+    * family yet its signatures are incomparable (a k=5 signature never
+    * collides with a k=9 one except by luck, so recall silently
+    * dies). The store bakes (k, h) into the stamp; append/audit derive
+    * their geometry FROM the stamp, making a mismatch unrepresentable.
+    */
+  private[graft] def sigStoreStamp(shingleK: Int, numHashes: Int): String =
+    s"graft-minhashsig-v$signatureFamilyVersion;k=$shingleK;h=$numHashes"
+
+  /** A loaded signature store: the stamped frame (sig_family kept — the
+    * downstream `corpusSigs` consumers re-verify it) plus the parsed
+    * geometry every consumer must call with.
+    */
+  final case class SignatureStore(sigs: DataFrame, shingleK: Int,
+                                  numHashes: Int)
+
+  /** Persist the corpus' signature table under `path` — the build-once
+    * state of the incremental NEAR-dup audit (the
+    * [[graft.operators.SetSimJoin.saveSets]] convention for the
+    * probabilistic member). The corpus text is NOT stored: the exact
+    * verify reads the corpus table itself; this store only saves the
+    * dominant cost (the signature pass) across daily batches.
+    */
+  def saveSignatureStore(docs: DataFrame, idCol: String, textCol: String,
+                         path: String,
+                         shingleK: Int = DefaultShingleK,
+                         numHashes: Int = 64): Unit =
+    signatureTable(docs, idCol, textCol, shingleK, numHashes)
+      .withColumn("sig_store", lit(sigStoreStamp(shingleK, numHashes)))
+      .write.mode("overwrite").parquet(path)
+
+  def loadSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String): SignatureStore = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("sig_store"),
+      s"stored signature table at $path has no sig_store column — not a " +
+      "saveSignatureStore table; rebuild with Dedup.saveSignatureStore")
+    val stamps = df.select(col("sig_store")).distinct().limit(2)
+      .collect().map(_.getString(0))
+    require(stamps.length == 1 && stamps.head != null &&
+        stamps.head.startsWith(s"graft-minhashsig-v$signatureFamilyVersion;"),
+      s"stored signature table at $path has stamp " +
+      s"'${stamps.mkString(",")}', this build writes " +
+      s"'graft-minhashsig-v$signatureFamilyVersion;…' — signatures are " +
+      "not comparable across families/layouts; rebuild with " +
+      "Dedup.saveSignatureStore")
+    val geom = stamps.head.split(';').drop(1)
+      .map(_.split('=')).map(kv => kv(0) -> kv(1).toInt).toMap
+    SignatureStore(df.drop("sig_store"), geom("k"), geom("h"))
+  }
+
+  /** Append a new batch's signatures under the STORED geometry (derived
+    * from the stamp — a mismatched call is unrepresentable) after an
+    * eager id-collision check (the [[SetSimJoin.appendSets]] contract:
+    * a duplicate id double-answers every downstream audit).
+    */
+  def appendSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, newDocs: DataFrame,
+                           idCol: String, textCol: String): Unit = {
+    val st = loadSignatureStore(spark, path)
+    val overlap = newDocs.select(col(idCol).as("id"))
+      .join(st.sigs.select("id"), Seq("id"), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      "appendSignatureStore: new batch ids collide with stored ids — " +
+      "re-id the batch or rebuild with saveSignatureStore")
+    signatureTable(newDocs, idCol, textCol, st.shingleK, st.numHashes)
+      .withColumn("sig_store", lit(sigStoreStamp(st.shingleK, st.numHashes)))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Compact the store's accumulated per-batch file-sets — coalesce
+    * only (no exchange), tmp write + Hadoop-FS swap rename, rows
+    * spec-pinned identical (the [[SetSimJoin.compactSets]] contract).
+    */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0,
+      s"compactSignatureStore: targetFileBytes must be > 0, got " +
+      s"$targetFileBytes")
+    val st = loadSignatureStore(spark, path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hp).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue.toLong).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    st.sigs
+      .withColumn("sig_store", lit(sigStoreStamp(st.shingleK, st.numHashes)))
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.delete(hp, true),
+      s"compactSignatureStore: could not delete $path for the swap")
+    require(fs.rename(tmp, hp),
+      s"compactSignatureStore: swap rename failed — data is at $tmp")
+  }
+
+  /** Remove stored signatures by id — the retraction member (loud on
+    * unknown ids and on emptying, the [[SetSimJoin.removeSets]]
+    * contract); removed ids stop pairing in every downstream audit.
+    */
+  def removeSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, removeIds: DataFrame): Unit = {
+    val st = loadSignatureStore(spark, path)
+    val ids = removeIds.select(removeIds.columns.head).toDF("id")
+    require(ids.filter(col("id").isNull).limit(1).count() == 0L,
+      "removeSignatureStore: removal list contains null ids")
+    val missing = ids.join(st.sigs.select("id"), Seq("id"), "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"removeSignatureStore: id " +
+      s"'${missing.headOption.map(_.get(0)).orNull}' is not in the store " +
+      "— a typo'd retraction must fail loudly, not report success")
+    val remaining = st.sigs.join(ids, Seq("id"), "left_anti")
+    require(remaining.limit(1).count() == 1L,
+      "removeSignatureStore: removal would empty the store — delete the " +
+      "path and rebuild with saveSignatureStore instead")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_remove_tmp")
+    remaining
+      .withColumn("sig_store", lit(sigStoreStamp(st.shingleK, st.numHashes)))
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.delete(hp, true),
+      s"removeSignatureStore: could not delete $path for the swap")
+    require(fs.rename(tmp, hp),
+      s"removeSignatureStore: swap rename failed — surviving data is " +
+      s"at $tmp")
+  }
+
+  /** Incremental near-dup audit answered FROM the store: load (stamp +
+    * geometry checked), then [[incrementalNearDupPairs]] with the
+    * stored signatures as the corpus side — the corpus signature pass
+    * (its dominant cost) never re-runs; only batch signatures and the
+    * candidate-bounded exact verify touch text.
+    */
+  def incrementalNearDupFromStore(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, newBatch: DataFrame,
+                                  corpus: DataFrame,
+                                  minJaccard: Double = 0.8,
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text",
+                                  numBands: Int = 8,
+                                  maxBucket: Int = 200,
+                                  expectedBatchBands: Long = 1000000L)
+      : DataFrame = {
+    val st = loadSignatureStore(spark, path)
+    incrementalNearDupPairs(newBatch, corpus, minJaccard, idCol, textCol,
+      st.shingleK, st.numHashes, numBands, maxBucket, expectedBatchBands,
+      corpusSigs = Some(st.sigs))
+  }
+
   /** Validate a caller-provided signature frame's recorded family (one
     * single-row fetch — never a corpus scan) and strip the marker
     * column. Tables without the column are accepted as-is for

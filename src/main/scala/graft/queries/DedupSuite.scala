@@ -1246,6 +1246,58 @@ object DedupSuite extends QuerySuite {
              SELECT query_id, doc_id, inter, containment FROM scored
              WHERE containment >= 0.9 ORDER BY query_id, doc_id"""))
 
+  // ---- stored-signature lifecycle (save → append → remove → audit) ---
+  // The MinHash signature table through its full path-store lifecycle:
+  // half the corpus saved, the other half APPENDED (geometry derived
+  // from the stamp), every 30th doc RETRACTED, then an arriving batch
+  // of one-token-appended clones of every eligible doc (the
+  // q_incremental_neardup margins: ≥ 25 distinct / ≥ 45 tokens, so the
+  // LSH self-match guarantee is SQL-decidable) audits FROM THE STORE —
+  // the corpus signature pass never re-runs. Each clone self-matches
+  // iff its base SURVIVED the retraction (the b-side is the stored
+  // signatures), so n_self_matched == surviving eligible docs; any
+  // pair answering with a removed base id means the removal left rows
+  // behind (n_removed_matched must be 0).
+  private val nearDupStore = GraftQuery(
+    "q_neardup_store",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+        s"sigstore_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      graft.operators.Dedup.saveSignatureStore(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      graft.operators.Dedup.appendSignatureStore(s, path,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      graft.operators.Dedup.removeSignatureStore(s, path,
+        docs.filter(col("doc_id") % 30 === 0).select(col("doc_id")))
+      val eligible = docs.filter(
+        size(graft.functions.TextFunctions.distinctTokens(col("text"))) >= 25 &&
+        size(graft.functions.TextFunctions.tokens(col("text"))) >= 45)
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val batch = eligible.select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" qqsigstore")).as("text"))
+      val pairs = graft.operators.Dedup.incrementalNearDupFromStore(s,
+        path, batch, docs, minJaccard = 0.9)
+      val nBatch = batch.agg(count(lit(1)).as("n_batch"))
+      val selfM = pairs.filter(col("a") - lit(off) === col("b"))
+        .agg(countDistinct(col("a")).as("n_self_matched"))
+      val removedM = pairs.join(
+          docs.filter(col("doc_id") % 30 === 0)
+            .select(col("doc_id").as("b")), Seq("b"), "left_semi")
+        .agg(count(lit(1)).as("n_removed_matched"))
+      nBatch.crossJoin(selfM).crossJoin(removedM)
+    },
+    Some(s"""SELECT
+               CAST((SELECT COUNT(*) FROM documents
+                     WHERE len(list_distinct($toksSql)) >= 25
+                       AND len($toksSql) >= 45) AS BIGINT) AS n_batch,
+               CAST((SELECT COUNT(*) FROM documents
+                     WHERE len(list_distinct($toksSql)) >= 25
+                       AND len($toksSql) >= 45
+                       AND doc_id % 30 <> 0) AS BIGINT) AS n_self_matched,
+               CAST(0 AS BIGINT) AS n_removed_matched"""))
+
   // ---- hot-bucket salted split (graceful degradation under skew) -----
   // A template token shared by 200 docs: every doc is {hotmark, u_i,
   // f1..f8}, so (df, tok)-rarity puts u_i first and the shared tokens
@@ -1511,6 +1563,6 @@ object DedupSuite extends QuerySuite {
     minhashSharded, crossShard, crossShardNear, incrementalDedup,
     incrementalNearDup, minhash10x, simhashSignatures, simhashPairs,
     setSimJoin, containmentJoin, incrementalSetSim, incrementalContainment,
-    streamContainment, streamSetSim, streamDocContainment, setSimHotToken,
-    setSimRemoved, compactSetsGate, registryMaintenance)
+    streamContainment, streamSetSim, streamDocContainment, nearDupStore,
+    setSimHotToken, setSimRemoved, compactSetsGate, registryMaintenance)
 }
