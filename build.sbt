@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two settings make that line the raw JSON Bench prints:
+// StdoutOutput passes the forked JVM's stdout through verbatim (no
+// "[info] " prefix), and showSuccess=false drops the trailing
+// "[success] Total time" line sbt would otherwise print after it.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

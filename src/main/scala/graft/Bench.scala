@@ -194,16 +194,26 @@ object Bench {
       (evidence + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] evidence write to $evPath failed: $e") }
-    // The machine-parsable artifact line, printed LAST and kept compact
-    // (~1 KB for 32 headlines — well inside the driver's tail window):
+    // The machine-parsable artifact line must be the LAST stdout content
+    // of the whole sbt invocation (the driver parses the final line), so:
+    // stop Spark and mute its loggers FIRST — shutdown chatter must not
+    // trail the JSON — then print compact (~1 KB for 32 headlines):
     // registered totals raw AND normalized, per-query registered
     // seconds, the run's control, and where the full evidence lives.
+    spark.stop()
+    org.apache.logging.log4j.LogManager.getRootLogger match {
+      case l: org.apache.logging.log4j.core.Logger =>
+        l.getContext.getConfiguration.getRootLogger
+          .setLevel(org.apache.logging.log4j.Level.OFF)
+        l.getContext.updateLoggers()
+      case _ => ()
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""normalized_value":${fmt(normTotal)},""" +
       s""""control_run":${fmt(controlRun)},""" +
       s""""control_ref":${fmt(ControlRefSingle)},""" +
       s""""quiet":$allQuiet,"sf":"$sfDir","evidence":"$evPath",""" +
       s""""queries":$qs}""")
-    spark.stop()
+    System.out.flush()
   }
 }
