@@ -136,6 +136,11 @@ object Bm25 {
     */
   def saveIndex(docs: DataFrame, path: String,
                 idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // a rebuild is the documented remediation for an interrupted
+    // mutation — clear any leftover marker so the fresh index loads
+    val mk = pendingMarker(path)
+    mk.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(mk, false)
     val tf = termFrequencies(docs, idCol, textCol)
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val stats = docs.agg(
@@ -168,10 +173,48 @@ object Bm25 {
     df.drop("index_format")
   }
 
+  /** Pending-mutation marker: every multi-table mutation ([[appendDocs]]
+    * / [[removeDocs]] / [[compactIndex]]) creates `_mutation_pending`
+    * before its first table write and deletes it after its last, so a
+    * crash mid-sequence leaves the marker behind and [[loadIndex]]
+    * rejects the mutually-inconsistent tables LOUDLY instead of
+    * scoring silently wrong (ADVICE r15: each table carries a valid
+    * per-table stamp, so stamp checks alone cannot see a
+    * mid-sequence-failed index). [[saveIndex]] clears it — a full
+    * rebuild is the documented remediation.
+    */
+  private def pendingMarker(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_mutation_pending")
+
+  private def withMutationMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      op: String)(body: => Unit): Unit = {
+    val mk = pendingMarker(path)
+    val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.createNewFile(mk),
+      s"bm25 $op: a mutation marker already exists at $mk — another " +
+      "mutation is running or a previous one died mid-sequence; " +
+      "rebuild with saveIndex (or restore the tables and delete the " +
+      "marker) before mutating again")
+    body
+    require(fs.delete(mk, false),
+      s"bm25 $op: completed, but the mutation marker at $mk could not " +
+      "be deleted — remove it by hand or the next load will reject the " +
+      "index")
+  }
+
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
-                path: String): Bm25Index =
+                path: String): Bm25Index = {
+    val mk = pendingMarker(path)
+    val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(mk),
+      s"stored BM25 index at $path has a pending-mutation marker — a " +
+      "mutation died mid-sequence and the postings/dfreq/stats tables " +
+      "may be mutually inconsistent; rebuild with Bm25.saveIndex (or " +
+      s"restore the tables and delete $mk)")
     Bm25Index(checkedRead(spark, path, "postings"),
       checkedRead(spark, path, "dfreq"), checkedRead(spark, path, "stats"))
+  }
 
   /** Append a NEW batch of documents to a stored index without
     * re-tokenizing the stored corpus — the [[Pq.appendVectors]]
@@ -190,10 +233,11 @@ object Bm25 {
     *
     * New ids must not collide with stored doc ids (duplicates would
     * double-score; checked with a column-pruned semi-join). The update
-    * is NOT transactional — a failure between table writes leaves a
-    * mixed index; rebuild with [[saveIndex]] if append dies midway.
-    * With fresh ids, append-then-query == rebuild-from-scratch
-    * (spec-pinned, the appendVectors convention).
+    * is NOT transactional, but it IS fail-detected: the table writes
+    * run under the pending-mutation marker, so an append that dies
+    * midway leaves an index [[loadIndex]] rejects loudly — rebuild
+    * with [[saveIndex]]. With fresh ids, append-then-query ==
+    * rebuild-from-scratch (spec-pinned, the appendVectors convention).
     */
   def appendDocs(spark: org.apache.spark.sql.SparkSession, path: String,
                  newDocs: DataFrame, idCol: String = "doc_id",
@@ -211,15 +255,7 @@ object Bm25 {
     val mergedDf = idx.dfreq.unionByName(
         tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df")))
       .groupBy("tok").agg(sum(col("df")).as("df"))
-    val tmp = s"$path/dfreq_tmp"
-    mergedDf.withColumn("index_format", lit(IndexFormatPrefix))
-      .write.mode("overwrite").parquet(tmp)
-    val hp = new org.apache.hadoop.fs.Path(s"$path/dfreq")
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hp, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hp),
-      s"bm25 appendDocs: dfreq swap rename failed under $path")
-    // stats: two single rows, added on the driver
+    // stats inputs collected BEFORE any table mutates
     val old = idx.stats.select(col("n").cast("long"),
       col("sum_dl").cast("long")).head()
     val batch = newDocs.agg(
@@ -229,13 +265,23 @@ object Bm25 {
       coalesce(sum(size(TextFunctions.tokens(col(textCol)))), lit(0L))
         .cast("long").as("sum_dl"))
       .head()
-    spark.range(1).select(
-        lit(old.getLong(0) + batch.getLong(0)).as("n"),
-        lit(old.getLong(1) + batch.getLong(1)).as("sum_dl"),
-        lit(IndexFormatPrefix).as("index_format"))
-      .write.mode("overwrite").parquet(s"$path/stats")
-    tf.withColumn("index_format", lit(IndexFormatPrefix))
-      .write.mode("append").parquet(s"$path/postings")
+    withMutationMarker(spark, path, "appendDocs") {
+      val tmp = s"$path/dfreq_tmp"
+      mergedDf.withColumn("index_format", lit(IndexFormatPrefix))
+        .write.mode("overwrite").parquet(tmp)
+      val hp = new org.apache.hadoop.fs.Path(s"$path/dfreq")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hp),
+        s"bm25 appendDocs: dfreq swap rename failed under $path")
+      spark.range(1).select(
+          lit(old.getLong(0) + batch.getLong(0)).as("n"),
+          lit(old.getLong(1) + batch.getLong(1)).as("sum_dl"),
+          lit(IndexFormatPrefix).as("index_format"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+      tf.withColumn("index_format", lit(IndexFormatPrefix))
+        .write.mode("append").parquet(s"$path/postings")
+    }
   }
 
   /** Rewrite the stored postings and dfreq tables into
@@ -269,8 +315,10 @@ object Bm25 {
       require(fs.rename(tmp, dst),
         s"bm25 compactIndex: $sub swap rename failed — data is at $tmp")
     }
-    swapCompact("postings", idx.postings)
-    swapCompact("dfreq", idx.dfreq)
+    withMutationMarker(spark, path, "compactIndex") {
+      swapCompact("postings", idx.postings)
+      swapCompact("dfreq", idx.dfreq)
+    }
   }
 
   /** Remove documents from a stored index by id — the retraction /
@@ -291,8 +339,10 @@ object Bm25 {
     * membership is not reconstructible from the index — it cannot be
     * removed individually (rebuild instead). Removing every posting-
     * bearing doc is also loud (an emptied index is unloadable). The
-    * update is NOT transactional — a failure mid-sequence leaves a
-    * mixed index; rebuild with [[saveIndex]] if it dies midway.
+    * update is NOT transactional, but it IS fail-detected: the
+    * three-table sequence runs under the pending-mutation marker, so
+    * a removal that dies mid-sequence leaves an index [[loadIndex]]
+    * rejects loudly; rebuild with [[saveIndex]].
     *
     * @param removeIds one column of ids (any name); null ids rejected.
     */
@@ -334,18 +384,24 @@ object Bm25 {
         s"bm25 removeDocs: $sub swap rename failed — data is at $tmp")
     }
     // dfreq first: its rewrite reads the OLD postings (the removed
-    // rows), which the postings swap below invalidates
-    val dfDelta = removed.groupBy("tok").agg(count(lit(1)).as("ddf"))
-    swapIn(idx.dfreq.join(dfDelta, Seq("tok"), "left")
-      .select(col("tok"),
-        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
-      .filter(col("df") > 0), "dfreq")
-    swapIn(remaining, "postings")
-    spark.range(1).select(
-        lit(old.getLong(0) - del.getLong(0)).as("n"),
-        lit(old.getLong(1) - del.getLong(1)).as("sum_dl"),
-        lit(IndexFormatPrefix).as("index_format"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    // rows), which the postings swap below invalidates. The whole
+    // three-table sequence runs under the pending-mutation marker: a
+    // failure between swaps is DETECTED at the next loadIndex instead
+    // of scoring silently wrong (each table alone still carries a
+    // valid stamp — ADVICE r15).
+    withMutationMarker(spark, path, "removeDocs") {
+      val dfDelta = removed.groupBy("tok").agg(count(lit(1)).as("ddf"))
+      swapIn(idx.dfreq.join(dfDelta, Seq("tok"), "left")
+        .select(col("tok"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+        .filter(col("df") > 0), "dfreq")
+      swapIn(remaining, "postings")
+      spark.range(1).select(
+          lit(old.getLong(0) - del.getLong(0)).as("n"),
+          lit(old.getLong(1) - del.getLong(1)).as("sum_dl"),
+          lit(IndexFormatPrefix).as("index_format"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    }
   }
 
   /** Answer top-k from a stored index — no text access, no tokenize. */
@@ -547,14 +603,32 @@ object Bm25 {
       qt.join(index.dfreq, Seq("tok"), "left")
         .select(col("query_id"), col("tok"),
           idf(lit(n), coalesce(col("df"), lit(0L))).as("idf")),
-      avgdl)
+      avgdl, statsFingerprint(index, n, stats.getLong(1)))
+  }
+
+  /** Content fingerprint of the index statistics a registry was
+    * compiled against: (n, Σdl, an order-independent hash of the whole
+    * dfreq table). [[appendToPercolateTable]] compares it instead of
+    * avgdl alone (ADVICE r15): an index mutation that happens to
+    * preserve avgdl — remove-then-append of docs whose dl equals avgdl
+    * — still changes df and idf, and mixing its compile output into an
+    * older registry would silently blend two corpus models. The dfreq
+    * scan is vocab-sized and compile-time only.
+    */
+  private def statsFingerprint(index: Bm25Index, n: Long,
+                               sumDl: Long): String = {
+    val dfh = index.dfreq
+      .agg(coalesce(sum(xxhash64(col("tok"), col("df"))), lit(0L)))
+      .head().getLong(0)
+    s"n=$n;sum_dl=$sumDl;dfh=$dfh"
   }
 
   /** (query_id, tok, idf) postings → the one-row (qmap, avgdl) compiled
     * registry — shared by [[compilePercolateTable]] and the incremental
     * registry members below.
     */
-  private def foldPercolate(post: DataFrame, avgdl: Double): DataFrame =
+  private def foldPercolate(post: DataFrame, avgdl: Double,
+                            statsFp: String): DataFrame =
     post.select(col("tok"), struct(col("query_id"), col("idf")).as("e"))
       .groupBy("tok").agg(sort_array(collect_list(col("e"))).as("entries"))
       .groupBy(pmod(xxhash64(col("tok")), lit(PercolateBuckets.toLong))
@@ -563,7 +637,8 @@ object Bm25 {
         .as("inner"))
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("inner"))))
         .as("qmap"))
-      .select(col("qmap"), lit(avgdl).as("avgdl"))
+      .select(col("qmap"), lit(avgdl).as("avgdl"),
+        lit(statsFp).as("stats_fp"))
 
   /** Explode a compiled percolate registry back into its
     * (query_id, tok, idf) postings — registry-sized, the inverse of
@@ -583,23 +658,31 @@ object Bm25 {
     * null/empty/duplicate/terms-cap guards), which must carry the same
     * frozen statistics the old compile saw: idf and avgdl are baked
     * into the compiled postings, so an index that drifted in between
-    * (an [[appendDocs]]) would silently mix two corpus models — checked
-    * loudly via the baked avgdl. append == recompile-over-union
+    * (an [[appendDocs]]/[[removeDocs]]) would silently mix two corpus
+    * models — checked loudly via the compiled stats FINGERPRINT (n,
+    * Σdl, dfreq content hash — avgdl alone let through mutations that
+    * preserve the ratio, ADVICE r15). append == recompile-over-union
     * (spec-pinned).
     */
   def appendToPercolateTable(index: Bm25Index, compiled: DataFrame,
                              newQueries: DataFrame,
                              maxQueries: Long = 1000000L,
                              maxTermsPerQuery: Int = 64): DataFrame = {
+    require(compiled.columns.contains("stats_fp"),
+      "appendToPercolateTable: compiled registry carries no stats " +
+      "fingerprint — compiled by an older build; recompile with " +
+      "compilePercolateTable")
     val newCompiled = compilePercolateTable(index, newQueries, maxQueries,
       maxTermsPerQuery)
-    val oldAvgdl = compiled.select(col("avgdl")).head().getDouble(0)
-    val newAvgdl = newCompiled.select(col("avgdl")).head().getDouble(0)
-    require(oldAvgdl == newAvgdl,
+    val oldRow = compiled.select(col("avgdl"), col("stats_fp")).head()
+    val oldAvgdl = oldRow.getDouble(0)
+    val oldFp = oldRow.getString(1)
+    val newFp = newCompiled.select(col("stats_fp")).head().getString(0)
+    require(oldFp == newFp,
       s"appendToPercolateTable: the registry was compiled against " +
-      s"different index statistics (stored avgdl $oldAvgdl, index avgdl " +
-      s"$newAvgdl) — scores would mix two corpus models; recompile the " +
-      "whole registry against the current index")
+      s"different index statistics (stored fingerprint $oldFp, index " +
+      s"fingerprint $newFp) — scores would mix two corpus models; " +
+      "recompile the whole registry against the current index")
     val oldPost = percolatePostings(compiled)
     val newPost = percolatePostings(newCompiled)
     val clash = newPost.select("query_id").distinct()
@@ -615,7 +698,7 @@ object Bm25 {
     require(nq <= maxQueries,
       s"appendToPercolateTable: union has $nq queries > $maxQueries — " +
       "shrink the registry or raise the cap knowingly")
-    foldPercolate(union, oldAvgdl)
+    foldPercolate(union, oldAvgdl, oldFp)
   }
 
   /** Remove queries from a COMPILED percolate registry by id — loud on
@@ -626,6 +709,13 @@ object Bm25 {
     */
   def removeFromPercolateTable(compiled: DataFrame,
                                removeIds: DataFrame): DataFrame = {
+    // the fingerprint rides through unchanged: removal never touches
+    // the baked statistics (legacy no-fp frames keep an empty marker
+    // and stay append-ineligible, which is the safe side)
+    val fp =
+      if (compiled.columns.contains("stats_fp"))
+        compiled.select(col("stats_fp")).head().getString(0)
+      else ""
     val avgdl = compiled.select(col("avgdl")).head().getDouble(0)
     val ids = removeIds.select(removeIds.columns.head).toDF("raw")
       .select(col("raw").cast("long").as("query_id"))
@@ -644,7 +734,7 @@ object Bm25 {
     require(remaining.limit(1).count() == 1L,
       "removeFromPercolateTable: removal would empty the registry — an " +
       "empty registry cannot alert; recompile instead")
-    foldPercolate(remaining, avgdl)
+    foldPercolate(remaining, avgdl, fp)
   }
 
   /** Percolation against a COMPILED REGISTRY TABLE: each arriving

@@ -50,6 +50,54 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  /** Hot-bucket salting arithmetic, shared by every member. A
+    * one-sided salted split of a bucket of c rows into s sub-buckets
+    * leaves per-task candidate volume at (c/s)·c = c²/s — the salted
+    * a-side thins by s but the replicated b-side still holds the whole
+    * bucket — so keeping the UNSALTED per-task contract (≤ maxBucket²
+    * candidates per task) needs s ≥ (c/maxBucket)², not c/maxBucket
+    * (ADVICE r15: the old maxBucket×salt cap let one task generate
+    * maxBucket²×salt candidates). Hence:
+    *
+    *  - ADAPTIVE (hotBucketSalt < 0, the default): each hot token gets
+    *    its own s = ⌈(c/maxBucket)²⌉ from the engine's own bucket
+    *    counts — exactly enough replication, chosen in-plan (no job at
+    *    call time). The loud backstop survives at c ≤ maxBucket ×
+    *    [[AdaptiveMaxSaltRoot]] (s ≤ AdaptiveMaxSaltRoot²).
+    *  - FIXED (hotBucketSalt > 0): every hot token splits into exactly
+    *    hotBucketSalt sub-buckets; the cap is maxBucket ×
+    *    ⌊√hotBucketSalt⌋ so the per-task bound still holds.
+    *  - OFF (hotBucketSalt == 0): the legacy loud-raise contract — a
+    *    bucket over maxBucket aborts with remediation advice.
+    */
+  private[graft] val AdaptiveMaxSaltRoot = 32
+
+  /** Loud-guard cap on a bucket count under the chosen salt mode —
+    * the largest c whose salted split still meets the maxBucket²
+    * per-task contract (see above).
+    */
+  private[graft] def saltedGuardCap(maxBucket: Int, hotBucketSalt: Int): Long =
+    if (hotBucketSalt > 0)
+      maxBucket.toLong *
+        math.max(1L, math.floor(math.sqrt(hotBucketSalt.toDouble)).toLong)
+    else if (hotBucketSalt < 0) maxBucket.toLong * AdaptiveMaxSaltRoot
+    else maxBucket.toLong
+
+  /** Per-token salt factor for a hot bucket of `c` rows: the smallest
+    * s with c²/s ≤ maxBucket², i.e. ⌈(c/maxBucket)²⌉ (always ≥ 2 for a
+    * hot token), bounded by AdaptiveMaxSaltRoot² so a count beyond the
+    * loud cap cannot explode unboundedly before the guard evaluates.
+    * Fixed mode states the caller's literal.
+    */
+  private def saltFor(c: Column, maxBucket: Int, hotBucketSalt: Int): Column =
+    if (hotBucketSalt > 0) lit(hotBucketSalt)
+    else least(
+      ceil(pow(c.cast("double") / maxBucket, 2.0)),
+      lit(AdaptiveMaxSaltRoot.toLong * AdaptiveMaxSaltRoot)).cast("int")
+
+  private def guardHint(hotBucketSalt: Int): String =
+    if (hotBucketSalt != 0) "salted cap " else ""
+
   /** All pairs (a, b, inter, jaccard) with a < b and jaccard ≥
     * `threshold` over DISTINCT token sets.
     *
@@ -57,24 +105,26 @@ object SetSimJoin {
     *                  generation is quadratic per bucket; a corpus
     *                  where a prefix token collects more docs than
     *                  this needs a higher threshold or pre-dedup)
-    * @param hotBucketSalt 0 (default) keeps the loud-raise contract: a
-    *                  bucket over `maxBucket` aborts. > 0 degrades
-    *                  GRACEFULLY instead: buckets over `maxBucket`
-    *                  split into this many salt sub-buckets (one side
-    *                  salted by doc id, the other replicated across
-    *                  every salt — each pair still meets exactly once,
-    *                  so the output is EXACT), spreading a hot
+    * @param hotBucketSalt < 0 (default) ADAPTS: buckets over
+    *                  `maxBucket` split into per-token salt sub-buckets
+    *                  sized from the engine's own bucket counts (one
+    *                  side salted by doc id, the other replicated
+    *                  across every salt — each pair still meets exactly
+    *                  once, so the output is EXACT), spreading a hot
     *                  template token's quadratic candidate work across
-    *                  the cluster instead of one task. The candidate
-    *                  COUNT is still quadratic in the bucket — salting
-    *                  bounds per-task latency/memory, not total work —
-    *                  so the loud backstop survives at the scaled cap
-    *                  maxBucket × hotBucketSalt.
+    *                  the cluster while keeping every task at the
+    *                  unsalted maxBucket² candidate bound. 0 keeps the
+    *                  loud-raise contract: a bucket over `maxBucket`
+    *                  aborts. > 0 fixes the split at that many
+    *                  sub-buckets. The candidate COUNT is still
+    *                  quadratic in the bucket — salting bounds per-task
+    *                  latency/memory, not total work — so the loud
+    *                  backstop survives at [[saltedGuardCap]].
     */
   def jaccardPairs(docs: DataFrame, idCol: String, toksCol: String,
                    threshold: Double,
                    maxBucket: Int = 10000,
-                   hotBucketSalt: Int = 0): DataFrame = {
+                   hotBucketSalt: Int = -1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"setSimJoin: threshold must be in (0,1], got $threshold")
     // Cut here too: `sets` feeds BOTH the df aggregation and the rank
@@ -127,19 +177,17 @@ object SetSimJoin {
     // deletes the projection and raise_error never evaluates (the
     // BenchAction.consumeAll lesson, re-learned here in a failing spec).
     val cnt = pref.groupBy("tok").agg(count(lit(1)).as("c"))
-    // with salting on, the loud cap survives at the scaled threshold —
-    // a split bucket's per-salt share tracks c/salt, so c ≤ maxBucket ×
-    // salt keeps per-task volume at the unsalted contract
-    val guardCap =
-      if (hotBucketSalt > 0) maxBucket.toLong * hotBucketSalt
-      else maxBucket.toLong
+    // with salting on, the loud cap survives at the largest bucket the
+    // split can spread while keeping per-task candidate volume at the
+    // unsalted maxBucket² contract (see saltedGuardCap)
+    val guardCap = saltedGuardCap(maxBucket, hotBucketSalt)
     val chk = cnt
       .agg(max_by(struct(col("tok"), col("c")), col("c")).as("w"))
       .select(
         when(coalesce(col("w.c"), lit(0L)) > guardCap,
           raise_error(concat(lit("setSimJoin: prefix token '"),
             col("w.tok"), lit("' collects "), col("w.c"),
-            lit(s" docs (> ${if (hotBucketSalt > 0) "salted cap " else ""}" +
+            lit(s" docs (> ${guardHint(hotBucketSalt)}" +
               s"$guardCap); raise the threshold, " +
               "pre-dedup, or raise maxBucket/hotBucketSalt knowingly"))))
           .otherwise(lit(1)).as("guard_ok"))
@@ -147,34 +195,22 @@ object SetSimJoin {
       col("n").as("na"), col("pos").as("pa"))
     val b = pref.select(col("tok"), col("sid").as("b"),
       col("n").as("nb"), col("pos").as("pb"))
-    // Token-level matches. hotBucketSalt == 0: the plain equi self-join
-    // (one bucket = one task's hash cell — fine until a template token
-    // concentrates a quadratic bucket, which then raises loudly above).
-    // hotBucketSalt > 0: buckets beyond maxBucket split EXACTLY — the
-    // a-side of a hot token salts by hash(doc id) into `salt`
-    // sub-buckets, the b-side replicates across all of them, and the
-    // join key becomes (tok, salt): every (a, b) match meets exactly
-    // once (at a's salt), so downstream candidate aggregation sees the
-    // identical multiset of rows while no single task holds the whole
-    // bucket. Cold tokens keep the plain join (no replication cost).
-    val matched =
-      if (hotBucketSalt <= 0) a.join(b, Seq("tok"))
-      else {
-        // hot set is vocab-derived and tiny by construction (each hot
-        // token costs > maxBucket prefix rows, so there are at most
-        // |pref| / maxBucket of them) — broadcastable at any corpus size
-        val hot = broadcast(cnt.filter(col("c") > maxBucket).select("tok"))
-        val aCold = a.join(hot, Seq("tok"), "left_anti")
-        val bCold = b.join(hot, Seq("tok"), "left_anti")
-        val aHot = a.join(hot, Seq("tok"), "left_semi")
-          .withColumn("salt",
-            pmod(xxhash64(col("a")), lit(hotBucketSalt.toLong)).cast("int"))
-        val bHot = b.join(hot, Seq("tok"), "left_semi")
-          .withColumn("salt",
-            explode(sequence(lit(0), lit(hotBucketSalt - 1))))
-        aCold.join(bCold, Seq("tok"))
-          .unionByName(aHot.join(bHot, Seq("tok", "salt")).drop("salt"))
-      }
+    // Token-level matches via [[saltedTokenJoin]]: cold tokens keep the
+    // plain equi self-join (one bucket = one task's hash cell); buckets
+    // beyond maxBucket split EXACTLY — the a-side of a hot token salts
+    // by hash(doc id) into per-token sub-buckets, the b-side replicates
+    // across all of them, and the join key becomes (tok, salt): every
+    // (a, b) match meets exactly once (at a's salt), so downstream
+    // candidate aggregation sees the identical multiset of rows while
+    // no single task holds the whole bucket. The hot set is
+    // vocab-derived and tiny by construction (each hot token costs >
+    // maxBucket prefix rows, so there are at most |pref| / maxBucket of
+    // them) — broadcastable at any corpus size.
+    val hot =
+      if (hotBucketSalt == 0) None
+      else Some(cnt.filter(col("c") > maxBucket).select(col("tok"),
+        saltFor(col("c"), maxBucket, hotBucketSalt).as("s")))
+    val matched = saltedTokenJoin(a, b, hot, hintA = false, hintB = false)
     // Candidate ids: the min-aggregation both deduplicates multi-token
     // matches AND finds the minimal shared prefix token — both docs are
     // sorted in the SAME global (df, tok) order, so min(pa) and min(pb)
@@ -235,7 +271,7 @@ object SetSimJoin {
                        threshold: Double,
                        maxBucket: Int = 10000,
                        bloomItems: Long = 1000000L,
-                       hotBucketSalt: Int = 0): DataFrame = {
+                       hotBucketSalt: Int = -1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containmentPairs: threshold must be in (0,1], got $threshold")
     val sets = graft.plans.Lineage.cut(
@@ -301,18 +337,16 @@ object SetSimJoin {
         col("tok")))
       else fullRaw
     // guard on prefix-token corpus df — the per-token candidate volume;
-    // with salting on the loud cap survives at the scaled threshold
-    // (the jaccardPairs convention)
-    val guardCap =
-      if (hotBucketSalt > 0) maxBucket.toLong * hotBucketSalt
-      else maxBucket.toLong
+    // with salting on the loud cap survives at saltedGuardCap (the
+    // jaccardPairs convention)
+    val guardCap = saltedGuardCap(maxBucket, hotBucketSalt)
     val chk = pref.join(dfreq, Seq("tok"))
       .agg(max_by(struct(col("tok"), col("df")), col("df")).as("w"))
       .select(
         when(coalesce(col("w.df"), lit(0L)) > guardCap,
           raise_error(concat(lit("containmentPairs: prefix token '"),
             col("w.tok"), lit("' has corpus df "), col("w.df"),
-            lit(s" (> ${if (hotBucketSalt > 0) "salted cap " else ""}" +
+            lit(s" (> ${guardHint(hotBucketSalt)}" +
               s"$guardCap); raise the threshold, " +
               "pre-dedup, or raise maxBucket/hotBucketSalt knowingly"))))
           .otherwise(lit(1)).as("guard_ok"))
@@ -320,27 +354,16 @@ object SetSimJoin {
       col("n").as("na"), col("pos").as("pa"))
     val b = full.select(col("tok"), col("sid").as("b"),
       col("n").as("nb"), col("pos").as("pb"))
-    // inverted-index matches; hotBucketSalt > 0 splits buckets whose
-    // corpus df exceeds maxBucket exactly as in [[jaccardPairs]]: the
-    // prefix side salts by contained-doc id, the instance side
-    // replicates across all salts — each (a, b) match meets once
-    val matched =
-      if (hotBucketSalt <= 0) a.join(b, Seq("tok"))
-      else {
-        val hot = broadcast(pref.select(col("tok")).distinct()
-          .join(dfreq, Seq("tok")).filter(col("df") > maxBucket)
-          .select("tok"))
-        val aCold = a.join(hot, Seq("tok"), "left_anti")
-        val bCold = b.join(hot, Seq("tok"), "left_anti")
-        val aHot = a.join(hot, Seq("tok"), "left_semi")
-          .withColumn("salt",
-            pmod(xxhash64(col("a")), lit(hotBucketSalt.toLong)).cast("int"))
-        val bHot = b.join(hot, Seq("tok"), "left_semi")
-          .withColumn("salt",
-            explode(sequence(lit(0), lit(hotBucketSalt - 1))))
-        aCold.join(bCold, Seq("tok"))
-          .unionByName(aHot.join(bHot, Seq("tok", "salt")).drop("salt"))
-      }
+    // inverted-index matches; salting splits buckets whose corpus df
+    // exceeds maxBucket exactly as in [[jaccardPairs]]: the prefix side
+    // salts by contained-doc id, the instance side replicates across
+    // all salts — each (a, b) match meets once
+    val hot =
+      if (hotBucketSalt == 0) None
+      else Some(pref.select(col("tok")).distinct()
+        .join(dfreq, Seq("tok")).filter(col("df") > maxBucket)
+        .select(col("tok"), saltFor(col("df"), maxBucket, hotBucketSalt).as("s")))
+    val matched = saltedTokenJoin(a, b, hot, hintA = false, hintB = false)
     val alpha = ceil(lit(threshold) * col("na") - lit(1e-9))
     val candIds = matched.filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
@@ -503,32 +526,43 @@ object SetSimJoin {
   }
 
   /** Token-keyed candidate join with the hot-bucket salted split (the
-    * [[jaccardPairs]] `hotBucketSalt` machinery, shared by the
-    * incremental members): cold tokens keep the plain equi-join with
-    * the caller's broadcast hints; tokens in `hot` split into `salt`
-    * sub-buckets — the a-side salted by doc id, the b-side replicated
-    * across every salt — so each (a, b) match still meets exactly once
-    * while no single task holds a whole hot bucket. Hot branches never
-    * carry a broadcast hint (a replicated hot side is exactly what
-    * must not broadcast).
+    * [[jaccardPairs]] `hotBucketSalt` machinery, shared by every
+    * member): cold tokens keep the plain equi-join with the caller's
+    * broadcast hints; each token in `hot` (columns `tok`, `s` = its
+    * salt factor, per-token under the adaptive default) splits into
+    * `s` sub-buckets — the a-side salted by doc id, the b-side
+    * replicated across every salt — so each (a, b) match still meets
+    * exactly once while no single task holds a whole hot bucket. Hot
+    * branches never carry a broadcast hint (a replicated hot side is
+    * exactly what must not broadcast).
     */
   private def saltedTokenJoin(a: DataFrame, b: DataFrame,
-                              hot: Option[DataFrame], salt: Int,
+                              hot: Option[DataFrame],
                               hintA: Boolean, hintB: Boolean): DataFrame = {
     def h(df: DataFrame, on: Boolean) = if (on) broadcast(df) else df
     hot match {
       case None => h(a, hintA).join(h(b, hintB), Seq("tok"))
       case Some(ht) =>
-        val hb = broadcast(ht.select(col("tok")))
-        val aCold = a.join(hb, Seq("tok"), "left_anti")
-        val bCold = b.join(hb, Seq("tok"), "left_anti")
-        val aHot = a.join(hb, Seq("tok"), "left_semi")
+        val hb = broadcast(ht.select(col("tok"), col("s")))
+        val hbToks = broadcast(ht.select(col("tok")))
+        val aCold = a.join(hbToks, Seq("tok"), "left_anti")
+        val bCold = b.join(hbToks, Seq("tok"), "left_anti")
+        val aHot = a.join(hb, Seq("tok"))
           .withColumn("salt",
-            pmod(xxhash64(col("a")), lit(salt.toLong)).cast("int"))
-        val bHot = b.join(hb, Seq("tok"), "left_semi")
-          .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+            pmod(xxhash64(col("a")), col("s").cast("long")).cast("int"))
+          .drop("s")
+        val bHot = b.join(hb, Seq("tok"))
+          .withColumn("salt", explode(sequence(lit(0), col("s") - 1)))
+          .drop("s")
+        // shuffle-hash, building on the THINNED a-side: each (tok,
+        // salt) cell holds ≤ maxBucket a-rows by the salt arithmetic,
+        // so the hash build is bounded by construction and skipping the
+        // SMJ sort is free win; when no token is hot, AQE's
+        // empty-relation propagation deletes this branch at runtime
+        // before the probe side is ever scanned
         h(aCold, hintA).join(h(bCold, hintB), Seq("tok"))
-          .unionByName(aHot.join(bHot, Seq("tok", "salt")).drop("salt"))
+          .unionByName(aHot.hint("shuffle_hash")
+            .join(bHot, Seq("tok", "salt")).drop("salt"))
     }
   }
 
@@ -576,7 +610,7 @@ object SetSimJoin {
                               threshold: Double,
                               maxBucket: Int = 10000,
                               bloomItems: Long = 1000000L,
-                              hotBucketSalt: Int = 0): DataFrame = {
+                              hotBucketSalt: Int = -1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"incrementalJaccardPairs: threshold must be in (0,1], got $threshold")
     val stored = loadSets(spark, path)
@@ -591,16 +625,14 @@ object SetSimJoin {
     val prefAll = prefixes(union)
     val prefBatch = prefixes(batch)
     val cnt = prefAll.groupBy("tok").agg(count(lit(1)).as("c"))
-    val guardCap =
-      if (hotBucketSalt > 0) maxBucket.toLong * hotBucketSalt
-      else maxBucket.toLong
+    val guardCap = saltedGuardCap(maxBucket, hotBucketSalt)
     val chk = cnt
       .agg(max_by(struct(col("tok"), col("c")), col("c")).as("w"))
       .select(
         when(coalesce(col("w.c"), lit(0L)) > guardCap,
           raise_error(concat(lit("incrementalJaccardPairs: prefix token '"),
             col("w.tok"), lit("' collects "), col("w.c"),
-            lit(s" docs (> ${if (hotBucketSalt > 0) "salted cap " else ""}" +
+            lit(s" docs (> ${guardHint(hotBucketSalt)}" +
               s"$guardCap); raise the threshold, " +
               "pre-dedup, or raise maxBucket/hotBucketSalt knowingly"))))
           .otherwise(lit(1)).as("guard_ok"))
@@ -644,15 +676,15 @@ object SetSimJoin {
     val bRaw = prefBatch.select(col("tok"), col("sid").as("b"),
       col("n").as("nb"), col("pos").as("pb"))
     val hot =
-      if (hotBucketSalt > 0)
-        Some(cnt.filter(col("c") > maxBucket).select("tok"))
-      else None
+      if (hotBucketSalt == 0) None
+      else Some(cnt.filter(col("c") > maxBucket).select(col("tok"),
+        saltFor(col("c"), maxBucket, hotBucketSalt).as("s")))
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("na") + col("nb")) - lit(1e-9))
     // per-ORIENTATION min positions (batch-internal pairs arrive in both
     // orientations), positional filter per orientation, THEN normalize
     // a < b and dedupe
-    val candIds = saltedTokenJoin(a, bRaw, hot, hotBucketSalt,
+    val candIds = saltedTokenJoin(a, bRaw, hot,
         hintA = false, hintB = fitsBroadcast)
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
@@ -1017,7 +1049,7 @@ object SetSimJoin {
                                   threshold: Double,
                                   maxBucket: Int = 10000,
                                   bloomItems: Long = 1000000L,
-                                  hotBucketSalt: Int = 0): DataFrame = {
+                                  hotBucketSalt: Int = -1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"incrementalContainmentPairs: threshold must be in (0,1], got " +
         s"$threshold")
@@ -1046,16 +1078,14 @@ object SetSimJoin {
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val prefDf = prefAll.select(col("tok")).distinct()
       .join(dfreq, Seq("tok"))
-    val guardCap =
-      if (hotBucketSalt > 0) maxBucket.toLong * hotBucketSalt
-      else maxBucket.toLong
+    val guardCap = saltedGuardCap(maxBucket, hotBucketSalt)
     val chk = prefDf
       .agg(max_by(struct(col("tok"), col("df")), col("df")).as("w"))
       .select(
         when(coalesce(col("w.df"), lit(0L)) > guardCap,
           raise_error(concat(lit("incrementalContainmentPairs: prefix " +
             "token '"), col("w.tok"), lit("' has corpus df "), col("w.df"),
-            lit(s" (> ${if (hotBucketSalt > 0) "salted cap " else ""}" +
+            lit(s" (> ${guardHint(hotBucketSalt)}" +
               s"$guardCap); raise the threshold, " +
               "pre-dedup, or raise maxBucket/hotBucketSalt knowingly"))))
           .otherwise(lit(1)).as("guard_ok"))
@@ -1064,9 +1094,9 @@ object SetSimJoin {
     // candidate volume ≤ prefix-rows × df ≤ df²), vocab-derived and
     // broadcast-tiny by construction
     val hot =
-      if (hotBucketSalt > 0)
-        Some(prefDf.filter(col("df") > maxBucket).select("tok"))
-      else None
+      if (hotBucketSalt == 0) None
+      else Some(prefDf.filter(col("df") > maxBucket).select(col("tok"),
+        saltFor(col("df"), maxBucket, hotBucketSalt).as("s")))
     // Each branch Bloom-prunes BOTH inputs before their exchange (no
     // false negatives; survivors die in the equi-join / exact verify):
     // the container side against the contained side's prefix tokens
@@ -1103,7 +1133,7 @@ object SetSimJoin {
     def candBranch(a: DataFrame, b: DataFrame,
                    hintA: Boolean, hintB: Boolean): DataFrame = {
       val alpha = ceil(lit(threshold) * col("na") - lit(1e-9))
-      saltedTokenJoin(a, b, hot, hotBucketSalt, hintA, hintB)
+      saltedTokenJoin(a, b, hot, hintA, hintB)
         .filter(col("a") =!= col("b"))
         .groupBy(col("a"), col("b"), col("na"), col("nb"))
         .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))

@@ -319,8 +319,8 @@ object AdvancedSuite extends QuerySuite {
           .as("n_tokens"), score.as("score"), pred.as("pred_label"))
         .filter(col("pred_label") === 1)
         .select(col("doc_id"), col("n_tokens"))
-      val boundary = s"${System.getProperty("java.io.tmpdir")}" +
-        s"/graft_states/ingest_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val boundary = s"${GateStates.dir}" +
+        s"/ingest_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       EventsStream.runToCompletion(s, kept, outputMode = "append")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$boundary/kept.parquet")
@@ -706,7 +706,7 @@ object AdvancedSuite extends QuerySuite {
       val collected = EventsStream.runToCompletion(s,
         graft.streaming.SketchStream.thetaByKey(st, "source", "fp").toDF(),
         outputMode = "append")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"stream_theta_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.operators.SketchStats.saveStates(
         graft.streaming.SketchStream.latestStates(collected)
@@ -739,7 +739,7 @@ object AdvancedSuite extends QuerySuite {
         graft.streaming.SketchStream.kllByKey(st, "source", "n_toks",
           k = 16384).toDF(),
         outputMode = "append")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"stream_kll_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.operators.SketchStats.saveStates(
         graft.streaming.SketchStream.latestStates(collected, "kll")
@@ -787,7 +787,7 @@ object AdvancedSuite extends QuerySuite {
       val collected = EventsStream.runToCompletion(s,
         graft.streaming.SketchStream.cmsByKey(st, "source", "tok").toDF(),
         outputMode = "append")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"stream_cms_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.operators.SketchStats.saveStates(
         graft.streaming.SketchStream.latestStates(collected, "cms")

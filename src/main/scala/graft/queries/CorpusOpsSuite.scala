@@ -1252,7 +1252,7 @@ object CorpusOpsSuite extends QuerySuite {
     "q_bpe_stored",
     (s, d) => {
       graft.plans.GraftFunctions.register(s)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"bpe_merges_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.operators.TokenizerStore.saveBpeMerges(s, bpeExpectedMerges,
         path)

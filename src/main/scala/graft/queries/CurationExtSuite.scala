@@ -638,7 +638,7 @@ object CurationExtSuite extends QuerySuite {
       val t = planted.select(col("doc_id"), col("y"),
           TextFunctions.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 1)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"linear_model_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       val (w1, _) = LinearClassifier.train(t, "doc_id", "toks", "y",
         numBuckets = 2048, iters = 1, lr = 5.0)

@@ -37,20 +37,31 @@ object DedupSuite extends QuerySuite {
     * query body, so every bench rep re-shingled and re-wrote the
     * store — the exact work "incremental" exists to avoid — and the
     * headline's wall was setup-dominated, 7.4 s vs 60–68 s excursions
-    * on steal-quiet reps). Keyed exactly the way the verdict
-    * prescribes: path existence + the format stamp loadSets already
-    * enforces; `rev` is baked into the path so a changed plant never
-    * reads a stale store (the tmpdir outlives binaries). The staging
-    * build itself runs AT MOST once per JVM × dataDir — later reps and
-    * later gates sharing the plant reuse the files.
+    * on steal-quiet reps). Keyed on path existence + the format stamp
+    * loadSets already enforces, with the path DERIVED from a hash of
+    * the full staging recipe — the caller's `params` description of
+    * its plant, the stored-layout stamp, and the data dir (ADVICE r15:
+    * the previous hand-bumped "rN" literal silently benchmarked stale
+    * stores whenever the plant changed without a bump; now changing
+    * any recipe ingredient changes the path). The base dir is
+    * user-scoped ([[GateStates.dir]]). The staging build itself runs
+    * AT MOST once per JVM × dataDir — later reps and later gates
+    * sharing the plant reuse the files. The staleness probe catches
+    * NonFatal only: an OOM or interrupt must propagate, not silently
+    * trigger a rebuild.
     */
-  private def stagedSetsPath(s: SparkSession, tag: String, rev: String,
+  private def stagedSetsPath(s: SparkSession, tag: String, params: String,
                              d: String)(build: => DataFrame): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
-      s"${tag}_${rev}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val recipe =
+      s"$tag;$params;${graft.operators.SetSimJoin.SetsFormatStamp};$d"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(recipe.getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+    val path = s"${GateStates.dir}/" +
+      s"${tag}_${digest}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
     val staged =
       try { graft.operators.SetSimJoin.loadSets(s, path); true }
-      catch { case _: Throwable => false }
+      catch { case scala.util.control.NonFatal(_) => false }
     if (!staged)
       graft.operators.SetSimJoin.saveSets(build, "doc_id", "shingles", path)
     path
@@ -835,8 +846,9 @@ object DedupSuite extends QuerySuite {
             g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
               1, 15), 16, 10).cast("long")).as("shingles"))
       val base = documents(s, d).select(col("doc_id"), col("text"))
-      // staged once per (dataDir, plant rev): the gate times LOAD+probe
-      val path = stagedSetsPath(s, "setsim", "r15", d)(shingled(base))
+      // staged once per (dataDir, plant recipe): the gate times LOAD+probe
+      val path = stagedSetsPath(s, "setsim",
+        "tok>=5;5gram-md5x15;store=full-base", d)(shingled(base))
       val batch = shingled(base.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           regexp_replace(col("text"), "^\\S+", "nearmark").as("text")))
@@ -914,8 +926,9 @@ object DedupSuite extends QuerySuite {
             g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
               1, 15), 16, 10).cast("long")).as("shingles"))
       val base = documents(s, d).select(col("doc_id"), col("text"))
-      // staged once per (dataDir, plant rev): the gate times LOAD+probe
-      val path = stagedSetsPath(s, "setsimc", "r15", d)(shingled(base))
+      // staged once per (dataDir, plant recipe): the gate times LOAD+probe
+      val path = stagedSetsPath(s, "setsimc",
+        "tok>=5;5gram-md5x15;store=full-base", d)(shingled(base))
       val halves = base.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"))
@@ -1001,9 +1014,10 @@ object DedupSuite extends QuerySuite {
             g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
               1, 15), 16, 10).cast("long")).as("shingles"))
       val base = documents(s, d).select(col("doc_id"), col("text"))
-      // staged once per (dataDir, plant rev): the gate times the
+      // staged once per (dataDir, plant recipe): the gate times the
       // registry LOAD + compile + stream probe, not the registry build
-      val path = stagedSetsPath(s, "setsimreg", "r15", d) {
+      val path = stagedSetsPath(s, "setsimreg",
+        "tok>=12;half-text;mod20+2M;5gram-md5x15", d) {
         val halves = base.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"),
             graft.functions.TextFunctions.tokens(col("text")).as("tk"))
@@ -1089,8 +1103,9 @@ object DedupSuite extends QuerySuite {
             g => conv(substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
               1, 15), 16, 10).cast("long")).as("shingles"))
       val base = documents(s, d).select(col("doc_id"), col("text"))
-      // staged once per (dataDir, plant rev) — see stagedSetsPath
-      val path = stagedSetsPath(s, "setsimjreg", "r15", d) {
+      // staged once per (dataDir, plant recipe) — see stagedSetsPath
+      val path = stagedSetsPath(s, "setsimjreg",
+        "nearmark-clones;mod10+1M;5gram-md5x15", d) {
         val clones = base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             regexp_replace(col("text"), "^\\S+", "nearmark").as("text"))
@@ -1181,8 +1196,9 @@ object DedupSuite extends QuerySuite {
           concat_ws(" ", slice(col("tk"), lit(1),
             floor(size(col("tk")) / 2).cast("int"))).as("text"))
       val base = documents(s, d).select(col("doc_id"), col("text"))
-      // staged once per (dataDir, plant rev) — see stagedSetsPath
-      val path = stagedSetsPath(s, "setsimdreg", "r15", d) {
+      // staged once per (dataDir, plant recipe) — see stagedSetsPath
+      val path = stagedSetsPath(s, "setsimdreg",
+        "tok>=12;half-text;mod20+3M;5gram-md5x15", d) {
         val registry = base.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
         shingles(registry)
@@ -1261,7 +1277,7 @@ object DedupSuite extends QuerySuite {
   private val nearDupStore = GraftQuery(
     "q_neardup_store",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"sigstore_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       val docs = documents(s, d).select(col("doc_id"), col("text"))
       graft.operators.Dedup.saveSignatureStore(
@@ -1302,13 +1318,16 @@ object DedupSuite extends QuerySuite {
   // A template token shared by 200 docs: every doc is {hotmark, u_i,
   // f1..f8}, so (df, tok)-rarity puts u_i first and the shared tokens
   // right behind it — prefix buckets reach 200, over the gate's
-  // maxBucket = 50. Unsalted this RAISES (the loud-cap contract, pinned
-  // in SetSimJoinSpec); with hotBucketSalt = 8 the hot buckets split
-  // exactly (a-side salted by doc id, b-side replicated — each pair
-  // meets once) and the output equals brute force, which the oracle
-  // restates as the literal all-pairs intersection. At 100× corpus the
-  // same plan holds: the quadratic candidate volume of a hot template
-  // token spreads across salt × partitions instead of one task.
+  // maxBucket = 50. With salting OFF this RAISES (the loud-cap
+  // contract, pinned in SetSimJoinSpec); under the ADAPTIVE DEFAULT
+  // (round 16) the engine sizes each hot token's split from its own
+  // bucket count — here s = ⌈(200/50)²⌉ = 16, keeping every task at
+  // the unsalted maxBucket² candidate bound (a-side salted by doc id,
+  // b-side replicated — each pair meets once) — and the output equals
+  // brute force, which the oracle restates as the literal all-pairs
+  // intersection. At 100× corpus the same plan holds: the quadratic
+  // candidate volume of a hot template token spreads across salt ×
+  // partitions instead of one task.
   private val setSimHotToken = GraftQuery(
     "q_setsim_hot_token",
     (s, d) => {
@@ -1320,7 +1339,7 @@ object DedupSuite extends QuerySuite {
             concat(lit("u"), col("doc_id").cast("string")) +:
             fillers: _*).as("toks"))
       graft.operators.SetSimJoin.jaccardPairs(docs, "doc_id", "toks",
-          threshold = 0.8, maxBucket = 50, hotBucketSalt = 8)
+          threshold = 0.8, maxBucket = 50)
         .orderBy(asc("a"), asc("b"))
     },
     Some("""WITH d AS (
@@ -1350,7 +1369,7 @@ object DedupSuite extends QuerySuite {
   private val setSimRemoved = GraftQuery(
     "q_setsim_removed",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"setsimrm_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       def toked(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"),
@@ -1413,7 +1432,7 @@ object DedupSuite extends QuerySuite {
   private val compactSetsGate = GraftQuery(
     "q_compact_sets",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"setsimcp_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       def toked(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"),

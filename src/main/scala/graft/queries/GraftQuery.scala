@@ -22,3 +22,19 @@ final case class GraftQuery(
 trait QuerySuite {
   def queries: Seq[GraftQuery]
 }
+
+/** Scratch base for the gates' stored-state fixtures (saved indexes,
+  * staged sets, signature stores). USER-SCOPED: `java.io.tmpdir` is
+  * host-shared, and two accounts running the suite on one CI host
+  * would otherwise stage/overwrite each other's stores mid-read
+  * (ADVICE r15 — the stamp checks self-heal sequential staleness, not
+  * concurrent cross-user writes). Same-user concurrent JVMs remain the
+  * caller's contract; the driver's protocol is serial.
+  */
+object GateStates {
+  lazy val dir: String = {
+    val user = Option(System.getProperty("user.name")).getOrElse("nouser")
+      .replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_states_$user"
+  }
+}

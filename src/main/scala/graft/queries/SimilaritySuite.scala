@@ -552,7 +552,7 @@ object SimilaritySuite extends QuerySuite {
   private val ivfPqStored = GraftQuery(
     "q_ivfpq_stored",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"ivfpq_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.operators.Pq.saveIndex(embeddings(s, d), path,
         nCells = 16, m = 8, ksub = 16)
@@ -614,6 +614,62 @@ object SimilaritySuite extends QuerySuite {
             FROM embeddings
             WHERE vec_id % 25 = 11 AND vec_id < 1000"""))
 
+  // ---- rotation ACCEPTANCE: a trained rotation must never ship if it
+  // loses to not-rotating (VERDICT r15 #2). The anisotropic fixture is
+  // the adversarial geometry: cluster-residual structure where the
+  // Procrustes objective (reconstruction) trades top-5 recall away —
+  // measured 0.140 raw vs 0.080 trained at sf0.01 (BASELINE.md
+  // rotation-gain table). opqTrainAccepted scores held-out ADC recall
+  // under trained vs identity and returns the winner, so on THIS
+  // corpus the accepted rotation's independently-measured recall must
+  // match raw IVF-PQ (identity chosen), while unconditional rotation
+  // application — the pre-acceptance behavior — reads ~0.06 below raw
+  // and fails the 0.02-tolerance pin. The chosen arm is stamped into
+  // the stored index and pinned through a load round-trip. Booleans +
+  // corpus count (the q_kmeans_centroids convention — recalls are
+  // Lloyd-noise-scaled, not SQL-stable).
+  private val opqAccept = GraftQuery(
+    "q_opq_accept",
+    (s, d) => {
+      val c = graft.Tables.anisotropicEmbeddings(s, d).localCheckpoint(true)
+      val qs = c.filter(col("vec_id") % 25 === 11 && col("vec_id") < 1000)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+        .localCheckpoint(true)
+      val exact = Similarity.bruteForceTopK(c, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val nExact = exact.count()
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+        exact.join(df.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .count().toDouble / nExact
+      val acc = graft.operators.Opq.opqTrainAccepted(c, m = 16, ksub = 16,
+        outerIters = 2, lloydIters = 2, k = 5, nCells = 16, nProbe = 16,
+        trainIters = 3, residual = true, maxHoldout = 200L)
+      // independent measurements with the gate's own queries — removing
+      // the acceptance step (always-trained) fails here on exactly the
+      // geometry it exists for
+      val raw = recallOf(graft.operators.Pq.ivfPqTopK(c, qs, k = 5,
+        nCells = 16, nProbe = 16, m = 16, ksub = 16, trainIters = 3,
+        residual = true))
+      val accepted = recallOf(graft.operators.Opq.opqTopK(c, qs,
+        acc.rotation, k = 5, nCells = 16, nProbe = 16, m = 16, ksub = 16,
+        trainIters = 3, residual = true))
+      val path = s"${GateStates.dir}/" +
+        s"opqaccept_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.operators.Opq.saveIndex(c, path, acc.rotation, nCells = 16,
+        m = 16, ksub = 16, trainIters = 3, residual = true,
+        chosen = acc.chosen)
+      val stamped = graft.operators.Opq.loadIndex(s, path).chosen
+      c.agg(count(lit(1)).as("n_vectors"))
+        .select(col("n_vectors"),
+          lit(accepted >= raw - 0.02).as("accept_guards_recall"),
+          lit(stamped.contains(acc.chosen)).as("chosen_stamped"))
+    },
+    Some("""SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT)
+              AS n_vectors,
+            TRUE AS accept_guards_recall, TRUE AS chosen_stamped"""))
+
   // ---- stored-index removal (retraction / GDPR-delete) ---------------
   // q_ivfpq_stored's lifecycle plus removeVectors: every vec_id % 50 ==
   // 37 row is retracted, then queries answer from the pruned codes.
@@ -626,7 +682,7 @@ object SimilaritySuite extends QuerySuite {
   private val ivfPqRemoved = GraftQuery(
     "q_ivfpq_removed",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"ivfpqrm_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.operators.Pq.saveIndex(embeddings(s, d), path,
         nCells = 16, m = 8, ksub = 16)
@@ -1033,7 +1089,7 @@ object SimilaritySuite extends QuerySuite {
   private val opqTrained = GraftQuery(
     "q_opq_trained",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"opq_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       val c = graft.Tables.clusteredEmbeddings(s, d).localCheckpoint(true)
       val qs = c.filter(col("vec_id") % 25 === 11 && col("vec_id") < 1000)
@@ -1165,5 +1221,5 @@ object SimilaritySuite extends QuerySuite {
         ivfFull, lshFull, kmeansCentroids, vectorNorm, quantize,
         semanticDedup, randomProjQ, pqCodes, ivfPq, ivfPqStored,
         ivfPqRemoved, ivfPqResidual, ivfPqRerankQ, embeddingOpq, opqTrained,
-        opqRotationGain, clusterBalance, mrlTopKQ, mrlRerankQ)
+        opqRotationGain, opqAccept, clusterBalance, mrlTopKQ, mrlRerankQ)
 }

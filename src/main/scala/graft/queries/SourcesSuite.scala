@@ -192,7 +192,7 @@ object SourcesSuite extends QuerySuite {
     "q_schema_drift",
     (s, d) => {
       val base = documents(s, d)
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val dir = s"${GateStates.dir}/" +
         s"drift_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       base.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text"))

@@ -557,7 +557,7 @@ object StatsExtSuite extends QuerySuite {
   // driver's triple-SF sweep can't cross-contaminate.
 
   private def statesPath(gate: String, d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_states/${gate}_" +
+    s"${GateStates.dir}/${gate}_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
 
   // The INCREMENTAL half of the stored-state lifecycle: yesterday's

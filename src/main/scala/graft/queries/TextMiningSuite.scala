@@ -297,7 +297,7 @@ object TextMiningSuite extends QuerySuite {
     "q_bm25_stored",
     (s, d) => {
       import s.implicits._
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"bm25_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.operators.Bm25.saveIndex(documents(s, d), path)
       val qs = bm25Queries.toDF("query_id", "query_text")
@@ -317,7 +317,7 @@ object TextMiningSuite extends QuerySuite {
     "q_bm25_appended",
     (s, d) => {
       import s.implicits._
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"bm25app_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       val docs = documents(s, d)
       graft.operators.Bm25.saveIndex(docs.filter(col("doc_id") % 3 =!= 0), path)
@@ -344,7 +344,7 @@ object TextMiningSuite extends QuerySuite {
     "q_stream_percolate",
     (s, d) => {
       import s.implicits._
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"bm25perc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.operators.Bm25.saveIndex(documents(s, d), path)
       val prep = graft.operators.Bm25.preparePercolate(
@@ -410,7 +410,7 @@ object TextMiningSuite extends QuerySuite {
   private val percolateRegistry = GraftQuery(
     "q_percolate_registry",
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_states/" +
+      val path = s"${GateStates.dir}/" +
         s"bm25reg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       // repartition BEFORE the md5-shingle transform (the r13
       // narrow-scan lesson: one tiny parquet file = 2 splits, so the

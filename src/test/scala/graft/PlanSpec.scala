@@ -331,11 +331,18 @@ class PlanSpec extends AnyFunSuite {
     // its floor. Pin it here so the regression fails a test, not a
     // bench floor. (Round 15 moved the hint inside saltedTokenJoin —
     // this pin guards that refactor and every future one.)
+    //
+    // Round 16: the adaptive-by-default hot-bucket split adds a salted
+    // branch whose join is shuffle_hash-HINTED (bounded build cells by
+    // the salt arithmetic; AQE deletes the branch at runtime when no
+    // token is hot), so ShuffledHashJoin nodes are expected — the
+    // demotion signature to ban is SortMergeJoin (the planner's default
+    // for a stats-less unhinted join), plus the BHJ presence check.
     for (name <- Seq("q_incremental_setsim", "q_incremental_containment")) {
       val s = planNoExec(name)
-      assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      assert(!s.contains("SortMergeJoin"),
         s"$name: batch-side broadcast hint lost — a join demoted to a " +
-        s"shuffle join:\n$s")
+        s"sort-merge join:\n$s")
       assert(s.contains("BroadcastHashJoin"),
         s"$name: expected broadcast candidate joins:\n$s")
     }

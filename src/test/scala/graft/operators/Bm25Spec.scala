@@ -380,4 +380,55 @@ class Bm25Spec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("statistics"))
   }
+
+  test("avgdl-preserving drift is caught by the stats fingerprint") {
+    // remove doc 1 (dl 2) then append a same-length doc: n and Σdl —
+    // and therefore avgdl — are EXACTLY restored, but dfreq changed
+    // ('c' lost a doc, 'zq' appeared), so idf drifted. The old
+    // avgdl-equality check waved this through (ADVICE r15); the
+    // content fingerprint must not.
+    val path = java.nio.file.Files.createTempDirectory("bm25_fp").toString
+    Bm25.saveIndex(fixture, path)
+    val c1 = Bm25.compilePercolateTable(Bm25.loadIndex(spark, path),
+      Seq((1L, "a b"), (2L, "c")).toDF("query_id", "query_text"))
+    Bm25.removeDocs(spark, path, Seq(1L).toDF("doc_id"))
+    Bm25.appendDocs(spark, path, Seq((91L, "a zq")).toDF("doc_id", "text"))
+    val drifted = Bm25.loadIndex(spark, path)
+    val st = drifted.stats.select(col("n").cast("long"),
+      col("sum_dl").cast("long")).head()
+    assert(st.getLong(0) == 4L && st.getLong(1) == 17L,
+      "fixture drift must preserve n and sum_dl for this test to bite")
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.appendToPercolateTable(drifted, c1,
+        Seq((50L, "e")).toDF("query_id", "query_text"))
+    }
+    assert(ex.getMessage.contains("fingerprint"))
+  }
+
+  test("a mutation that died mid-sequence is rejected at load") {
+    val path = java.nio.file.Files.createTempDirectory("bm25_mk").toString
+    Bm25.saveIndex(fixture, path)
+    // completed mutations leave no marker behind
+    Bm25.appendDocs(spark, path, Seq((90L, "f g")).toDF("doc_id", "text"))
+    Bm25.removeDocs(spark, path, Seq(90L).toDF("doc_id"))
+    Bm25.compactIndex(spark, path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_mutation_pending")))
+    // simulate a crash between table swaps: the marker survives, and
+    // every load — including the one at the head of the next mutation
+    // — rejects the possibly-inconsistent tables loudly
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(path, "_mutation_pending"))
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.loadIndex(spark, path)
+    }
+    assert(ex.getMessage.contains("pending-mutation"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Bm25.removeDocs(spark, path, Seq(0L).toDF("doc_id"))
+    }
+    assert(ex2.getMessage.contains("pending-mutation"))
+    // the documented remediation — a full rebuild — clears the marker
+    Bm25.saveIndex(fixture, path)
+    assert(Bm25.loadIndex(spark, path).postings.count() > 0)
+  }
 }

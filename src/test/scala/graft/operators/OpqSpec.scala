@@ -172,6 +172,76 @@ class OpqSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("width"))
   }
 
+  test("acceptRotation: a recall-losing candidate is rejected for identity") {
+    val c = corpus.filter($"vec_id" < 200)
+    // adversarial candidate: every output coordinate is the same mean
+    // of the input — all vectors collapse to one line, ADC ranking
+    // becomes noise, held-out recall craters below not-rotating
+    val flat = Seq.fill(64)(Seq.fill(64)(1.0 / 64))
+    val acc = Opq.acceptRotation(c, flat, k = 5, nCells = 8, nProbe = 8,
+      m = 8, ksub = 16, maxHoldout = 20L)
+    assert(acc.chosen == "identity")
+    assert(acc.identityRecall > acc.trainedRecall,
+      s"expected the collapse rotation to lose: trained=" +
+      s"${acc.trainedRecall} identity=${acc.identityRecall}")
+    // the returned rotation IS the identity, not the loser
+    assert(acc.rotation.zipWithIndex.forall { case (row, i) =>
+      row.zipWithIndex.forall { case (x, j) =>
+        x == (if (i == j) 1.0 else 0.0) } })
+    // a candidate that TIES keeps the candidate (identity vs identity:
+    // equal recall, ties go to the trained arm)
+    val id = Seq.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    val accId = Opq.acceptRotation(c, id, k = 5, nCells = 8, nProbe = 8,
+      m = 8, ksub = 16, maxHoldout = 20L)
+    assert(accId.chosen == "trained")
+    assert(accId.trainedRecall == accId.identityRecall)
+  }
+
+  test("opqTrainAccepted: decision rule matches the measured recalls") {
+    val acc = Opq.opqTrainAccepted(clustered, m = 8, ksub = 16,
+      outerIters = 1, lloydIters = 2, k = 5, nCells = 8, nProbe = 8,
+      maxHoldout = 20L)
+    assert(Set("trained", "identity").contains(acc.chosen))
+    assert((acc.chosen == "trained") ==
+      (acc.trainedRecall >= acc.identityRecall))
+    assert(acc.rotation.length == 64 && acc.rotation.forall(_.length == 64))
+    assert(acc.qerrHistory.nonEmpty)
+  }
+
+  test("saveIndex stamps the acceptance verdict; loadIndex returns it") {
+    val path = java.nio.file.Files.createTempDirectory("opq_chosen").toString
+    Opq.saveIndex(corpus, path, Opq.givensRotation(64), nCells = 8, m = 8,
+      ksub = 16, chosen = "identity")
+    assert(Opq.loadIndex(spark, path).chosen.contains("identity"))
+    // an index saved without provenance reads back None (legacy stamps)
+    val path2 = java.nio.file.Files.createTempDirectory("opq_noch").toString
+    Opq.saveIndex(corpus, path2, Opq.givensRotation(64), nCells = 8, m = 8,
+      ksub = 16)
+    assert(Opq.loadIndex(spark, path2).chosen.isEmpty)
+  }
+
+  test("appendVectors: guards catch a bad row past row 1 and empty batches") {
+    val path = java.nio.file.Files.createTempDirectory("opq_guard").toString
+    Opq.saveIndex(corpus.filter($"vec_id" < 30), path,
+      Opq.givensRotation(64), nCells = 8, m = 8, ksub = 16)
+    // first row well-formed, second row narrow — the head()-only check
+    // this guard replaced would have waved the batch through (ADVICE
+    // r15) and null-padded garbage into the persisted codes
+    val mixed = corpus.filter($"vec_id" === 30L)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+      .unionByName(corpus.filter($"vec_id" === 31L)
+        .select(($"vec_id" + 100000L).as("vec_id"),
+          slice($"embedding", 1, 32).as("embedding")))
+    val ex = intercept[IllegalArgumentException] {
+      Opq.appendVectors(spark, path, mixed)
+    }
+    assert(ex.getMessage.contains("width"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Opq.appendVectors(spark, path, corpus.filter($"vec_id" < 0))
+    }
+    assert(ex2.getMessage.contains("empty batch"))
+  }
+
   test("stored index round-trip: queryIndex == opqTopK; stamps enforced") {
     val path = java.nio.file.Files.createTempDirectory("opq_idx").toString
     val r = Opq.givensRotation(64)

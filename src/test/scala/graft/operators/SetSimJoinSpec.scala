@@ -116,8 +116,11 @@ class SetSimJoinSpec extends AnyFunSuite {
 
   test("containment guard trips on a high-df prefix token, lazily") {
     val rows = (0L until 20L).map(id => id -> s"common x$id")
+    // hotBucketSalt = 0 pins the legacy loud-raise contract (the
+    // adaptive default would split the bucket instead); the adaptive
+    // path has its own brute-force-equality tests below
     val df = SetSimJoin.containmentPairs(toks(rows), "doc_id", "toks",
-      threshold = 0.3, maxBucket = 5)
+      threshold = 0.3, maxBucket = 5, hotBucketSalt = 0)
     val ex = intercept[Exception] { df.collect() }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e =>
@@ -177,9 +180,11 @@ class SetSimJoinSpec extends AnyFunSuite {
 
   test("prefix-bucket skew guard trips loudly at execution, lazily at call") {
     val rows = (0L until 20L).map(id => id -> s"common x$id")
-    // construction is lazy — no job runs, no error yet
+    // construction is lazy — no job runs, no error yet. hotBucketSalt
+    // = 0 pins the legacy loud-raise contract (the adaptive default
+    // would split the bucket instead).
     val df = SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
-      threshold = 0.3, maxBucket = 5)
+      threshold = 0.3, maxBucket = 5, hotBucketSalt = 0)
     val ex = intercept[Exception] { df.collect() }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e =>
@@ -255,22 +260,38 @@ class SetSimJoinSpec extends AnyFunSuite {
 
   test("salted split: output equals brute force where unsalted raises") {
     val rows = hotCorpus(40)
-    // unsalted: the hot bucket (40 > maxBucket=10) raises loudly
+    // salting OFF: the hot bucket (40 > maxBucket=10) raises loudly
     val ex = intercept[Exception] {
       SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
-        threshold = 0.8, maxBucket = 10).collect()
+        threshold = 0.8, maxBucket = 10, hotBucketSalt = 0).collect()
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e =>
         Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("maxBucket")))
-    // salted: passes and is EXACT (each pair meets exactly once)
+    // ADAPTIVE (the default): passes and is EXACT (each pair meets
+    // exactly once) — c = 40 over maxBucket = 10 gets per-token salt
+    // ⌈(40/10)²⌉ = 16, inside the 32·maxBucket backstop
     val got = SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
-        threshold = 0.8, maxBucket = 10, hotBucketSalt = 4)
+        threshold = 0.8, maxBucket = 10)
       .as[(Long, Long, Long, Double)].collect()
     assert(got.length == got.toSet.size, "salted join duplicated pairs")
     assert(got.toSet == brute(rows, 0.8))
     assert(got.nonEmpty)
+    // FIXED salt: the cap is maxBucket·⌊√salt⌋ (per-task volume stays
+    // at the unsalted maxBucket² contract) — salt = 16 admits c = 40
+    val fixed = SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
+        threshold = 0.8, maxBucket = 10, hotBucketSalt = 16)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(fixed.length == fixed.toSet.size, "fixed-salt join duplicated pairs")
+    assert(fixed.toSet == brute(rows, 0.8))
+    // FIXED salt under-sized for the per-task contract raises at the
+    // scaled cap: salt = 4 → cap 10·⌊√4⌋ = 20 < 40
+    val ex2 = intercept[Exception] {
+      SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
+        threshold = 0.8, maxBucket = 10, hotBucketSalt = 4).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("salted cap")))
   }
 
   test("salted split: no-op equality on corpora with no hot buckets") {
@@ -292,8 +313,10 @@ class SetSimJoinSpec extends AnyFunSuite {
     val rows = hotCorpus(30) ++ Seq(
       (900L, "hotmark u3"), // contained in doc 3
       (901L, "u5 f1 f2"))   // contained in doc 5
+    // adaptive default: df ≈ 31 over maxBucket = 10 → per-token salt
+    // ⌈(31/10)²⌉ = 10, inside the 32·maxBucket backstop
     val got = SetSimJoin.containmentPairs(toks(rows), "doc_id", "toks",
-        threshold = 0.9, maxBucket = 10, hotBucketSalt = 4)
+        threshold = 0.9, maxBucket = 10)
       .as[(Long, Long, Long, Double)].collect()
     assert(got.length == got.toSet.size, "salted join duplicated pairs")
     assert(got.toSet == bruteContainment(rows, 0.9))
@@ -323,14 +346,15 @@ class SetSimJoinSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e =>
         Option(e.getMessage).toSeq ++ msgs(e.getCause))
-    // unsalted: the shared fillers collect 40-doc buckets > maxBucket
+    // salting OFF: the shared fillers collect 40-doc buckets > maxBucket
     val ex1 = intercept[Exception] {
       SetSimJoin.incrementalJaccardPairs(spark, path, toks(batch),
-        "doc_id", "toks", 0.8, maxBucket = 10).collect()
+        "doc_id", "toks", 0.8, maxBucket = 10, hotBucketSalt = 0).collect()
     }
     assert(msgs(ex1).exists(_.contains("maxBucket")))
+    // adaptive default: per-token salt from the union's bucket counts
     val incJ = SetSimJoin.incrementalJaccardPairs(spark, path, toks(batch),
-        "doc_id", "toks", 0.8, maxBucket = 10, hotBucketSalt = 4)
+        "doc_id", "toks", 0.8, maxBucket = 10)
       .as[(Long, Long, Long, Double)].collect()
     assert(incJ.length == incJ.toSet.size, "salted join duplicated pairs")
     assert(incJ.toSet == brute(all, 0.8)
@@ -338,12 +362,11 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(incJ.nonEmpty)
     val ex2 = intercept[Exception] {
       SetSimJoin.incrementalContainmentPairs(spark, path, toks(batch),
-        "doc_id", "toks", 0.9, maxBucket = 10).collect()
+        "doc_id", "toks", 0.9, maxBucket = 10, hotBucketSalt = 0).collect()
     }
     assert(msgs(ex2).exists(_.contains("maxBucket")))
     val incC = SetSimJoin.incrementalContainmentPairs(spark, path,
-        toks(batch), "doc_id", "toks", 0.9, maxBucket = 10,
-        hotBucketSalt = 4)
+        toks(batch), "doc_id", "toks", 0.9, maxBucket = 10)
       .as[(Long, Long, Long, Double)].collect()
     assert(incC.length == incC.toSet.size, "salted join duplicated pairs")
     assert(incC.toSet == bruteContainment(all, 0.9)
