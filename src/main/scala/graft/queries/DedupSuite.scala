@@ -67,6 +67,33 @@ object DedupSuite extends QuerySuite {
     path
   }
 
+  /** Stage an arbitrary synthesized gate corpus to parquet once per
+    * (dataDir, recipe hash) and return its path — the
+    * [[stagedSetsPath]] protocol for fixtures that are plain frames
+    * rather than setsim stores. A real 10× corpus arrives FROM STORAGE;
+    * synthesizing it inside the timed body made runs 1 and 3 of the
+    * round-15 bench lose every steal-quiet rep on the 10× headline to
+    * setup work (VERDICT r15 plan audit). The path is keyed on a hash
+    * of the caller's recipe description, so a changed plant can never
+    * read a stale staging; `_SUCCESS` guards half-written stores; the
+    * probe catches NonFatal only.
+    */
+  private def stagedCorpusPath(s: SparkSession, tag: String, params: String,
+                               d: String)(build: => DataFrame): String = {
+    val recipe = s"$tag;$params;$d"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(recipe.getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+    val path = s"${GateStates.dir}/" +
+      s"${tag}_${digest}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val staged =
+      try new java.io.File(path, "_SUCCESS").exists &&
+        s.read.parquet(path).schema.nonEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!staged) build.write.mode("overwrite").parquet(path)
+    path
+  }
+
   // ---- exact dedup: hash-groupBy (oracle-checked) --------------------
   private val dedupExact = GraftQuery(
     "q_dedup_exact",
@@ -519,14 +546,17 @@ object DedupSuite extends QuerySuite {
           .unionByName(tagged.select((col("doc_id") + 2L * off).as("doc_id"),
             col("text")))
       }
-      // materialize the synthesized corpus ONCE (lazy local checkpoint,
-      // computed by the first consumer, reused by the other two): the
-      // token tagging is fixture construction, not operator work — a
-      // real 10× corpus arrives from storage, it isn't re-derived inside
-      // every signature/verify/fingerprint pass (ProfileScale protocol).
-      // ContextCleaner frees the checkpoint blocks when the plan is GC'd.
-      val corpus = graft.plans.Lineage.cut(
-        (0 until 10).map(copyAt).reduce(_.unionByName(_)))
+      // STAGED to parquet once per (dataDir, recipe): the token tagging
+      // is fixture construction, not operator work — a real 10× corpus
+      // arrives from storage. Staging (vs the previous per-rep lazy
+      // checkpoint) keeps the synthesis out of EVERY timed rep, so the
+      // headline's steal-quiet reps measure the minhash/LSH/verify
+      // stack alone, and the parquet scan gives the planner real leaf
+      // stats the checkpoint never had.
+      val corpus = s.read.parquet(stagedCorpusPath(s, "mh10x",
+        "copies=10;triples;tok-suffix _j;normalized-text", d) {
+          (0 until 10).map(copyAt).reduce(_.unionByName(_))
+        })
       // tagged text is token-normalized BY CONSTRUCTION (split → filter
       // → join with single spaces), so md5(text) groups exactly like the
       // token fingerprint — without re-tokenizing 150k docs just for the
