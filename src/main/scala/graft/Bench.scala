@@ -106,6 +106,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's "No Partition Defined" WARN for this run
+    // ONLY: every partition-less window in the engine is bounded by
+    // construction (Packing.scala per-partition totals, <= P rows,
+    // spec-pinned; one-row KPI frames) and the warning repeated 32
+    // headlines x 3 reps buries the artifact log (VERDICT r15 minor).
+    // Scoped to the one class so a NEW unbounded window introduced
+    // elsewhere still warns in tests and in Verify.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // One warm-up pass amortizes JVM/codegen startup out of the numbers;
     // each headline is then timed end-to-end (plan + execute) `reps`
     // times and the min over STEAL-QUIET reps reported — the

@@ -62,8 +62,24 @@ object DedupSuite extends QuerySuite {
     val staged =
       try { graft.operators.SetSimJoin.loadSets(s, path); true }
       catch { case scala.util.control.NonFatal(_) => false }
-    if (!staged)
-      graft.operators.SetSimJoin.saveSets(build, "doc_id", "shingles", path)
+    if (!staged) {
+      // build into a private sibling, then rename into place: two
+      // same-user JVMs staging concurrently race only across the
+      // metadata rename, not the minutes-long build — the loser
+      // detects the winner's store and adopts it (loadSets re-checks
+      // the stamp loudly either way)
+      val tmp = path + "_build_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      graft.operators.SetSimJoin.saveSets(build, "doc_id", "shingles", tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)) ||
+          !fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(path))) {
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        graft.operators.SetSimJoin.loadSets(s, path)
+      }
+    }
     path
   }
 
@@ -90,7 +106,19 @@ object DedupSuite extends QuerySuite {
       try new java.io.File(path, "_SUCCESS").exists &&
         s.read.parquet(path).schema.nonEmpty
       catch { case scala.util.control.NonFatal(_) => false }
-    if (!staged) build.write.mode("overwrite").parquet(path)
+    if (!staged) {
+      // tmp-build + rename (the stagedSetsPath convention): concurrent
+      // same-user JVMs race across a metadata rename, not the build
+      val tmp = path + "_build_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      build.write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)) ||
+          !fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(path)))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
     path
   }
 

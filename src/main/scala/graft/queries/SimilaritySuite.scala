@@ -1061,9 +1061,10 @@ object SimilaritySuite extends QuerySuite {
                FROM e0)""")))
 
   // ---- trained OPQ, end to end through the stored index ---------------
-  // The PRODUCTION OPQ lifecycle in one gate: opqTrain (Lloyd ⊕
-  // Procrustes alternation) on the clustered fixture → saveIndex with
-  // the LEARNED rotation (residual layout) → loadIndex → queryIndex
+  // The PRODUCTION OPQ lifecycle in one gate: opqTrainAccepted (Lloyd
+  // ⊕ Procrustes alternation + held-out acceptance, round 16) on the
+  // clustered fixture → saveIndex with the ACCEPTED rotation and its
+  // chosen stamp (residual layout) → loadIndex → queryIndex
   // shortlist → exact rerank against the vector store — the
   // integration seam q_embedding_opq (fixed Givens rotation, full
   // value oracle) cannot see, composed the way ANN ships (ADC
@@ -1094,10 +1095,17 @@ object SimilaritySuite extends QuerySuite {
       val c = graft.Tables.clusteredEmbeddings(s, d).localCheckpoint(true)
       val qs = c.filter(col("vec_id") % 25 === 11 && col("vec_id") < 1000)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val (r, _, _) = graft.operators.Opq.opqTrain(c, m = 16, ksub = 16,
-        outerIters = 2, lloydIters = 2)
-      graft.operators.Opq.saveIndex(c, path, r, nCells = 16, m = 16,
-        ksub = 16, trainIters = 3, residual = true)
+      // the ACCEPTED production trainer (round 16): train → held-out
+      // acceptance → identity fallback; on this tie-dense fixture the
+      // rotation is recall-neutral under rerank, so either verdict
+      // keeps the 0.7 floor — the gate pins the lifecycle composition
+      // including the acceptance step and the chosen-stamp save path
+      val acc = graft.operators.Opq.opqTrainAccepted(c, m = 16, ksub = 16,
+        outerIters = 2, lloydIters = 2, nCells = 16, nProbe = 16,
+        trainIters = 3, residual = true, maxHoldout = 200L)
+      graft.operators.Opq.saveIndex(c, path, acc.rotation, nCells = 16,
+        m = 16, ksub = 16, trainIters = 3, residual = true,
+        chosen = acc.chosen)
       val short = graft.operators.Opq.queryIndex(
           graft.operators.Opq.loadIndex(s, path), qs, k = 200, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"))
