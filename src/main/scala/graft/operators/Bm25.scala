@@ -640,6 +640,58 @@ object Bm25 {
       .select(col("qmap"), lit(avgdl).as("avgdl"),
         lit(statsFp).as("stats_fp"))
 
+  /** Stored percolate-registry layout marker — the radix bucket count
+    * is baked in (the [[graft.operators.SetSimJoin.RegistryFormatStamp]]
+    * rationale: bucket assignments are frozen at compile time, so a
+    * build with a different count must reject the store loudly rather
+    * than probe the wrong cells).
+    */
+  private[graft] val PercolateFormatStamp =
+    s"graft-bm25perc-v1;buckets=$PercolateBuckets"
+
+  /** Persist a compiled percolate registry under `path` — the alert
+    * list compiles once (tokenize + idf join + caps + radix fold) and
+    * every later percolating process loads the one-row (qmap, avgdl,
+    * stats_fp) table in milliseconds instead of recompiling 10⁵–10⁶
+    * queries per JVM. The frozen-statistics contract rides along:
+    * stats_fp persists, so [[appendToPercolateTable]] on a LOADED
+    * registry still proves the index did not drift since the original
+    * compile.
+    */
+  def savePercolateTable(compiled: DataFrame, path: String): Unit = {
+    require(Seq("qmap", "avgdl", "stats_fp")
+        .forall(compiled.columns.contains),
+      "savePercolateTable: frame lacks qmap/avgdl/stats_fp — not a " +
+      "compiled percolate registry from this build; rebuild with " +
+      "compilePercolateTable")
+    require(compiled.limit(2).count() == 1L,
+      "savePercolateTable: compiled registry must be exactly one row — " +
+      "this frame is not a compile output")
+    compiled.select(col("qmap"), col("avgdl"), col("stats_fp"))
+      .withColumn("registry_format", lit(PercolateFormatStamp))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPercolateTable(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("registry_format"),
+      s"stored percolate registry at $path has no registry_format " +
+      "column — not a savePercolateTable table; rebuild with " +
+      "compilePercolateTable + savePercolateTable")
+    val stamps = df.select(col("registry_format")).distinct().limit(2)
+      .collect().map(_.getString(0))
+    require(stamps.length == 1 && stamps.head == PercolateFormatStamp,
+      s"stored percolate registry at $path has layout " +
+      s"'${stamps.mkString(",")}', this build reads " +
+      s"'$PercolateFormatStamp' (the radix bucket assignment is frozen " +
+      "at compile time) — recompile and re-save")
+    require(df.limit(2).count() == 1L,
+      s"stored percolate registry at $path is not exactly one row — " +
+      "partially written; recompile and re-save")
+    df.drop("registry_format")
+  }
+
   /** Explode a compiled percolate registry back into its
     * (query_id, tok, idf) postings — registry-sized, the inverse of
     * [[foldPercolate]]. Public: audits want to ASK a compiled registry

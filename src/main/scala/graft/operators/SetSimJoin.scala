@@ -794,6 +794,56 @@ object SetSimJoin {
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("inner"))))
         .as("qmap"))
 
+  /** Stored-registry layout marker. The RADIX BUCKET COUNT is baked
+    * into the stamp: the compiled qmap's outer keys are
+    * `pmod(xxhash64(tok), ProbeBuckets)` assignments frozen at compile
+    * time, so a build with a different bucket count would probe the
+    * wrong cells of a stored registry and silently alert on nothing —
+    * that build must reject the store loudly instead.
+    */
+  private[graft] val RegistryFormatStamp =
+    s"graft-setsimreg-v1;buckets=$ProbeBuckets"
+
+  /** Persist a compiled containment/jaccard/doc registry under `path`
+    * — compiled registries are the one stored-artifact family that was
+    * rebuilt per JVM: a decontamination registry over 10⁶ eval queries
+    * pays its compile (tokenize + caps + radix fold) once here and
+    * every later audit process [[loadContainmentRegistry]]s the
+    * one-row table in milliseconds. The probes treat the loaded frame
+    * exactly like a fresh compile (same ×1-row broadcast), and the
+    * maintenance members work on it unchanged.
+    */
+  def saveContainmentRegistry(compiled: DataFrame, path: String): Unit = {
+    require(compiled.columns.contains("qmap"),
+      "saveContainmentRegistry: frame has no qmap column — not a " +
+      "compiled registry; build one with compileContainmentRegistry")
+    require(compiled.limit(2).count() == 1L,
+      "saveContainmentRegistry: compiled registry must be exactly one " +
+      "row — this frame is not a compile output")
+    compiled.select(col("qmap"))
+      .withColumn("registry_format", lit(RegistryFormatStamp))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadContainmentRegistry(spark: org.apache.spark.sql.SparkSession,
+                              path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("registry_format"),
+      s"stored registry at $path has no registry_format column — not a " +
+      "saveContainmentRegistry table; rebuild with " +
+      "compileContainmentRegistry + saveContainmentRegistry")
+    val stamps = df.select(col("registry_format")).distinct().limit(2)
+      .collect().map(_.getString(0))
+    require(stamps.length == 1 && stamps.head == RegistryFormatStamp,
+      s"stored registry at $path has layout '${stamps.mkString(",")}', " +
+      s"this build reads '$RegistryFormatStamp' (the radix bucket " +
+      "assignment is frozen at compile time) — recompile and re-save")
+    require(df.limit(2).count() == 1L,
+      s"stored registry at $path is not exactly one row — partially " +
+      "written; recompile and re-save")
+    df.drop("registry_format")
+  }
+
   /** Explode a compiled registry row back into its (query_id, tok, nq)
     * postings — registry-sized, the inverse of [[foldRegistry]]. Public
     * because audits want to ASK a compiled registry what it contains.

@@ -477,6 +477,86 @@ object TextMiningSuite extends QuerySuite {
     // (BASELINE round 13) is regression-guarded by the bench
     headline = true)
 
+  // ---- stored percolate registry (round 16): the alert list as a
+  // persisted artifact. Same corpus/registry/oracle as
+  // q_percolate_registry, but the registry travels through the FULL
+  // store lifecycle: compile HALF the queries → savePercolateTable →
+  // loadPercolateTable (fresh frame, stamp + bucket-count checked) →
+  // appendToPercolateTable of the other half ON THE LOADED TABLE
+  // (exercising the persisted stats fingerprint against the live
+  // index) → save to a second store → load → percolateJoin. The final
+  // alerts hash against the SAME full-registry SQL replay, so a store
+  // that dropped/duplicated postings, lost the fingerprint, or probed
+  // wrong buckets fails on values, not shape.
+  private val percolateStore = GraftQuery(
+    "q_percolate_store",
+    (s, d) => {
+      val path = s"${GateStates.dir}/" +
+        s"bm25regst_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val sh = graft.plans.Lineage.cut(documents(s, d)
+        .repartition(2 * s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), size(col("tk")) - 4),
+            g => substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15))).as("text")))
+      graft.operators.Bm25.saveIndex(sh, s"$path/index")
+      val idx = graft.operators.Bm25.loadIndex(s, s"$path/index")
+      val reg = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("query_id"),
+          TextFunctions.tokens(col("text")).as("stk"))
+        .filter(size(col("stk")) >= 8)
+        .select(col("query_id"),
+          concat_ws(" ", slice(col("stk"), 3, 6)).as("query_text"))
+      val half1 = reg.filter(col("query_id") % 20 === 0)
+      val half2 = reg.filter(col("query_id") % 20 =!= 0)
+      graft.operators.Bm25.savePercolateTable(
+        graft.operators.Bm25.compilePercolateTable(idx, half1),
+        s"$path/store1")
+      val grown = graft.operators.Bm25.appendToPercolateTable(idx,
+        graft.operators.Bm25.loadPercolateTable(s, s"$path/store1"), half2)
+      graft.operators.Bm25.savePercolateTable(grown, s"$path/store2")
+      graft.operators.Bm25.percolateJoin(sh,
+          graft.operators.Bm25.loadPercolateTable(s, s"$path/store2"),
+          threshold = 5.0)
+        .orderBy(asc("query_id"), asc("doc_id"))
+    },
+    Some(s"""WITH tk AS (
+               SELECT doc_id, $toksSql AS tk FROM documents
+               WHERE len($toksSql) >= 5),
+             sh AS (
+               SELECT doc_id, list_transform(generate_series(1, len(tk) - 4),
+                 g -> substr(md5(array_to_string(
+                   list_slice(tk, g, g + 4), ' ')), 1, 15)) AS stk
+               FROM tk),
+             inst AS (SELECT doc_id, unnest(stk) AS tok FROM sh),
+             tf AS (
+               SELECT doc_id, tok, COUNT(*) AS tf FROM inst GROUP BY 1, 2),
+             dl AS (SELECT doc_id, len(stk) AS dl FROM sh),
+             dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+             stats AS (
+               SELECT COUNT(*) AS n, SUM(len(stk)) AS sum_dl FROM sh),
+             reg AS (
+               SELECT doc_id AS query_id,
+                 list_distinct(list_slice(stk, 3, 8)) AS qts
+               FROM sh WHERE doc_id % 10 = 0 AND len(stk) >= 8),
+             qt AS (SELECT query_id, unnest(qts) AS tok FROM reg),
+             scored AS (
+               SELECT qt.query_id, tf.doc_id, tf.tok,
+                 ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+                 (tf.tf * (1.2 + 1.0)) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                   (CAST(stats.sum_dl AS DOUBLE) / stats.n))) AS s
+               FROM tf JOIN qt USING (tok) JOIN dfreq USING (tok)
+               JOIN dl USING (doc_id) CROSS JOIN stats),
+             perdoc AS (
+               SELECT query_id, doc_id,
+                 ROUND(list_sum(list(s ORDER BY tok)), 6) AS score
+               FROM scored GROUP BY 1, 2)
+             SELECT query_id, doc_id, score FROM perdoc
+             WHERE score >= 5.0 ORDER BY query_id, doc_id"""))
+
   // ---- hybrid retrieval: BM25 ⊕ dense cosine via RRF ------------------
   // The standard two-tower production shape: sparse (BM25 over
   // documents) and dense (exact cosine over embeddings, same id space)
@@ -622,5 +702,5 @@ object TextMiningSuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep, bm25,
         bm25Stored, bm25Appended, streamPercolate, percolateRegistry,
-        hybridRetrieval, htmlExtract)
+        percolateStore, hybridRetrieval, htmlExtract)
 }

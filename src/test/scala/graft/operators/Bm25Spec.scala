@@ -405,6 +405,51 @@ class Bm25Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("fingerprint"))
   }
 
+  test("stored percolate registry: load alerts identically, fp rides") {
+    val path = java.nio.file.Files.createTempDirectory("bm25_ps").toString
+    Bm25.saveIndex(fixture, path)
+    val idx = Bm25.loadIndex(spark, path)
+    val compiled = Bm25.compilePercolateTable(idx,
+      Seq((1L, "a b"), (2L, "c")).toDF("query_id", "query_text"))
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25_pstore").toString
+    Bm25.savePercolateTable(compiled, store)
+    val loaded = Bm25.loadPercolateTable(spark, store)
+    def alerts(c: org.apache.spark.sql.DataFrame) =
+      Bm25.percolateJoin(fixture, c, threshold = 0.1)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(alerts(loaded) == alerts(compiled))
+    // the frozen-stats fingerprint persists: append on the LOADED
+    // registry still proves the index did not drift
+    val appended = Bm25.appendToPercolateTable(idx, loaded,
+      Seq((10L, "b b")).toDF("query_id", "query_text"))
+    assert(alerts(appended).exists(_._1 == 10L))
+    // an index mutation AFTER the save is still caught through the store
+    Bm25.appendDocs(spark, path, Seq((90L, "f g h")).toDF("doc_id", "text"))
+    val drifted = Bm25.loadIndex(spark, path)
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.appendToPercolateTable(drifted,
+        Bm25.loadPercolateTable(spark, store),
+        Seq((50L, "e")).toDF("query_id", "query_text"))
+    }
+    assert(ex.getMessage.contains("fingerprint"))
+    // guards: non-compiled frames and foreign stamps
+    val e1 = intercept[IllegalArgumentException] {
+      Bm25.savePercolateTable(fixture, store + "_x")
+    }
+    assert(e1.getMessage.contains("qmap"))
+    val bad = java.nio.file.Files
+      .createTempDirectory("bm25_psbad").toString
+    spark.range(1).select(map(lit(1), lit("x")).as("qmap"),
+        lit(4.25).as("avgdl"), lit("n=1").as("stats_fp"),
+        lit("other-v9;buckets=2").as("registry_format"))
+      .write.mode("overwrite").parquet(bad)
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25.loadPercolateTable(spark, bad)
+    }
+    assert(e2.getMessage.contains("recompile"))
+  }
+
   test("a mutation that died mid-sequence is rejected at load") {
     val path = java.nio.file.Files.createTempDirectory("bm25_mk").toString
     Bm25.saveIndex(fixture, path)

@@ -248,4 +248,41 @@ class ContainmentProbeSpec extends AnyFunSuite {
       for (t <- Seq(0.5, 0.9)) assert(probe(t) == brute(t), s"threshold $t")
     } finally spark.conf.set("spark.sql.ansi.enabled", before)
   }
+
+  test("stored registry: save -> load probes and maintains identically") {
+    val compiled = SetSimJoin.compileContainmentRegistry(
+      setsOf(registry), "id", "toks")
+    val path = java.nio.file.Files
+      .createTempDirectory("setsim_regstore").toString
+    SetSimJoin.saveContainmentRegistry(compiled, path)
+    val loaded = SetSimJoin.loadContainmentRegistry(spark, path)
+    def alerts(c: org.apache.spark.sql.DataFrame, t: Double) =
+      SetSimJoin.containmentProbe(setsOf(docs), c, t,
+          idCol = "id", toksCol = "toks")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    for (t <- Seq(0.5, 0.875, 1.0))
+      assert(alerts(loaded, t) == alerts(compiled, t), s"threshold $t")
+    // maintenance members work on the LOADED frame unchanged
+    val appended = SetSimJoin.appendToContainmentRegistry(loaded,
+      setsOf(Seq((9L, "z z2 z3"))), "id", "toks")
+    assert(alerts(appended, 1.0).exists(_._1 == 9L))
+    assert(SetSimJoin.registryPostings(loaded)
+        .as[(Long, String, Long)].collect().toSet ==
+      SetSimJoin.registryPostings(compiled)
+        .as[(Long, String, Long)].collect().toSet)
+    // guards: non-compiled frames, multi-row frames, foreign stamps
+    val e1 = intercept[IllegalArgumentException] {
+      SetSimJoin.saveContainmentRegistry(setsOf(registry), path + "_x")
+    }
+    assert(e1.getMessage.contains("qmap"))
+    val bad = java.nio.file.Files
+      .createTempDirectory("setsim_regbad").toString
+    spark.range(1).select(map(lit(1), lit("x")).as("qmap"),
+        lit("other-v9;buckets=2").as("registry_format"))
+      .write.mode("overwrite").parquet(bad)
+    val e2 = intercept[IllegalArgumentException] {
+      SetSimJoin.loadContainmentRegistry(spark, bad)
+    }
+    assert(e2.getMessage.contains("recompile"))
+  }
 }
