@@ -294,6 +294,46 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(msgs(ex2).exists(_.contains("salted cap")))
   }
 
+  test("salt arithmetic: caps and per-task volume honor the maxBucket^2 contract") {
+    // the guard cap is the largest bucket whose split still meets the
+    // unsalted per-task bound (ADVICE r15: one-sided salting leaves
+    // c^2/s candidates per task, NOT c^2/s^2)
+    assert(SetSimJoin.saltedGuardCap(10, 0) == 10L)    // off: loud at maxBucket
+    assert(SetSimJoin.saltedGuardCap(10, 8) == 20L)    // fixed: mb*floor(sqrt 8)
+    assert(SetSimJoin.saltedGuardCap(10, 16) == 40L)   // fixed: mb*4
+    assert(SetSimJoin.saltedGuardCap(10, 1) == 10L)    // s=1 is no split
+    assert(SetSimJoin.saltedGuardCap(10, -1) == 320L)  // adaptive: mb*32
+    // every admissible bucket size under the adaptive cap keeps
+    // per-task candidates <= maxBucket^2 with s = ceil((c/mb)^2)
+    for (mb <- Seq(3, 10, 100);
+         c <- (mb + 1) to SetSimJoin.saltedGuardCap(mb, -1).toInt) {
+      val s = math.min(math.ceil(math.pow(c.toDouble / mb, 2)),
+        SetSimJoin.AdaptiveMaxSaltRoot.toDouble *
+          SetSimJoin.AdaptiveMaxSaltRoot).toLong
+      assert(c.toLong * c / s <= mb.toLong * mb,
+        s"mb=$mb c=$c s=$s breaks the per-task contract")
+    }
+    // and the fixed-mode cap keeps the same bound at the caller's s
+    for (mb <- Seq(3, 10, 100); s <- Seq(2, 4, 8, 16, 64)) {
+      val cap = SetSimJoin.saltedGuardCap(mb, s)
+      assert(cap * cap / s <= mb.toLong * mb,
+        s"mb=$mb fixed s=$s cap=$cap breaks the per-task contract")
+    }
+  }
+
+  test("adaptive backstop raises when even the largest split cannot hold") {
+    // maxBucket = 1 → adaptive cap 32·1 = 32; the 40-doc template
+    // bucket exceeds it, so the graceful path still ends LOUDLY
+    val ex = intercept[Exception] {
+      SetSimJoin.jaccardPairs(toks(hotCorpus(40)), "doc_id", "toks",
+        threshold = 0.8, maxBucket = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("salted cap")))
+  }
+
   test("salted split: no-op equality on corpora with no hot buckets") {
     val rnd = new scala.util.Random(7)
     val vocab = (0 until 30).map(i => s"w$i")
