@@ -604,13 +604,24 @@ object SimilaritySuite extends QuerySuite {
         outerIters = 2, lloydIters = 2)
       val trained = recallOf(graft.operators.Opq.opqTopK(c, qs, r, k = 5,
         nCells = 16, nProbe = 16, m = 16, ksub = 16, trainIters = 3))
+      // the KEEP side of the round-16 acceptance guard: on the one
+      // geometry where rotation provably wins (gap ≥ +0.16 on this
+      // fixture's own holdout — 3× the q_opq_accept tolerance), the
+      // acceptance must NOT discard the trained rotation. Together
+      // with q_opq_accept (the reject side, anisotropic fixture) this
+      // pins both acceptance outcomes against measured geometry.
+      val acc = graft.operators.Opq.acceptRotation(c, r, k = 5,
+        nCells = 16, nProbe = 16, m = 16, ksub = 16, trainIters = 3,
+        maxHoldout = 100L)
       qs.agg(count(lit(1)).as("n_queries"))
         .select(col("n_queries"),
           lit(trained > raw).as("trained_beats_raw"),
-          lit(trained - raw >= 0.025).as("rotation_gain_ok"))
+          lit(trained - raw >= 0.025).as("rotation_gain_ok"),
+          lit(acc.chosen == "trained").as("accept_keeps_trained"))
     },
     Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-              TRUE AS trained_beats_raw, TRUE AS rotation_gain_ok
+              TRUE AS trained_beats_raw, TRUE AS rotation_gain_ok,
+              TRUE AS accept_keeps_trained
             FROM embeddings
             WHERE vec_id % 25 = 11 AND vec_id < 1000"""))
 
