@@ -73,6 +73,30 @@ object Bench {
     else (reps.map(_._1).min, false)
   }
 
+  /** Self-healing rep policy (VERDICT r16 #1): a headline whose reps
+    * are ALL steal-contaminated gets re-repped — its registered number
+    * would otherwise be a noise sample (r16 driver run:
+    * q_containment_join read 70.6 s worst-rep at 546 steal ticks with
+    * zero quiet reps, overstating the whole total). Healing is
+    * bounded at `maxReps` TOTAL reps per query; a query still quiet-
+    * less at the bound carries an explicit `reps_exhausted` marker in
+    * the artifact instead of a silent `quiet:false` row.
+    */
+  private[graft] def needsHealing(reps: Seq[(Double, Long)],
+                                  quietThreshold: Long,
+                                  maxReps: Int): Boolean =
+    reps.nonEmpty && reps.forall(_._2 >= quietThreshold) &&
+      reps.size < maxReps
+
+  /** True when a query exhausted its healing budget without a single
+    * steal-quiet rep — the artifact's machine-readable "this number
+    * is a noise floor, adjudicate elsewhere" marker.
+    */
+  private[graft] def repsExhausted(reps: Seq[(Double, Long)],
+                                   quietThreshold: Long,
+                                   maxReps: Int): Boolean =
+    reps.size >= maxReps && reps.forall(_._2 >= quietThreshold)
+
   /** The CPU-control single-thread seconds of the round-14 registered
     * basis (BASELINE.md: single 0.38–0.41 s across five runs) — the
     * reference host generation every cross-round total normalizes to.
@@ -144,20 +168,34 @@ object Bench {
       collection.mutable.Map.empty[String, List[(Double, Long)]]
         .withDefaultValue(Nil)
     val rows = collection.mutable.Map.empty[String, Long]
-    (1 to reps).foreach { _ =>
-      headlines.foreach { q =>
-        val s0 = stealTicks()
-        val t0 = System.nanoTime()
-        val n = try { BenchAction.consumeAll(q.fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
-        samples(q.name) = samples(q.name) :+ ((sec, stealTicks() - s0))
-        rows.getOrElseUpdate(q.name, n)
-      }
+    def timeOne(q: graft.queries.GraftQuery): Unit = {
+      val s0 = stealTicks()
+      val t0 = System.nanoTime()
+      val n = try { BenchAction.consumeAll(q.fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      samples(q.name) = samples(q.name) :+ ((sec, stealTicks() - s0))
+      rows.getOrElseUpdate(q.name, n)
+    }
+    (1 to reps).foreach { _ => headlines.foreach(timeOne) }
+    // Self-healing passes (VERDICT r16 #1): re-rep ONLY the headlines
+    // with zero steal-quiet reps, still round-robin (a whole-suite
+    // steal burst contaminates one pass, not the healing passes that
+    // follow), until each has a quiet rep or hits maxReps total.
+    val maxReps = math.max(reps,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "6").toInt)
+    var healing = headlines.filter(q =>
+      needsHealing(samples(q.name), quietThreshold, maxReps))
+    while (healing.nonEmpty) {
+      healing.foreach(timeOne)
+      healing = headlines.filter(q =>
+        needsHealing(samples(q.name), quietThreshold, maxReps))
     }
     val results = headlines.map { q =>
       val (sec, quiet) = registered(samples(q.name), quietThreshold)
       (q.name, sec, rows(q.name), quiet)
     }
+    val exhausted = headlines.map(_.name).filter(n =>
+      repsExhausted(samples(n), quietThreshold, maxReps))
     def fmt(d: Double): String = f"$d%.3f"
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -197,6 +235,9 @@ object Bench {
       s""""normalized_value":${fmt(normTotal)},""" +
       s""""queries":$qs,"rows":$rs,"sf":"$sfDir",""" +
       s""""quiet":$allQuiet,"stealQuietThreshold":$quietThreshold,""" +
+      s""""maxReps":$maxReps,""" +
+      exhausted.map("\"" + _ + "\"").mkString(
+        "\"repsExhausted\":[", ",", "],") +
       s""""control":$control,"queryQuiet":$qq,"reps":$repJson}"""
     val evPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVIDENCE",
       "bench_evidence.json")
@@ -222,7 +263,10 @@ object Bench {
       s""""normalized_value":${fmt(normTotal)},""" +
       s""""control_run":${fmt(controlRun)},""" +
       s""""control_ref":${fmt(ControlRefSingle)},""" +
-      s""""quiet":$allQuiet,"sf":"$sfDir","evidence":"$evPath",""" +
+      s""""quiet":$allQuiet,""" +
+      exhausted.map("\"" + _ + "\"").mkString(
+        "\"reps_exhausted\":[", ",", "],") +
+      s""""sf":"$sfDir","evidence":"$evPath",""" +
       s""""queries":$qs}""")
     System.out.flush()
   }

@@ -137,21 +137,27 @@ object Bm25 {
   def saveIndex(docs: DataFrame, path: String,
                 idCol: String = "doc_id", textCol: String = "text"): Unit = {
     // a rebuild is the documented remediation for an interrupted
-    // mutation — clear any leftover marker so the fresh index loads
+    // mutation — clear any leftover marker so the fresh build can
+    // proceed, then run the three overwrites UNDER the marker: a
+    // crash mid-rebuild over an existing index otherwise leaves
+    // mixed old/new tables (each with a valid per-table stamp) that
+    // loadIndex would accept silently (ADVICE r16).
     val mk = pendingMarker(path)
     mk.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
       .delete(mk, false)
-    val tf = termFrequencies(docs, idCol, textCol)
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(
-      count(lit(1)).as("n"),
-      sum(size(TextFunctions.tokens(col(textCol)))).as("sum_dl"))
-    tf.withColumn("index_format", lit(IndexFormatPrefix))
-      .write.mode("overwrite").parquet(s"$path/postings")
-    dfreq.withColumn("index_format", lit(IndexFormatPrefix))
-      .write.mode("overwrite").parquet(s"$path/dfreq")
-    stats.withColumn("index_format", lit(IndexFormatPrefix))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    withMutationMarker(docs.sparkSession, path, "saveIndex") {
+      val tf = termFrequencies(docs, idCol, textCol)
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(
+        count(lit(1)).as("n"),
+        sum(size(TextFunctions.tokens(col(textCol)))).as("sum_dl"))
+      tf.withColumn("index_format", lit(IndexFormatPrefix))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      dfreq.withColumn("index_format", lit(IndexFormatPrefix))
+        .write.mode("overwrite").parquet(s"$path/dfreq")
+      stats.withColumn("index_format", lit(IndexFormatPrefix))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    }
   }
 
   final case class Bm25Index(postings: DataFrame, dfreq: DataFrame,
@@ -180,8 +186,10 @@ object Bm25 {
     * rejects the mutually-inconsistent tables LOUDLY instead of
     * scoring silently wrong (ADVICE r15: each table carries a valid
     * per-table stamp, so stamp checks alone cannot see a
-    * mid-sequence-failed index). [[saveIndex]] clears it — a full
-    * rebuild is the documented remediation.
+    * mid-sequence-failed index). [[saveIndex]] clears a stale marker
+    * and then runs its own three overwrites under a fresh one — a
+    * COMPLETED rebuild is the documented remediation, and a rebuild
+    * that itself dies mid-sequence is detected like any mutation.
     */
   private def pendingMarker(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_mutation_pending")

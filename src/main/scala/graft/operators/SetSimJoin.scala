@@ -69,6 +69,17 @@ object SetSimJoin {
     *    ⌊√hotBucketSalt⌋ so the per-task bound still holds.
     *  - OFF (hotBucketSalt == 0): the legacy loud-raise contract — a
     *    bucket over maxBucket aborts with remediation advice.
+    *
+    * '''BEHAVIOR CHANGE (round 16)''': the default on all four public
+    * entry points ([[jaccardPairs]], [[containmentPairs]],
+    * [[incrementalJaccard]], [[incrementalContainment]]) flipped from
+    * 0 (loud abort at maxBucket) to -1 (adaptive salting). Callers who
+    * relied on the abort as a DATA-QUALITY TRIPWIRE — e.g. detecting a
+    * boilerplate/template token flooding a bucket — now silently admit
+    * buckets up to 32× maxBucket (per-task candidate volume stays
+    * bounded at maxBucket², but TOTAL candidate work can grow up to
+    * ~1024× before any error). Detection-oriented callers must pass
+    * `hotBucketSalt = 0` explicitly to restore the old contract.
     */
   private[graft] val AdaptiveMaxSaltRoot = 32
 

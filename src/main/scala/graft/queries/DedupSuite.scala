@@ -63,6 +63,14 @@ object DedupSuite extends QuerySuite {
       try { graft.operators.SetSimJoin.loadSets(s, path); true }
       catch { case scala.util.control.NonFatal(_) => false }
     if (!staged) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // an UNLOADABLE store at the derived path (half-written, stamp
+      // from a dead build) must not be adopted: left in place it
+      // short-circuits the rename below and rethrows the same load
+      // error every rep (ADVICE r16) — delete it and rebuild. A store
+      // that loads fine never reaches this branch.
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
       // build into a private sibling, then rename into place: two
       // same-user JVMs staging concurrently race only across the
       // metadata rename, not the minutes-long build — the loser
@@ -71,8 +79,6 @@ object DedupSuite extends QuerySuite {
       val tmp = path + "_build_" +
         java.util.UUID.randomUUID().toString.take(8)
       graft.operators.SetSimJoin.saveSets(build, "doc_id", "shingles", tmp)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(new org.apache.hadoop.fs.Path(path)) ||
           !fs.rename(new org.apache.hadoop.fs.Path(tmp),
             new org.apache.hadoop.fs.Path(path))) {
@@ -107,13 +113,17 @@ object DedupSuite extends QuerySuite {
         s.read.parquet(path).schema.nonEmpty
       catch { case scala.util.control.NonFatal(_) => false }
     if (!staged) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // self-heal an unreadable store (no _SUCCESS / empty schema) the
+      // stagedSetsPath way: delete it rather than adopt it, so the
+      // rename below can land the fresh build (ADVICE r16)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
       // tmp-build + rename (the stagedSetsPath convention): concurrent
       // same-user JVMs race across a metadata rename, not the build
       val tmp = path + "_build_" +
         java.util.UUID.randomUUID().toString.take(8)
       build.write.mode("overwrite").parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(new org.apache.hadoop.fs.Path(path)) ||
           !fs.rename(new org.apache.hadoop.fs.Path(tmp),
             new org.apache.hadoop.fs.Path(path)))

@@ -338,11 +338,23 @@ class PlanSpec extends AnyFunSuite {
     // token is hot), so ShuffledHashJoin nodes are expected — the
     // demotion signature to ban is SortMergeJoin (the planner's default
     // for a stats-less unhinted join), plus the BHJ presence check.
-    for (name <- Seq("q_incremental_setsim", "q_incremental_containment")) {
+    // ADVICE r16 tightening: banning only SortMergeJoin left a hole —
+    // a batch-side broadcast join demoted to ShuffledHashJoin would
+    // pass as long as SOME BHJ appeared elsewhere. The salted hot
+    // branch is the ONLY legitimate SHJ source (one hinted join per
+    // saltedTokenJoin call), so bound the SHJ node count to that
+    // budget: any demotion adds an SHJ beyond it and fails here.
+    for ((name, saltedJoins) <- Seq(
+        "q_incremental_setsim" -> 1, "q_incremental_containment" -> 1)) {
       val s = planNoExec(name)
       assert(!s.contains("SortMergeJoin"),
         s"$name: batch-side broadcast hint lost — a join demoted to a " +
         s"sort-merge join:\n$s")
+      val shj = "ShuffledHashJoin".r.findAllIn(s).length
+      assert(shj <= saltedJoins,
+        s"$name: $shj ShuffledHashJoin nodes but only $saltedJoins " +
+        s"hinted salted-branch join(s) expected — a broadcast join was " +
+        s"demoted:\n$s")
       assert(s.contains("BroadcastHashJoin"),
         s"$name: expected broadcast candidate joins:\n$s")
     }

@@ -197,6 +197,32 @@ class OpqSpec extends AnyFunSuite {
     assert(accId.trainedRecall == accId.identityRecall)
   }
 
+  test("acceptRotation: lossless corpus at full probe reads recall 1.0") {
+    // Corpus of exact duplicates of the first ksub rows: every
+    // normalized subvector IS a seed codeword, so PQ encoding is
+    // lossless and full-probe ADC ranking equals exact cosine ranking
+    // (duplicates tie at ADC == cosine == 1.0 and both arms break
+    // ties by asc neighbor_id). With the ADC shortlist self-excluded
+    // SYMMETRICALLY with the exact ground truth (VERDICT r16 #3),
+    // both arms' holdout recalls must read exactly 1.0 — any
+    // self-slot leak or asymmetry deflates one of them below 1.
+    val bases = corpus.filter($"vec_id" < 16)
+      .select($"vec_id".as("base_id"), $"embedding")
+    val c = spark.range(0, 192).toDF("vec_id")
+      .join(bases, pmod($"vec_id", lit(16)) === $"base_id")
+      .select($"vec_id", $"embedding")
+      .localCheckpoint(true)
+    val id = Seq.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    val acc = Opq.acceptRotation(c, id, k = 5, nCells = 8, nProbe = 8,
+      m = 8, ksub = 16, maxHoldout = 24L)
+    assert(acc.trainedRecall == 1.0,
+      s"lossless trained arm reads ${acc.trainedRecall}, not 1.0 — " +
+      "self-slot leak or ADC/exact asymmetry")
+    assert(acc.identityRecall == 1.0,
+      s"lossless identity arm reads ${acc.identityRecall}, not 1.0 — " +
+      "self-slot leak or ADC/exact asymmetry")
+  }
+
   test("opqTrainAccepted: decision rule matches the measured recalls") {
     val acc = Opq.opqTrainAccepted(clustered, m = 8, ksub = 16,
       outerIters = 1, lloydIters = 2, k = 5, nCells = 8, nProbe = 8,
