@@ -86,6 +86,8 @@ object DedupSuite extends QuerySuite {
         graft.operators.SetSimJoin.loadSets(s, path)
       }
     }
+    // age == time since last use for GateStates.prune's retention rule
+    GateStates.touch(path)
     path
   }
 
@@ -129,6 +131,8 @@ object DedupSuite extends QuerySuite {
             new org.apache.hadoop.fs.Path(path)))
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
+    // age == time since last use for GateStates.prune's retention rule
+    GateStates.touch(path)
     path
   }
 

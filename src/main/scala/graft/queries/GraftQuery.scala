@@ -37,4 +37,47 @@ object GateStates {
       .replaceAll("[^A-Za-z0-9]", "_")
     s"${System.getProperty("java.io.tmpdir")}/graft_states_$user"
   }
+
+  /** Default retention for staged stores: a store untouched for this
+    * long is an orphan. Recipe-hashed paths change whenever any
+    * staging ingredient changes (tag, plant params, layout stamp,
+    * data dir), so a superseded recipe's dir is never touched again
+    * and ages past the horizon; live stores are re-touched on every
+    * successful reuse ([[touch]]), so age == time since last use.
+    */
+  val DefaultRetentionMillis: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Mark a staged store as just-used so [[prune]]'s age rule sees
+    * live stores as fresh. Directory-mtime based: costs one metadata
+    * write, needs no sidecar file, and a store adopted from a
+    * concurrent winner is touched by its first reuse too.
+    */
+  def touch(path: String): Unit = {
+    new java.io.File(path).setLastModified(System.currentTimeMillis())
+    ()
+  }
+
+  /** Age-based GC of the staged-store scratch (VERDICT r16 #6):
+    * deletes direct children of [[dir]] not touched within
+    * `maxAgeMillis` and returns the deleted paths. Orphans appear
+    * whenever a staging recipe changes — the old recipe-hash dir
+    * keeps its bytes but nothing ever reads it again. Deleting a
+    * LIVE store is safe (it is a cache; the next gate rebuilds it),
+    * so the rule errs loose rather than tracking liveness exactly.
+    * In-flight `_build_` siblings race the GC only if a build outlasts
+    * the retention horizon — at the documented 7-day default, orders
+    * of magnitude past any staging build.
+    */
+  def prune(maxAgeMillis: Long = DefaultRetentionMillis,
+            now: Long = System.currentTimeMillis()): Seq[String] = {
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(rmTree)
+      f.delete(); ()
+    }
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => now - f.lastModified() > maxAgeMillis)
+      .map { f => rmTree(f); f.getAbsolutePath }
+  }
 }
