@@ -8,12 +8,24 @@ import org.apache.spark.sql.functions._
   * percolateJoin — the decontamination shape at the registry sizes the
   * literal path cannot reach (10⁵ queries). Reports compile wall,
   * registry/term counts, scoring wall, docs/sec, and alert volume.
-  * Usage: `ProfilePercolate <sfDir> [queriesPerDoc]`. Dev-only.
+  *
+  * The `copies` arg (VERDICT r16 #5: cap-scale adjudication) multiplies
+  * the registry by compiling the same windows over `copies` tagged
+  * variants of each doc (tokens suffixed _j, so copies share no terms
+  * — registry size scales, alert volume stays copy-0's): 10 copies ×
+  * 5000 docs × 20 windows ≈ the 10⁶-query / 10⁷-posting cap regime.
+  * With copies > 1 the run also measures the stored-registry
+  * round-trip added in r16: savePercolateTable wall + on-disk bytes,
+  * loadPercolateTable wall, and probe-through-the-loaded-table alert
+  * parity.
+  *
+  * Usage: `ProfilePercolate <sfDir> [queriesPerDoc] [copies]`. Dev-only.
   */
 object ProfilePercolate {
   def main(args: Array[String]): Unit = {
     val d = args(0)
     val perDoc = if (args.length > 1) args(1).toInt else 20
+    val nCopies = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -42,7 +54,10 @@ object ProfilePercolate {
     val idx = graft.operators.Bm25.loadIndex(spark, idxPath)
 
     // registry: `perDoc` sliding 6-term shingle windows per doc —
-    // every doc yields up to perDoc distinct benchmark-like queries
+    // every doc yields up to perDoc distinct benchmark-like queries.
+    // Copy c > 0 re-emits each window with every shingle suffixed _c:
+    // disjoint terms, so the registry (and its term map) scales by
+    // `copies` while corpus alerts stay exactly copy-0's.
     val reg = sh.select(col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("stk"))
       .filter(size(col("stk")) >= 8)
@@ -51,8 +66,13 @@ object ProfilePercolate {
           j => concat_ws(" ", slice(col("stk"), j * 2 + 1, lit(6)))))
           .as(Seq("j", "query_text")))
       .filter(length(col("query_text")) > 90) // 6 full 15-char shingles
-      .select((col("doc_id") * 1000 + col("j")).as("query_id"),
-        col("query_text"))
+      .crossJoin(spark.range(nCopies).toDF("c"))
+      .select(
+        (col("doc_id") * 1000 + col("j")
+          + col("c") * 100000000L).as("query_id"),
+        when(col("c") === 0, col("query_text"))
+          .otherwise(concat_ws(" ", transform(split(col("query_text"), " "),
+            t => concat(t, lit("_"), col("c"))))).as("query_text"))
       .persist()
     val nQueries = reg.count()
 
@@ -66,6 +86,7 @@ object ProfilePercolate {
       aggregate(map_values(col("qmap")), lit(0),
         (acc, m) => acc + size(m))).head().getInt(0)
     val compileSec = (System.nanoTime() - t0) / 1e9
+    val nPostings = graft.operators.Bm25.percolatePostings(compiled).count()
 
     if (sys.env.contains("GRAFT_PERC_EXPLAIN")) {
       val p = graft.operators.Bm25.percolateJoin(sh, compiled,
@@ -99,10 +120,32 @@ object ProfilePercolate {
       .agg(sum(col("nm"))).head().getLong(0)
     val matchSec = (System.nanoTime() - t2) / 1e9
 
-    println(f"docs=$nDocs%d queries=$nQueries%d distinctTerms=$nTerms%d " +
+    // stored-registry round-trip at this scale: save wall + on-disk
+    // bytes, load wall, and alert parity through the loaded table
+    val store = java.nio.file.Files
+      .createTempDirectory("perc_store").toString
+    val tS = System.nanoTime()
+    graft.operators.Bm25.savePercolateTable(compiled, store)
+    val saveSec = (System.nanoTime() - tS) / 1e9
+    val storeBytes = java.nio.file.Files.walk(java.nio.file.Paths.get(store))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    val tL = System.nanoTime()
+    val loaded = graft.operators.Bm25.loadPercolateTable(spark, store)
+      .persist()
+    val loadedAlerts = graft.operators.Bm25.percolateJoin(sh, loaded,
+      threshold = 5.0).count()
+    val loadProbeSec = (System.nanoTime() - tL) / 1e9
+    require(loadedAlerts == alerts,
+      s"stored-registry probe disagrees: $loadedAlerts vs $alerts")
+
+    println(f"docs=$nDocs%d queries=$nQueries%d postings=$nPostings%d " +
+      f"distinctTerms=$nTerms%d " +
       f"compileSec=$compileSec%.1f scoreSec=$scoreSec%.1f " +
       f"docsPerSec=${nDocs / scoreSec}%.0f alerts=$alerts%d " +
-      f"matchSec=$matchSec%.1f totalMatches=$nMatches%d")
+      f"matchSec=$matchSec%.1f totalMatches=$nMatches%d " +
+      f"saveSec=$saveSec%.1f storeMB=${storeBytes / 1048576.0}%.1f " +
+      f"loadProbeSec=$loadProbeSec%.1f loadedAlerts=$loadedAlerts%d")
     spark.stop()
   }
 }

@@ -635,7 +635,25 @@ object SetSimJoin {
           .cast("int"))).as(Seq("pos", "tok")))
     val prefAll = prefixes(union)
     val prefBatch = prefixes(batch)
-    val cnt = prefAll.groupBy("tok").agg(count(lit(1)).as("c"))
+    // Guard/salt counts over batch-RELEVANT buckets only (VERDICT r16
+    // #2, measured via ProfileIncScale's shuffle accounting: this
+    // groupBy was the one archive-proportional exchange left in the
+    // audit — 102 MB shuffled at a 32× archive for a 500-row batch,
+    // because in the broadcast regime the candidate join needs no
+    // archive exchange but the count still shuffled every union
+    // prefix row). Only a token present in some BATCH prefix can key
+    // a candidate join here, so count exactly those buckets via a
+    // broadcast semi-join: surviving tokens keep their full union
+    // counts (the semi-join drops whole buckets, never rows within
+    // one), and the count exchange becomes batch-proportional.
+    // Deliberate, documented relaxation: a hot token the batch never
+    // touches no longer trips the salt-off abort — it cannot create
+    // candidate work in this audit, and the full-corpus tripwire
+    // remains in jaccardPairs / the store-build path.
+    val cnt = prefAll.join(
+        broadcast(prefBatch.select(col("tok")).distinct()),
+        Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
     val guardCap = saltedGuardCap(maxBucket, hotBucketSalt)
     val chk = cnt
       .agg(max_by(struct(col("tok"), col("c")), col("c")).as("w"))
@@ -708,8 +726,19 @@ object SetSimJoin {
       .select(col("p.a").as("a"), col("p.b").as("b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
       .dropDuplicates("a", "b")
-    val cand = candIds
-      .join(union.select(col("sid").as("a"), col("stoks").as("ta")), Seq("a"))
+    // Survivors-only array fetch with the TINY side hinted at BOTH
+    // joins (VERDICT r16 #2, measured at a 64× archive: candIds comes
+    // off stats-less lineage, so past the union's broadcast size the
+    // planner shuffled the WHOLE archive — 132 MB written / 263 MB
+    // read for a 544-pair fetch; hinting only the first join still
+    // left the second demoting to a sort-merge join, its intermediate
+    // being equally stats-less. candIds and the a-fetch intermediate
+    // are candidate-bounded — batch-proportional rows plus one token
+    // array each; broadcasting them keeps the archive streaming
+    // through both joins.)
+    val cand = broadcast(broadcast(candIds)
+        .join(union.select(col("sid").as("a"), col("stoks").as("ta")),
+          Seq("a")))
       .join(union.select(col("sid").as("b"), col("stoks").as("tb")), Seq("b"))
       .crossJoin(broadcast(chk))
     cand.select(col("a"), col("b"), col("na"), col("nb"),
@@ -1133,11 +1162,25 @@ object SetSimJoin {
     val prefBatch = prefixes(batch)
     // skew guard on prefix-token corpus df (the containmentPairs
     // contract): per-token candidate volume is the token's df in the
-    // container corpus. dfreq is vocab-sized; the guard join is exact
-    // (a Bloom's false positives must not raise the loud cap).
+    // container corpus. The guard join is exact (a Bloom's false
+    // positives must not raise the loud cap) — but the df count and
+    // the prefix-token distinct are restricted to BATCH-relevant
+    // tokens via a broadcast semi-join (VERDICT r16 #2, measured: the
+    // unrestricted full-instance explode + groupBy shuffled 167 MB at
+    // a 32× archive for a 500-row batch; every candidate join here
+    // keys on a token the batch carries, so only those buckets need
+    // counting, and surviving tokens keep their full union df — the
+    // semi-join drops whole buckets, never rows within one). Same
+    // documented relaxation as incrementalJaccardPairs: a hot token
+    // the batch never touches no longer trips the salt-off abort.
+    val batchTokSet = batch.select(explode(col("stoks")).as("tok"))
+      .distinct()
     val dfreq = union.select(col("sid"), explode(col("stoks")).as("tok"))
+      .join(broadcast(batchTokSet), Seq("tok"), "left_semi")
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    val prefDf = prefAll.select(col("tok")).distinct()
+    val prefDf = prefAll
+      .join(broadcast(batchTokSet), Seq("tok"), "left_semi")
+      .select(col("tok")).distinct()
       .join(dfreq, Seq("tok"))
     val guardCap = saltedGuardCap(maxBucket, hotBucketSalt)
     val chk = prefDf
@@ -1217,8 +1260,14 @@ object SetSimJoin {
       hintA = fitsBroadcast, hintB = false)
     val candIds = branch1.unionByName(branch2)
       .dropDuplicates("a", "b")
-    val cand = candIds
-      .join(union.select(col("sid").as("a"), col("stoks").as("ta")), Seq("a"))
+    // tiny side hinted at BOTH fetch joins — the
+    // incrementalJaccardPairs rationale (stats-less candIds and its
+    // equally stats-less a-fetch intermediate made the planner shuffle
+    // the archive past the union's broadcast size; both are
+    // candidate-bounded)
+    val cand = broadcast(broadcast(candIds)
+        .join(union.select(col("sid").as("a"), col("stoks").as("ta")),
+          Seq("a")))
       .join(union.select(col("sid").as("b"), col("stoks").as("tb")), Seq("b"))
       .crossJoin(broadcast(chk))
     cand.select(col("a"), col("b"), col("na"),

@@ -342,10 +342,11 @@ class PlanSpec extends AnyFunSuite {
     // a batch-side broadcast join demoted to ShuffledHashJoin would
     // pass as long as SOME BHJ appeared elsewhere. The salted hot
     // branch is the ONLY legitimate SHJ source (one hinted join per
-    // saltedTokenJoin call), so bound the SHJ node count to that
-    // budget: any demotion adds an SHJ beyond it and fails here.
+    // saltedTokenJoin call: jaccard has one, containment one per
+    // candidate branch), so bound the SHJ node count to that budget:
+    // any demotion adds an SHJ beyond it and fails here.
     for ((name, saltedJoins) <- Seq(
-        "q_incremental_setsim" -> 1, "q_incremental_containment" -> 1)) {
+        "q_incremental_setsim" -> 1, "q_incremental_containment" -> 2)) {
       val s = planNoExec(name)
       assert(!s.contains("SortMergeJoin"),
         s"$name: batch-side broadcast hint lost — a join demoted to a " +

@@ -450,6 +450,22 @@ class Bm25Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("recompile"))
   }
 
+  test("compilePercolateTable: loud cap boundary — cap passes, cap+1 raises") {
+    val path = java.nio.file.Files.createTempDirectory("bm25_cap").toString
+    Bm25.saveIndex(fixture, path)
+    val idx = Bm25.loadIndex(spark, path)
+    def reg(n: Int) = (1 to n).map(i => (i.toLong, "a b"))
+      .toDF("query_id", "query_text")
+    // AT the cap: compiles (the cap is inclusive)
+    assert(Bm25.compilePercolateTable(idx, reg(5), maxQueries = 5)
+      .count() == 1L)
+    // cap+1: refuses loudly BEFORE any compile work, naming the bound
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.compilePercolateTable(idx, reg(6), maxQueries = 5)
+    }
+    assert(ex.getMessage.contains("1..5") && ex.getMessage.contains("6"))
+  }
+
   test("upgradePercolateTable: verified legacy == fresh compile; drift rejects") {
     val path = java.nio.file.Files.createTempDirectory("bm25_up").toString
     Bm25.saveIndex(fixture, path)
