@@ -21,12 +21,13 @@ import graft.operators.SetSimJoin
   *    task, whose candidate hash-dedup must materialize ~n²/2 pairs;
   *    at 4 GB this OOMs or crawls (run it under `timeout`).
   *
-  * Fixture: n docs of 10 tokens — unique u<id> + shared hotmark +
-  * f1..f8 — at threshold 0.85, so the 2-token prefix is {u<id>, one
-  * shared token} (hot bucket = n) while NO pair passes verification
-  * (jaccard 9/11 ≈ 0.818 < 0.85): the wall measures pure candidate
-  * machinery, not result I/O. Prints wall, result rows, and the max
-  * per-task peakExecutionMemory the run observed.
+  * Fixture: n docs of 10 tokens — value-first hot token "aaa" +
+  * unique "b<id>" + shared fillers — at threshold 0.85, so the
+  * 2-token prefix is {aaa, b<id>} (ONE hot bucket = the whole
+  * corpus) while NO pair passes verification (jaccard 9/11 ≈ 0.818 <
+  * 0.85): the wall measures pure candidate machinery, not result
+  * I/O. Prints wall, result rows, and the max per-task
+  * peakExecutionMemory the run observed.
   *
   * Usage: `ProfileSaltHeap <adaptive|off|unguarded> [nDocs] [op]`
   * with op ∈ jaccard|containment (default jaccard). Dev-only; the
@@ -41,10 +42,14 @@ import graft.operators.SetSimJoin
 object ProfileSaltHeap {
   def main(args: Array[String]): Unit = {
     val arm = args(0)
-    val n = if (args.length > 1) args(1).toInt else 20000
+    val n = if (args.length > 1) args(1).toInt else 8000
     val op = if (args.length > 2) args(2) else "jaccard"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // 8 threads per 4 GiB — a standard bounded-executor shape (a 32-
+    // thread local JVM at 4 GiB gives each task a 16 MB fair share,
+    // which models no real deployment); override with SPARK_GRAFT_CPUS
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -64,15 +69,30 @@ object ProfileSaltHeap {
         }
       })
 
+    // VALUE order decides prefixes: "aaa" sorts first (the planted hot
+    // token, in EVERY doc's 2-slot prefix → one bucket = the corpus),
+    // "b<id>" second (unique → singleton buckets), f-fillers never
+    // reach a prefix. Shared tokens = aaa + f1..f8 = 9 of 11 → jaccard
+    // 0.818 < 0.85 threshold, so candidate machinery runs in full but
+    // the result is empty — wall and memory measure the hot bucket,
+    // not result I/O.
     val fillers = (1 to 8).map(j => lit(s"f$j"))
     val docs = spark.range(n).select(col("id").as("doc_id"),
-      array(lit("hotmark") +:
-        concat(lit("u"), col("id").cast("string")) +:
+      array(lit("aaa") +:
+        concat(lit("b"), col("id").cast("string")) +:
         fillers: _*).as("toks"))
 
+    // maxBucket sizes the per-task candidate bound (maxBucket² rows
+    // through each task's join + partial-agg): 800² ≈ 640k candidates
+    // per task keeps 8 concurrent tasks inside a 4 GiB heap, which is
+    // exactly the knob a bounded-heap deployment turns. (First cut
+    // used 2000 at 32 threads → 4M-entry per-task agg maps × 32
+    // concurrent tasks OOMed the ADAPTIVE arm too — the bound must be
+    // chosen for heap ÷ concurrency, and the instrument now
+    // demonstrates the chosen bound holding.)
     val (maxBucket, salt) = arm match {
-      case "adaptive"  => (2000, -1) // salt cells ≈ (n/2000)², per-task ≤ 4M
-      case "off"       => (2000, 0)  // the loud tripwire at maxBucket
+      case "adaptive"  => (800, -1)  // s = ⌈(n/800)²⌉ ≤ 1024 up to n=25.6k
+      case "off"       => (800, 0)   // the loud tripwire at maxBucket
       case "unguarded" => (n + 1, 0) // admit the whole bucket unsalted
       case other => sys.error(s"unknown arm '$other'")
     }
