@@ -8,13 +8,14 @@ import scala.collection.concurrent.TrieMap
   * variance: runs jaccardPairs N times on the gate corpus and prints the
   * top stages by wall duration per iteration, to localize slow-iteration
   * stalls that query-level timing can't attribute.
-  * Usage: `ProfileSetSimStages <sfDir> [reps]`. Dev-only instrument.
+  * Usage: `ProfileSetSimStages <sfDir> [reps] [queryName]` (default
+  * q_setsim_join). Dev-only instrument.
   */
 object ProfileSetSimStages {
 
   private class StageMeter extends org.apache.spark.scheduler.SparkListener {
     case class S(name: String, ms: Long, tasks: Int, shufWriteMB: Double,
-                 gcMs: Long, cpuMs: Long, runMs: Long)
+                 gcMs: Long, cpuMs: Long, runMs: Long, where: String)
     val stages = TrieMap[Int, S]()
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -22,9 +23,11 @@ object ProfileSetSimStages {
       val wall = (for {a <- i.submissionTime; b <- i.completionTime}
         yield b - a).getOrElse(-1L)
       val m = i.taskMetrics
+      val where = i.details.linesIterator.toSeq.take(4)
+        .mkString(" | ").take(200)
       stages.put(i.stageId, S(i.name.takeWhile(_ != '\n').take(60), wall,
         i.numTasks, m.shuffleWriteMetrics.bytesWritten / 1048576.0,
-        m.jvmGCTime, m.executorCpuTime / 1000000L, m.executorRunTime))
+        m.jvmGCTime, m.executorCpuTime / 1000000L, m.executorRunTime, where))
     }
     def reset(): Unit = stages.clear()
   }
@@ -39,12 +42,15 @@ object ProfileSetSimStages {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("GRAFT_WSCG", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val meter = new StageMeter
     spark.sparkContext.addSparkListener(meter)
 
-    val fn = SparkEntry.queries("q_setsim_join")
+    val qname = if (args.length > 2) args(2) else "q_setsim_join"
+    val fn = SparkEntry.queries(qname)
     (1 to reps).foreach { i =>
       Thread.sleep(1500); meter.reset()
       val t0 = System.nanoTime()
@@ -56,7 +62,7 @@ object ProfileSetSimStages {
         case (id, s) =>
           println(f"  stage $id%4d ${s.ms}%7d ms tasks=${s.tasks}%3d " +
             f"shufW=${s.shufWriteMB}%7.1fMB gc=${s.gcMs}%5d cpu=${s.cpuMs}%7d " +
-            f"run=${s.runMs}%7d  ${s.name}")
+            f"run=${s.runMs}%7d  ${s.where}")
       }
     }
     spark.stop()

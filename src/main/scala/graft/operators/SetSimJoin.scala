@@ -143,10 +143,18 @@ object SetSimJoin {
     // lineage (tokenize/shingle/explode, often the most expensive part
     // of the query) runs twice (TimeQ-measured: the q_setsim_join gate
     // reads ~11.7 s warm without this cut, ~6 s with it).
+    // Filter AFTER the cut, never below it: `set` is a derived column,
+    // and a pre-cut filter gets predicate-pushed through the caller's
+    // repartition to the scan with the WHOLE derivation (tokenize +
+    // md5 shingle tower on the gate corpus) substituted into the
+    // predicate — stage-profiled at ~4-5 s of single-task interpreted
+    // HOF evaluation per run, re-deriving below the exchange what the
+    // post-exchange projection derives again 64-wide. Post-checkpoint
+    // the filter reads a materialized array's size: free.
     val sets = graft.plans.Lineage.cut(
       docs.select(col(idCol).as("sid"),
-        array_distinct(col(toksCol)).as("set"))
-      .filter(size(col("set")) >= 1))
+        array_distinct(col(toksCol)).as("set")))
+      .filter(size(col("set")) >= 1)
     val inst = sets.select(col("sid"), explode(col("set")).as("tok"))
     val dfreq = inst.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc tokens sorted by (df asc, tok asc): rarest first — the
@@ -285,10 +293,11 @@ object SetSimJoin {
                        hotBucketSalt: Int = -1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containmentPairs: threshold must be in (0,1], got $threshold")
+    // filter after the cut — the jaccardPairs pushed-predicate lesson
     val sets = graft.plans.Lineage.cut(
       docs.select(col(idCol).as("sid"),
-        array_distinct(col(toksCol)).as("set"))
-      .filter(size(col("set")) >= 1))
+        array_distinct(col(toksCol)).as("set")))
+      .filter(size(col("set")) >= 1)
     val inst = sets.select(col("sid"), explode(col("set")).as("tok"))
     val dfreq = inst.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = graft.plans.Lineage.cut(
@@ -407,13 +416,26 @@ object SetSimJoin {
     */
   private[graft] val SetsFormatStamp = "graft-setsim-v1;order=value"
 
-  /** (sid, stoks [value-sorted distinct tokens], n) — the stored shape. */
-  private def orderedSets(docs: DataFrame, idCol: String,
-                          toksCol: String): DataFrame =
+  /** (sid, stoks [value-sorted distinct tokens], n) — the stored shape,
+    * UNFILTERED: callers that cut the frame must filter `n >= 1` AFTER
+    * the boundary (a pre-cut filter on the derived array gets pushed
+    * to the caller's scan with the whole token derivation substituted
+    * into the predicate — the jaccardPairs pushed-predicate lesson).
+    */
+  private def orderedSetsRaw(docs: DataFrame, idCol: String,
+                             toksCol: String): DataFrame =
     docs.select(col(idCol).as("sid"),
         array_sort(array_distinct(col(toksCol))).as("stoks"))
-      .filter(size(col("stoks")) >= 1)
       .select(col("sid"), col("stoks"), size(col("stoks")).as("n"))
+
+  /** [[orderedSetsRaw]] with empty sets dropped — the save-path shape
+    * (one-time build; the double-evaluation a pushed derived-column
+    * predicate costs is paid once and amortized over every later
+    * audit).
+    */
+  private def orderedSets(docs: DataFrame, idCol: String,
+                          toksCol: String): DataFrame =
+    orderedSetsRaw(docs, idCol, toksCol).filter(col("n") >= 1)
 
   /** Persist the corpus' value-ordered sets under `path` — the
     * build-once state of the incremental near-dup audit (the
@@ -627,7 +649,7 @@ object SetSimJoin {
     val stored = loadSets(spark, path)
     requireDisjointIds(stored, newDocs, idCol, "incrementalJaccardPairs")
     val batch = graft.plans.Lineage.cut(
-      orderedSets(newDocs, idCol, toksCol))
+      orderedSetsRaw(newDocs, idCol, toksCol)).filter(col("n") >= 1)
     val union = graft.plans.Lineage.cut(stored.unionByName(batch))
     def prefixes(ranked: DataFrame) = ranked.select(col("sid"), col("n"),
       posexplode(slice(col("stoks"), lit(1),
@@ -1147,7 +1169,7 @@ object SetSimJoin {
     requireDisjointIds(stored0, newDocs, idCol, "incrementalContainmentPairs")
     val stored = graft.plans.Lineage.cut(stored0)
     val batch = graft.plans.Lineage.cut(
-      orderedSets(newDocs, idCol, toksCol))
+      orderedSetsRaw(newDocs, idCol, toksCol)).filter(col("n") >= 1)
     val union = graft.plans.Lineage.cut(stored.unionByName(batch))
     def prefixes(ranked: DataFrame) = ranked.select(col("sid"), col("n"),
       posexplode(slice(col("stoks"), lit(1),

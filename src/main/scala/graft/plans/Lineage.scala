@@ -115,7 +115,14 @@ object Lineage {
     */
   def cut(df: DataFrame,
           targetPartitionBytes: Long = DefaultTargetPartitionBytes,
-          maxPartitions: Int = 1 << 20): DataFrame =
-    df.coalesce(targetWidth(df, targetPartitionBytes, maxPartitions))
-      .localCheckpoint(false)
+          maxPartitions: Int = 1 << 20): DataFrame = {
+    val out = df.coalesce(targetWidth(df, targetPartitionBytes, maxPartitions))
+    // dev drill-down: GRAFT_CUT_EXPLAIN=1 prints the physical plan the
+    // checkpoint materialization will execute (the stage-attribution
+    // blind spot — checkpoint jobs never appear in the final plan)
+    if (sys.env.contains("GRAFT_CUT_EXPLAIN"))
+      println("[lineage-cut plan]\n" +
+        out.queryExecution.executedPlan.toString.take(4000))
+    out.localCheckpoint(false)
+  }
 }

@@ -736,7 +736,18 @@ object DedupSuite extends QuerySuite {
   private val setSimJoin = GraftQuery(
     "q_setsim_join",
     (s, d) => {
+      // repartition the SCAN itself: the parquet is one tiny file
+      // (≤2 splits), and every deterministic expression above a
+      // repartition — the clone regexp, tokens(), even the pushed
+      // size-filter — can end up evaluated on the narrow map side of
+      // the exchange, 2-wide while 30 cores idle (stage-profiled at
+      // ~4 s of the gate's ~5.5 s floor even WITH a post-union
+      // repartition). Widening the scan first makes everything
+      // downstream wide by construction. The exchange ships only raw
+      // text (~1 MB at sf0.1); at real scale the scan is already wide
+      // and the exchange stays proportionally free.
       val base = documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(2 * s.sparkContext.defaultParallelism)
       val corpus = base.unionByName(
         base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -746,14 +757,7 @@ object DedupSuite extends QuerySuite {
       // ~1e-7 collision chance at this scale, and every downstream
       // stage (df agg, rank sort, intersection) runs on longs instead
       // of 30-char strings.
-      // repartition BEFORE the md5 shingle transform: the scan is one
-      // tiny parquet file (≤2 splits), and without the exchange the
-      // CPU-dense per-5-gram md5 work runs 2-wide while 30 cores idle —
-      // stage-profiled at ~4 s of the gate's ~5.5 s floor. The exchange
-      // ships only raw text (~1 MB at sf0.1); at real scale the scan is
-      // already wide and the exchange stays proportionally free.
-      val wide = corpus.repartition(2 * s.sparkContext.defaultParallelism)
-      val sh = wide.select(col("doc_id"),
+      val sh = corpus.select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 5)
         .select(col("doc_id"),
