@@ -237,7 +237,10 @@ object Bench {
       s""""quiet":$allQuiet,"stealQuietThreshold":$quietThreshold,""" +
       s""""maxReps":$maxReps,""" +
       exhausted.map("\"" + _ + "\"").mkString(
-        "\"repsExhausted\":[", ",", "],") +
+        // same key spelling as the stdout artifact line below — two
+        // spellings made downstream adjudication tooling special-case
+        // the marker per emission (ADVICE r17)
+        "\"reps_exhausted\":[", ",", "],") +
       s""""control":$control,"queryQuiet":$qq,"reps":$repJson}"""
     val evPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVIDENCE",
       "bench_evidence.json")

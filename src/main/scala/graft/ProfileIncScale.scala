@@ -180,8 +180,22 @@ object ProfileIncScale {
         spark.conf.set(coalesceKey, "false")
         try {
           val txt = copies(k).localCheckpoint(true)
-          SetSimJoin.saveSets(shingled(txt), "doc_id", "shingles", path)
+          // tmp-build + rename (the DedupSuite.stagedSetsPath
+          // convention, ADVICE r17): a build killed mid-write at the
+          // FINAL path can leave part-files that all carry a valid
+          // stamp, so loadSets succeeds and later runs silently adopt
+          // a partial archive — corrupting the very scaling curve this
+          // instrument exists to measure. The rename is metadata-only.
+          val tmp = path + "_build_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          SetSimJoin.saveSets(shingled(txt), "doc_id", "shingles", tmp)
           txt.unpersist()
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)) ||
+              !fs.rename(new org.apache.hadoop.fs.Path(tmp),
+                new org.apache.hadoop.fs.Path(path))) {
+            fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+            SetSimJoin.loadSets(spark, path)
+          }
         } finally spark.conf.set(coalesceKey, prev)
         println(f"[staging] built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }

@@ -53,7 +53,26 @@ object GateStates {
     * concurrent winner is touched by its first reuse too.
     */
   def touch(path: String): Unit = {
-    new java.io.File(path).setLastModified(System.currentTimeMillis())
+    val ok = new java.io.File(path)
+      .setLastModified(System.currentTimeMillis())
+    if (!ok) {
+      // setLastModified can fail (permissions, some network mounts);
+      // silently ignoring it would let prune() GC a LIVE store a
+      // concurrent reader is mid-scan on (ADVICE r17). Fallback: cycle
+      // a `_`-prefixed sidecar entry — creating/deleting a directory
+      // ENTRY bumps the dir mtime even where setting it directly is
+      // refused, and Spark's parquet reader ignores `_` files.
+      try {
+        val side = java.nio.file.Paths.get(path, "_touch")
+        java.nio.file.Files.deleteIfExists(side)
+        java.nio.file.Files.write(side, Array.emptyByteArray)
+        ()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[gate-states] touch($path) failed " +
+          s"(setLastModified refused, sidecar write: $e) — the store " +
+          "may age out under prune() while still live")
+      }
+    }
     ()
   }
 
