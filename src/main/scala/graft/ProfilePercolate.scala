@@ -101,6 +101,50 @@ object ProfilePercolate {
       scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).map(_.split("\\s+")(8).toLong)
         .getOrElse(0L)
+
+    // GRAFT_PERC_AB=1: the r18 root-cause drill-down for the measured
+    // linear-in-registry probe cost. Three arms isolate WHERE the
+    // linear term lives:
+    //  (a) codegen-touch: a pure-codegen expression reads qmap after
+    //      the ×1-row join — if flat in registry size, the join itself
+    //      and broadcast-value ACCESS are innocent;
+    //  (b) fallback-touch: a trivial HOF (CodegenFallback) reads only
+    //      the ≤1024 outer map keys — probe work is O(B), so if this
+    //      arm is ~linear in registry size the cost is the WSCG stage
+    //      BOUNDARY below the interpreted projection (the stage must
+    //      emit full UnsafeRows, copying the whole qmap per doc row),
+    //      not the probing;
+    //  (c) hof-fold-real: the retained pre-r18 HOF fold
+    //      (percolateJoinHof) — the before side of the kernel A/B; the
+    //      headline scoreReps below run the shipped codegen kernel.
+    if (sys.env.contains("GRAFT_PERC_AB")) {
+      def rep(label: String)(body: => Long): Unit = (1 to 2).foreach { i =>
+        val s0 = steal(); val t = System.nanoTime()
+        val n = body
+        println(f"AB $label rep$i ${(System.nanoTime() - t) / 1e9}%.2f s " +
+          f"(n=$n, stealTicks=${steal() - s0})")
+      }
+      val shTk = sh.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      rep("codegen-touch ") {
+        shTk.crossJoin(broadcast(compiled))
+          .select(col("doc_id"),
+            (size(col("tk")) + size(map_keys(col("qmap")))).as("nm"))
+          .agg(sum(col("nm"))).head().getLong(0)
+      }
+      rep("fallback-touch") {
+        shTk.crossJoin(broadcast(compiled))
+          .select(col("doc_id"),
+            (size(col("tk")) + size(filter(map_keys(col("qmap")),
+              k => k >= 0))).as("nm"))
+          .agg(sum(col("nm"))).head().getLong(0)
+      }
+      rep("hof-fold-real ") {
+        graft.operators.Bm25.percolateJoinHof(sh, compiled,
+          threshold = 5.0).count()
+      }
+    }
+
     var alerts = 0L
     var scoreSec = Double.MaxValue
     (1 to 3).foreach { i =>

@@ -562,6 +562,21 @@ object Bm25 {
   def compilePercolateTable(index: Bm25Index, queries: DataFrame,
                             maxQueries: Long = 1000000L,
                             maxTermsPerQuery: Int = 64): DataFrame = {
+    val (post, avgdl, fp) =
+      guardedPercolatePostings(index, queries, maxQueries, maxTermsPerQuery)
+    foldPercolate(post, avgdl, fp)
+  }
+
+  /** Shared front half of the percolate compiles: the null/duplicate/
+    * empty/terms-cap guards plus the (query_id, tok, idf) postings
+    * against the index's frozen statistics — everything except the
+    * final map fold, which differs between the one-row and the sharded
+    * layouts.
+    */
+  private def guardedPercolatePostings(index: Bm25Index, queries: DataFrame,
+                                       maxQueries: Long,
+                                       maxTermsPerQuery: Int)
+      : (DataFrame, Double, String) = {
     val qn = queries.limit((math.min(maxQueries, Int.MaxValue - 1L) + 1L)
       .toInt).count()
     require(qn > 0 && qn <= maxQueries,
@@ -607,11 +622,10 @@ object Bm25 {
       s"compilePercolateTable: query ${worst.getLong(1)} has " +
       s"${worst.getLong(0)} terms > $maxTermsPerQuery; tighten the query " +
       "or raise the cap")
-    foldPercolate(
-      qt.join(index.dfreq, Seq("tok"), "left")
-        .select(col("query_id"), col("tok"),
-          idf(lit(n), coalesce(col("df"), lit(0L))).as("idf")),
-      avgdl, statsFingerprint(index, n, stats.getLong(1)))
+    (qt.join(index.dfreq, Seq("tok"), "left")
+       .select(col("query_id"), col("tok"),
+         idf(lit(n), coalesce(col("df"), lit(0L))).as("idf")),
+     avgdl, statsFingerprint(index, n, stats.getLong(1)))
   }
 
   /** Content fingerprint of the index statistics a registry was
@@ -641,7 +655,11 @@ object Bm25 {
       .groupBy("tok").agg(sort_array(collect_list(col("e"))).as("entries"))
       .groupBy(pmod(xxhash64(col("tok")), lit(PercolateBuckets.toLong))
         .cast("int").as("bucket"))
-      .agg(map_from_entries(collect_list(struct(col("tok"), col("entries"))))
+      // inner entries TOK-SORTED (binary UTF8 order) — registry layout
+      // v2: [[graft.functions.PercolateAlerts]] binary-searches these
+      // at probe time instead of Catalyst's linear element_at scan
+      .agg(map_from_entries(
+          array_sort(collect_list(struct(col("tok"), col("entries")))))
         .as("inner"))
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("inner"))))
         .as("qmap"))
@@ -655,7 +673,7 @@ object Bm25 {
     * than probe the wrong cells).
     */
   private[graft] val PercolateFormatStamp =
-    s"graft-bm25perc-v1;buckets=$PercolateBuckets"
+    s"graft-bm25perc-v2;buckets=$PercolateBuckets;inner=tok-sorted"
 
   /** Persist a compiled percolate registry under `path` — the alert
     * list compiles once (tokenize + idf join + caps + radix fold) and
@@ -698,6 +716,132 @@ object Bm25 {
       s"stored percolate registry at $path is not exactly one row — " +
       "partially written; recompile and re-save")
     df.drop("registry_format")
+  }
+
+  // ---- sharded percolate registries (round 18) -----------------------
+  //
+  // One compiled registry row is the right shape up to Spark's
+  // broadcast ceiling, but a 10⁶-query decontamination list compiles
+  // to a GB-scale single row: the ×1 broadcast then needs a
+  // comparably-sized driver at probe time (measured: 48 g for the
+  // 945k-query registry, BASELINE.md round 17) and ultimately hits the
+  // 8 GB broadcast hard limit. Sharding by query id splits the SAME
+  // registry into R independent one-row registries — alerts are
+  // per-query, so the union of per-shard probes IS the unsharded
+  // answer (spec-pinned) — and the probe runs them as R sequential
+  // jobs so the driver only ever holds ~one shard's broadcast.
+
+  /** Compile a large registry into `shards` independent radix maps —
+    * one row per non-empty shard: (shard, qmap, avgdl, stats_fp). Same
+    * guards, postings, and per-shard map layout as
+    * [[compilePercolateTable]] (a shard is a valid one-row registry in
+    * its own right); shard assignment is `pmod(xxhash64(query_id), R)`,
+    * deterministic in the query id. The fold is fully distributed —
+    * driver memory is O(1) here regardless of registry size.
+    */
+  def compileShardedPercolateTable(index: Bm25Index, queries: DataFrame,
+                                   shards: Int,
+                                   maxQueries: Long = 10000000L,
+                                   maxTermsPerQuery: Int = 64): DataFrame = {
+    require(shards >= 1 && shards <= 4096,
+      s"compileShardedPercolateTable: shards must be in [1, 4096], " +
+      s"got $shards")
+    val (post, avgdl, fp) =
+      guardedPercolatePostings(index, queries, maxQueries, maxTermsPerQuery)
+    post
+      .withColumn("shard",
+        pmod(xxhash64(col("query_id")), lit(shards.toLong)).cast("int"))
+      .select(col("shard"), col("tok"),
+        struct(col("query_id"), col("idf")).as("e"))
+      .groupBy("shard", "tok")
+      .agg(sort_array(collect_list(col("e"))).as("entries"))
+      .groupBy(col("shard"),
+        pmod(xxhash64(col("tok")), lit(PercolateBuckets.toLong))
+          .cast("int").as("bucket"))
+      .agg(map_from_entries(
+          array_sort(collect_list(struct(col("tok"), col("entries")))))
+        .as("inner"))
+      .groupBy("shard")
+      .agg(map_from_entries(
+          collect_list(struct(col("bucket"), col("inner")))).as("qmap"))
+      .select(col("shard"), col("qmap"), lit(avgdl).as("avgdl"),
+        lit(fp).as("stats_fp"))
+  }
+
+  private[graft] val ShardedPercolateFormatStamp =
+    s"graft-bm25percsh-v1;buckets=$PercolateBuckets;inner=tok-sorted"
+
+  /** Persist a sharded registry (R rows, ~registry/R bytes each — no
+    * GB-scale single parquet row, and a probing process can load it
+    * without ever materializing the whole registry in one task).
+    */
+  def saveShardedPercolateTable(compiled: DataFrame, path: String): Unit = {
+    require(Seq("shard", "qmap", "avgdl", "stats_fp")
+        .forall(compiled.columns.contains),
+      "saveShardedPercolateTable: frame lacks shard/qmap/avgdl/stats_fp " +
+      "— not a compileShardedPercolateTable output")
+    compiled.select(col("shard"), col("qmap"), col("avgdl"),
+        col("stats_fp"))
+      .withColumn("registry_format", lit(ShardedPercolateFormatStamp))
+      .repartition(col("shard"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadShardedPercolateTable(spark: org.apache.spark.sql.SparkSession,
+                                path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("registry_format"),
+      s"stored sharded percolate registry at $path has no " +
+      "registry_format column — not a saveShardedPercolateTable table")
+    val stamps = df.select(col("registry_format")).distinct().limit(2)
+      .collect().map(_.getString(0))
+    require(stamps.length == 1 && stamps.head == ShardedPercolateFormatStamp,
+      s"stored sharded percolate registry at $path has layout " +
+      s"'${stamps.mkString(",")}', this build reads " +
+      s"'$ShardedPercolateFormatStamp' — recompile and re-save")
+    val dup = df.groupBy("shard").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(dup == 0L,
+      s"stored sharded percolate registry at $path has duplicate shard " +
+      "rows — partially written; recompile and re-save")
+    df.drop("registry_format")
+  }
+
+  /** Percolate `docs` against a SHARDED registry: one
+    * [[percolateJoin]] per shard row, executed EAGERLY as sequential
+    * jobs (each shard's small alert output is pinned via
+    * localCheckpoint, truncating the plan so the shard's broadcast is
+    * unreferenced — the driver holds ~one shard's map at a time
+    * instead of the whole registry), then the union of the per-shard
+    * alerts. Bit-identical to the unsharded probe at any shard count
+    * (spec-pinned): shards partition the query ids, and alerts are
+    * per-query independent.
+    *
+    * Eager + batch-only by design (a streaming caller runs R
+    * independent [[percolateJoin]] streams instead — each shard row IS
+    * a valid one-row registry).
+    */
+  def shardedPercolateJoin(docs: DataFrame, sharded: DataFrame,
+                           threshold: Double,
+                           k1: Double = 1.2, b: Double = 0.75,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(!docs.isStreaming,
+      "shardedPercolateJoin is batch-only (eager per-shard jobs); run " +
+      "one percolateJoin stream per shard row for streaming docs")
+    require(threshold > 0.0,
+      s"shardedPercolateJoin: threshold must be > 0 (got $threshold)")
+    val shardIds = sharded.select(col("shard").cast("int"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    require(shardIds.nonEmpty,
+      "shardedPercolateJoin: registry has no shard rows")
+    shardIds.toSeq.map { sid =>
+      percolateJoin(docs,
+        sharded.filter(col("shard") === sid)
+          .select(col("qmap"), col("avgdl"), col("stats_fp")),
+        threshold, k1, b, idCol, textCol)
+        .localCheckpoint(true)
+    }.reduce(_ unionByName _)
   }
 
   /** Explode a compiled percolate registry back into its
@@ -908,6 +1052,50 @@ object Bm25 {
   }
 
   def percolateJoin(docs: DataFrame, compiled: DataFrame,
+                    threshold: Double, k1: Double = 1.2, b: Double = 0.75,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0,
+      s"percolateJoin: threshold must be > 0 (got $threshold)")
+    require(graft.functions.PercolateAlerts.Buckets == PercolateBuckets,
+      "percolate kernel bucket constant drifted from the compile fold's")
+    // r18: the probe/fold is ONE codegen'd Catalyst expression
+    // ([[graft.functions.PercolateAlerts]]) instead of a tower of
+    // higher-order functions. Same plan shape (scan → project → ×1-row
+    // broadcast join → project → generate), same bit-exact scores
+    // (spec-pinned against both the HOF fold and the plan-literal
+    // path) — but the whole stage now FUSES into whole-stage codegen,
+    // which kills the two linear-in-registry cost terms the r17
+    // cap-scale run measured (4,000 → 58 docs/s at 79k → 945k
+    // queries): the CodegenFallback boundary that copied the full
+    // qmap into an UnsafeRow per document, and the linear element_at
+    // map scans (now a per-doc bucket index + binary search over the
+    // v2 tok-sorted inner maps). The expression thresholds in-row, so
+    // the emitted rows ARE the alerts.
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .crossJoin(broadcast(compiled))
+      // alerts materialize in a PROJECT below the explode — putting the
+      // kernel inside the Generate node itself (what select(explode(…))
+      // analyzes to) would leave qmap crossing the codegen→Generate
+      // boundary as a full per-row UnsafeRow copy whenever GenerateExec
+      // stays outside whole-stage codegen; this way the stage boundary
+      // carries only (doc_id, alert list)
+      .select(col("doc_id"),
+        graft.functions.PercolateAlerts.alerts(
+          col("tk"), col("qmap"), col("avgdl"), k1, b, threshold).as("al"))
+      .select(col("doc_id"), explode(col("al")).as("e"))
+      .select(col("e.query_id").as("query_id"), col("doc_id"),
+        col("e.score").as("score"))
+  }
+
+  /** The pre-r18 higher-order-function probe/fold — kept (dev-only) as
+    * the parity oracle for [[graft.functions.PercolateAlerts]] and the
+    * A/B arm in ProfilePercolate. Linear in registry size per document
+    * (BASELINE.md round 17/18); do not ship new callers.
+    */
+  private[graft] def percolateJoinHof(docs: DataFrame, compiled: DataFrame,
                     threshold: Double, k1: Double = 1.2, b: Double = 0.75,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {

@@ -407,39 +407,11 @@ object TextMiningSuite extends QuerySuite {
   // ×1-row broadcast (PercolateJoinSpec pins the plan and literal-path
   // bit-equality). The oracle replays everything: shingling, frozen
   // index stats, idf, the token-ordered matched-terms fold, threshold.
-  private val percolateRegistry = GraftQuery(
-    "q_percolate_registry",
-    (s, d) => {
-      val path = s"${GateStates.dir}/" +
-        s"bm25reg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      // repartition BEFORE the md5-shingle transform (the r13
-      // narrow-scan lesson: one tiny parquet file = 2 splits, so the
-      // CPU-dense per-5-gram md5 work otherwise runs 2-wide), and CUT:
-      // `sh` feeds THREE consumers (the index build, the registry
-      // derivation, and the probe side) — without the boundary the
-      // shingling runs three times (TimeQ-measured: 17.3 s warm floor
-      // without, 6.3 s with)
-      val sh = graft.plans.Lineage.cut(documents(s, d)
-        .repartition(2 * s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 5)
-        .select(col("doc_id"),
-          concat_ws(" ", transform(sequence(lit(1), size(col("tk")) - 4),
-            g => substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
-              1, 15))).as("text")))
-      graft.operators.Bm25.saveIndex(sh, path)
-      val reg = sh.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("query_id"),
-          TextFunctions.tokens(col("text")).as("stk"))
-        .filter(size(col("stk")) >= 8)
-        .select(col("query_id"),
-          concat_ws(" ", slice(col("stk"), 3, 6)).as("query_text"))
-      val compiled = graft.operators.Bm25.compilePercolateTable(
-        graft.operators.Bm25.loadIndex(s, path), reg)
-      graft.operators.Bm25.percolateJoin(sh, compiled, threshold = 5.0)
-        .orderBy(asc("query_id"), asc("doc_id"))
-    },
-    Some(s"""WITH tk AS (
+  /** One SQL replay shared by the four percolate gates (registry /
+    * store / sharded / upgrade): the registry ARTIFACT differs per
+    * gate, the alert semantics must not.
+    */
+  private val percolateReplaySql = s"""WITH tk AS (
                SELECT doc_id, $toksSql AS tk FROM documents
                WHERE len($toksSql) >= 5),
              sh AS (
@@ -472,7 +444,65 @@ object TextMiningSuite extends QuerySuite {
                  ROUND(list_sum(list(s ORDER BY tok)), 6) AS score
                FROM scored GROUP BY 1, 2)
              SELECT query_id, doc_id, score FROM perdoc
-             WHERE score >= 5.0 ORDER BY query_id, doc_id"""),
+             WHERE score >= 5.0 ORDER BY query_id, doc_id"""
+
+  /** The percolate gates' shared corpus shape: md5 5-gram shingles,
+    * repartitioned before the CPU-dense transform (r13 narrow-scan
+    * lesson) and CUT once — `sh` feeds the index build, the registry
+    * derivation, and the probe side.
+    */
+  private def percolateShingled(s: org.apache.spark.sql.SparkSession,
+                                d: String) =
+    graft.plans.Lineage.cut(documents(s, d)
+      .repartition(2 * s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), size(col("tk")) - 4),
+          g => substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+            1, 15))).as("text")))
+
+  private def percolateRegQueries(sh: org.apache.spark.sql.DataFrame) =
+    sh.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("query_id"),
+        TextFunctions.tokens(col("text")).as("stk"))
+      .filter(size(col("stk")) >= 8)
+      .select(col("query_id"),
+        concat_ws(" ", slice(col("stk"), 3, 6)).as("query_text"))
+
+  private val percolateRegistry = GraftQuery(
+    "q_percolate_registry",
+    (s, d) => {
+      val path = s"${GateStates.dir}/" +
+        s"bm25reg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      // repartition BEFORE the md5-shingle transform (the r13
+      // narrow-scan lesson: one tiny parquet file = 2 splits, so the
+      // CPU-dense per-5-gram md5 work otherwise runs 2-wide), and CUT:
+      // `sh` feeds THREE consumers (the index build, the registry
+      // derivation, and the probe side) — without the boundary the
+      // shingling runs three times (TimeQ-measured: 17.3 s warm floor
+      // without, 6.3 s with)
+      val sh = graft.plans.Lineage.cut(documents(s, d)
+        .repartition(2 * s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), size(col("tk")) - 4),
+            g => substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15))).as("text")))
+      graft.operators.Bm25.saveIndex(sh, path)
+      val reg = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("query_id"),
+          TextFunctions.tokens(col("text")).as("stk"))
+        .filter(size(col("stk")) >= 8)
+        .select(col("query_id"),
+          concat_ws(" ", slice(col("stk"), 3, 6)).as("query_text"))
+      val compiled = graft.operators.Bm25.compilePercolateTable(
+        graft.operators.Bm25.loadIndex(s, path), reg)
+      graft.operators.Bm25.percolateJoin(sh, compiled, threshold = 5.0)
+        .orderBy(asc("query_id"), asc("doc_id"))
+    },
+    Some(percolateReplaySql),
     // headline since r14: the radix-bucket probe's 13× win
     // (BASELINE round 13) is regression-guarded by the bench
     headline = true)
@@ -522,40 +552,63 @@ object TextMiningSuite extends QuerySuite {
           threshold = 5.0)
         .orderBy(asc("query_id"), asc("doc_id"))
     },
-    Some(s"""WITH tk AS (
-               SELECT doc_id, $toksSql AS tk FROM documents
-               WHERE len($toksSql) >= 5),
-             sh AS (
-               SELECT doc_id, list_transform(generate_series(1, len(tk) - 4),
-                 g -> substr(md5(array_to_string(
-                   list_slice(tk, g, g + 4), ' ')), 1, 15)) AS stk
-               FROM tk),
-             inst AS (SELECT doc_id, unnest(stk) AS tok FROM sh),
-             tf AS (
-               SELECT doc_id, tok, COUNT(*) AS tf FROM inst GROUP BY 1, 2),
-             dl AS (SELECT doc_id, len(stk) AS dl FROM sh),
-             dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-             stats AS (
-               SELECT COUNT(*) AS n, SUM(len(stk)) AS sum_dl FROM sh),
-             reg AS (
-               SELECT doc_id AS query_id,
-                 list_distinct(list_slice(stk, 3, 8)) AS qts
-               FROM sh WHERE doc_id % 10 = 0 AND len(stk) >= 8),
-             qt AS (SELECT query_id, unnest(qts) AS tok FROM reg),
-             scored AS (
-               SELECT qt.query_id, tf.doc_id, tf.tok,
-                 ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
-                 (tf.tf * (1.2 + 1.0)) /
-                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
-                   (CAST(stats.sum_dl AS DOUBLE) / stats.n))) AS s
-               FROM tf JOIN qt USING (tok) JOIN dfreq USING (tok)
-               JOIN dl USING (doc_id) CROSS JOIN stats),
-             perdoc AS (
-               SELECT query_id, doc_id,
-                 ROUND(list_sum(list(s ORDER BY tok)), 6) AS score
-               FROM scored GROUP BY 1, 2)
-             SELECT query_id, doc_id, score FROM perdoc
-             WHERE score >= 5.0 ORDER BY query_id, doc_id"""))
+    Some(percolateReplaySql))
+
+  // ---- sharded percolate registry (round 18): the same registry split
+  // into R = 8 independent one-row registries by query-id hash
+  // (compileShardedPercolateTable), probed through the full sharded
+  // store lifecycle (save → stamp-checked load → shardedPercolateJoin's
+  // sequential per-shard jobs). Alerts are per-query independent, so
+  // the union must hash-match the SAME unsharded SQL replay — a shard
+  // assignment that lost, duplicated, or cross-contaminated a query
+  // fails on values. This is the bounded-driver path for registries
+  // past the one-row broadcast's comfort zone (BASELINE.md round 17/18:
+  // the 945k-query row needed a 48 g driver; sharded probes hold ~one
+  // shard's map at a time).
+  private val percolateSharded = GraftQuery(
+    "q_percolate_sharded",
+    (s, d) => {
+      val path = s"${GateStates.dir}/" +
+        s"bm25regsh_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val sh = percolateShingled(s, d)
+      graft.operators.Bm25.saveIndex(sh, s"$path/index")
+      val idx = graft.operators.Bm25.loadIndex(s, s"$path/index")
+      graft.operators.Bm25.saveShardedPercolateTable(
+        graft.operators.Bm25.compileShardedPercolateTable(idx,
+          percolateRegQueries(sh), shards = 8),
+        s"$path/store")
+      graft.operators.Bm25.shardedPercolateJoin(sh,
+          graft.operators.Bm25.loadShardedPercolateTable(s, s"$path/store"),
+          threshold = 5.0)
+        .orderBy(asc("query_id"), asc("doc_id"))
+    },
+    Some(percolateReplaySql))
+
+  // ---- legacy registry upgrade (round 18, VERDICT r17 #6): a
+  // pre-stats_fp registry frame goes through upgradePercolateTable's
+  // verify-then-stamp path (every baked idf recomputed from the index's
+  // dfreq, avgdl from the stats table) and the UPGRADED registry
+  // percolates the corpus — alerts must hash-match the same SQL replay
+  // as a fresh compile, so an upgrade that perturbed any posting or
+  // mis-stamped the fold fails on values across all three SFs.
+  private val percolateUpgrade = GraftQuery(
+    "q_percolate_upgrade",
+    (s, d) => {
+      val path = s"${GateStates.dir}/" +
+        s"bm25regup_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val sh = percolateShingled(s, d)
+      graft.operators.Bm25.saveIndex(sh, s"$path/index")
+      val idx = graft.operators.Bm25.loadIndex(s, s"$path/index")
+      // a faithful legacy artifact: same compiled postings, no stats
+      // fingerprint column (what pre-r16 builds persisted)
+      val legacy = graft.operators.Bm25
+        .compilePercolateTable(idx, percolateRegQueries(sh))
+        .drop("stats_fp")
+      val upgraded = graft.operators.Bm25.upgradePercolateTable(idx, legacy)
+      graft.operators.Bm25.percolateJoin(sh, upgraded, threshold = 5.0)
+        .orderBy(asc("query_id"), asc("doc_id"))
+    },
+    Some(percolateReplaySql))
 
   // ---- hybrid retrieval: BM25 ⊕ dense cosine via RRF ------------------
   // The standard two-tower production shape: sparse (BM25 over
@@ -702,5 +755,6 @@ object TextMiningSuite extends QuerySuite {
   override val queries: Seq[GraftQuery] =
     Seq(tfidf, piiRedact, dedupClusters, fuzzyMatch, clusterKeep, bm25,
         bm25Stored, bm25Appended, streamPercolate, percolateRegistry,
-        percolateStore, hybridRetrieval, htmlExtract)
+        percolateStore, percolateSharded, percolateUpgrade,
+        hybridRetrieval, htmlExtract)
 }
