@@ -222,6 +222,43 @@ object ProfileIncScale {
       }
     }
 
+    // GRAFT_INC_BIGBATCH=<C[,C2,...]>: the r18 large-batch arm
+    // (VERDICT r17 #2 / ADVICE r17 medium) — C nearmark clones of
+    // EVERY archive doc as one batch, so the audit's candidate set is
+    // ~C(C+1)/2 pairs per source: candidate volume grows quadratically
+    // in C while the batch grows linearly, the exact high-duplication
+    // regime where the r17 unconditional fetch broadcast would have
+    // collected pairs × token arrays driver-side (past C≈30 on the
+    // sf0.1 store that broadcast exceeds Spark's 8 GB hard limit).
+    // Escalation coverage against the measured fetch ladder: a
+    // moderate C exceeds the ARRAY ceiling (ids-only broadcast +
+    // regroup), a large C exceeds the id ceiling too (Bloom-pruned
+    // shuffle). Run on the DEFAULT 8 g driver (GRAFT_XMX=8g): done =
+    // completes, wall ∝ candidate volume, exchange candidate-bounded,
+    // zero driver blowup.
+    sys.env.get("GRAFT_INC_BIGBATCH").foreach { cs =>
+      for (c <- cs.split(',').map(_.trim.toInt)) {
+        val big = shingled(
+          copyAt(0).crossJoin(spark.range(c).toDF("cl"))
+            .select((col("doc_id") + lit(9000000000L) +
+                col("cl") * 100000000L).as("doc_id"),
+              regexp_replace(col("text"), lit("^\\S+"),
+                concat(lit("nearmark"), col("cl"))).as("text")))
+          .localCheckpoint(true)
+        println(s"[bigbatch] batch rows = ${big.count()} (C=$c clones " +
+          "of every archive doc)")
+        time(f"BIGBATCH inc-jaccard C=$c%d") {
+          SetSimJoin.incrementalJaccardPairs(spark, storePath, big,
+            "doc_id", "shingles", threshold = 0.8)
+        }
+        time(f"BIGBATCH inc-contain C=$c%d") {
+          SetSimJoin.incrementalContainmentPairs(spark, storePath, big,
+            "doc_id", "shingles", threshold = 0.8)
+        }
+        big.unpersist()
+      }
+    }
+
     // GRAFT_INC_EXPLAIN=<factor>: dump the AQE final plan of one
     // inc-jaccard probe at that archive factor and exit (dev drill-down)
     sys.env.get("GRAFT_INC_EXPLAIN").foreach { f =>

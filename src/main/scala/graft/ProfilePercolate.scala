@@ -145,6 +145,38 @@ object ProfilePercolate {
       }
     }
 
+    // GRAFT_PERC_DOCSCALE=<f1,f2,...>: VERDICT r17 #5 — scale the
+    // DOCUMENT side at fixed registry. Tagged copy j > 0 suffixes
+    // every shingle _j, so no copy-j token matches a registry term:
+    // alert volume stays exactly copy-0's while probe work scales
+    // with docs. The probe is corpus-scan × broadcast registry with
+    // no exchange before the sink, so wall must be ∝ docs (docs/sec
+    // flat in the factor); a superlinear reading here would name a
+    // per-partition or accumulation pathology the registry arm
+    // cannot see.
+    sys.env.get("GRAFT_PERC_DOCSCALE").foreach { fs =>
+      for (f <- fs.split(',').map(_.trim.toInt)) {
+        val docsF = sh.crossJoin(spark.range(f).toDF("j"))
+          .select((col("doc_id") + col("j") * 1000000000L).as("doc_id"),
+            when(col("j") === 0, col("text"))
+              .otherwise(concat_ws(" ",
+                transform(split(col("text"), " "),
+                  t => concat(t, lit("_"), col("j"))))).as("text"))
+          .localCheckpoint(true)
+        val nF = docsF.count()
+        (1 to 2).foreach { i =>
+          val s0 = steal(); val t = System.nanoTime()
+          val a = graft.operators.Bm25.percolateJoin(docsF, compiled,
+            threshold = 5.0).count()
+          val sec = (System.nanoTime() - t) / 1e9
+          println(f"DOCSCALE f=$f%-3d rep$i docs=$nF%d $sec%.2f s " +
+            f"(${nF / sec}%.0f docs/s, alerts=$a, " +
+            f"stealTicks=${steal() - s0})")
+        }
+        docsF.unpersist()
+      }
+    }
+
     var alerts = 0L
     var scoreSec = Double.MaxValue
     (1 to 3).foreach { i =>

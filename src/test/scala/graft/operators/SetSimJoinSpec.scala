@@ -414,6 +414,99 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(incC.nonEmpty)
   }
 
+  test("salt events are OBSERVABLE without the abort (VERDICT r17 #4)") {
+    // hotCorpus(40) at t=0.8: each 10-token doc exposes its 3 rarest
+    // prefix tokens (u$i df=1, then f1, f2 at df=40 by tok-asc tie) —
+    // so exactly TWO buckets exceed maxBucket=10, both of population 40
+    val rows = hotCorpus(40)
+    val df = SetSimJoin.jaccardPairs(toks(rows), "doc_id", "toks",
+      threshold = 0.8, maxBucket = 10, observeSalt = Some("salt_probe"))
+    // collect() on THIS handle: .as[...] would build a fresh
+    // QueryExecution and the original's metrics would read un-executed
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == brute(rows, 0.8), "observation changed the output")
+    val m = df.queryExecution.observedMetrics("salt_probe")
+    assert(m.getAs[Long]("salted_buckets") == 2L, m.toString)
+    assert(m.getAs[Long]("max_bucket") == 40L, m.toString)
+    // cold corpus: zero salt events, same metric channel (one
+    // duplicate pair keeps the output non-empty — an all-empty result
+    // lets AQE empty-relation propagation prune the guard subtree and
+    // no metric is observed, the documented caveat)
+    val cold = (0 until 8).map(i =>
+      i.toLong -> (1 to 10).map(j => s"t${i}_$j").mkString(" ")) ++
+      Seq(100L -> (1 to 10).map(j => s"t0_$j").mkString(" "))
+    val dfC = SetSimJoin.jaccardPairs(toks(cold), "doc_id", "toks",
+      threshold = 0.8, maxBucket = 10, observeSalt = Some("salt_cold"))
+    assert(dfC.collect().nonEmpty)
+    val mC = dfC.queryExecution.observedMetrics("salt_cold")
+    assert(mC.getAs[Long]("salted_buckets") == 0L)
+    // incremental audit: the metric covers BATCH-RELEVANT buckets (the
+    // documented tripwire scope) — a batch sharing the hot fillers
+    // observes them
+    val path = java.nio.file.Files.createTempDirectory("setsim_obs")
+      .toString
+    SetSimJoin.saveSets(toks(rows), "doc_id", "toks", path)
+    val batch = Seq(5000L -> ("hotmark w0 " +
+      (1 to 8).map(j => s"f$j").mkString(" ")))
+    val dfI = SetSimJoin.incrementalJaccardPairs(spark, path, toks(batch),
+      "doc_id", "toks", 0.8, maxBucket = 10,
+      observeSalt = Some("salt_inc"))
+    dfI.collect()
+    val mI = dfI.queryExecution.observedMetrics("salt_inc")
+    assert(mI.getAs[Long]("salted_buckets") >= 2L, mI.toString)
+    assert(mI.getAs[Long]("max_bucket") == 41L, mI.toString)
+  }
+
+  test("fetch hints are size-conditioned: equality when candidates " +
+      "exceed the broadcast threshold (VERDICT r17 #2)") {
+    val stored = hotCorpus(25)
+    val batch = (0 until 15).map(i =>
+      (2000L + i) -> (s"hotmark v$i " + (1 to 8).map(j => s"f$j")
+        .mkString(" ")))
+    val all = stored ++ batch
+    val batchIds = batch.map(_._1).toSet
+    val path = java.nio.file.Files.createTempDirectory("setsim_cfit")
+      .toString
+    SetSimJoin.saveSets(toks(stored), "doc_id", "toks", path)
+    val expected = brute(all, 0.8)
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val before = spark.conf.get(key)
+    try {
+      // -1 disables broadcasts outright: candFits and fitsBroadcast
+      // are both false — the fetch takes the Bloom-pruned shuffle
+      // fallback (the loud path ADVICE r17 asked for) and must still
+      // produce the exact audit
+      spark.conf.set(key, "-1")
+      val unhinted = SetSimJoin.incrementalJaccardPairs(spark, path,
+          toks(batch), "doc_id", "toks", 0.8, maxBucket = 10)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(unhinted == expected)
+      val unhintedC = SetSimJoin.incrementalContainmentPairs(spark, path,
+          toks(batch), "doc_id", "toks", 0.9, maxBucket = 10)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(unhintedC == bruteContainment(all, 0.9)
+        .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2)))
+    } finally spark.conf.set(key, before)
+    // middle rung: the ceiling override admits the ids-only broadcast
+    // but not the array-carrying one (105+ pairs × 120 B ≈ 13 KB ids
+    // vs ≈ 139 KB with arrays) — token arrays leave the broadcast and
+    // regroup via the candidate-bounded shuffle, output unchanged
+    spark.conf.set("graft.setsim.fetchCeilingBytes", "20000")
+    try {
+      val mid = SetSimJoin.incrementalJaccardPairs(spark, path,
+          toks(batch), "doc_id", "toks", 0.8, maxBucket = 10)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(mid == expected)
+    } finally spark.conf.unset("graft.setsim.fetchCeilingBytes")
+    val hinted = SetSimJoin.incrementalJaccardPairs(spark, path,
+        toks(batch), "doc_id", "toks", 0.8, maxBucket = 10)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(hinted == expected)
+  }
+
   // ---- stored-state maintenance: compact, remove -----------------------
 
   test("compactSets: identical rows back, fewer files") {
