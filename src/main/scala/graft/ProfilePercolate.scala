@@ -189,12 +189,18 @@ object ProfilePercolate {
       scoreSec = math.min(scoreSec, sec)
     }
 
-    // stage isolation: how much of scoreSec is the match-list build
-    // (map probes) vs the per-query fold/explode above it
-    val t2 = System.nanoTime()
-    val nMatches = graft.operators.Bm25.percolateMatchesOnly(sh, compiled)
-      .agg(sum(col("nm"))).head().getLong(0)
-    val matchSec = (System.nanoTime() - t2) / 1e9
+    // GRAFT_PERC_MATCHSEC=1: time the RETIRED HOF probe's match-list
+    // build (the before-side of the r18 kernel A/B — it pays the
+    // CodegenFallback boundary-copy tax, ~115 s at the default sf0.1
+    // registry, so it no longer runs by default; the shipped probe is
+    // scoreSec above)
+    val (matchSec, nMatches) =
+      if (sys.env.contains("GRAFT_PERC_MATCHSEC")) {
+        val t2 = System.nanoTime()
+        val nm = graft.operators.Bm25.percolateMatchesOnly(sh, compiled)
+          .agg(sum(col("nm"))).head().getLong(0)
+        ((System.nanoTime() - t2) / 1e9, nm)
+      } else (-1.0, -1L)
 
     // stored-registry round-trip at this scale: save wall + on-disk
     // bytes, load wall, and alert parity through the loaded table

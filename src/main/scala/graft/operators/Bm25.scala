@@ -1015,9 +1015,14 @@ object Bm25 {
     * [[percolate]] — but with registry capacity bounded by broadcast
     * memory instead of plan size.
     */
-  /** Dev-only instrument: per-doc match-list SIZE with the same probe
-    * plan as [[percolateJoin]] but no fold/explode — isolates the map
-    * probe cost from the per-query aggregation cost.
+  /** Dev-only instrument: per-doc match-list SIZE via the RETIRED
+    * pre-r18 higher-order-function probe (the before-side of the
+    * percolate kernel A/B). NOTE this is no longer percolateJoin's
+    * plan — the shipped probe/fold is the codegen'd
+    * [[graft.functions.PercolateAlerts]] kernel, and this HOF tower
+    * pays the CodegenFallback boundary copy the kernel exists to
+    * avoid (~50× at cap registry scale, BASELINE round 18) — so its
+    * wall isolates the HOF TAX, not the shipped probe cost.
     */
   private[graft] def percolateMatchesOnly(docs: DataFrame,
                                           compiled: DataFrame,

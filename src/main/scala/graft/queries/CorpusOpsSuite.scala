@@ -578,10 +578,14 @@ object CorpusOpsSuite extends QuerySuite {
         .filter((length(col("t2")) - length(regexp_replace(col("t2"),
           "[\\p{IsCyrillic}\\p{IsGreek}\\p{IsHan}]", ""))) === 0)
         .select(col("doc_id"), col("host"), col("text"))
+      // min-token filter ABOVE the cut (r18 pushed-predicate sweep,
+      // VERDICT r17 #8): inside the cut argument Catalyst pushed it
+      // below the n_tokens projection, tokenizing every row a second
+      // time in an interpreted Filter
       val s3 = graft.plans.Lineage.cut(
         s2.withColumn("n_tokens",
-            size(TextFunctions.tokens(col("text"))).cast("long"))
-          .filter(col("n_tokens") >= 20))
+            size(TextFunctions.tokens(col("text"))).cast("long")))
+        .filter(col("n_tokens") >= 20)
       val imgF = Multimodal.imageFeaturesById(
           s, Multimodal.synthesizeImages(s, s3)).toDF()
         .select(col("doc_id"), col("width"), col("n_px"))

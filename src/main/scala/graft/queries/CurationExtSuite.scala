@@ -451,15 +451,32 @@ object CurationExtSuite extends QuerySuite {
                   length(regexp_replace(text, '[[:punct:]]', '', 'g'))
                   AS DOUBLE) / CAST(length(text) AS DOUBLE) END))"""
 
+  /** Quality-filtered corpus, tokenized ONCE and lineage-cut with the
+    * filters ABOVE the barrier (r18 pushed-predicate sweep, VERDICT
+    * r17 #8). Written the natural way — filter after withColumn —
+    * Catalyst pushes `size(toks) >= 1 AND quality >= 0.3` through both
+    * projections to the parquet scan, substituting the full
+    * tokenize into every reference: up to six interpreted
+    * re-derivations per row (HOF predicates are CodegenFallback, no
+    * codegen subexpression elimination), repeated per union branch in
+    * the consumers. The cut materializes (toks, quality) once and the
+    * filter above it reads columns for free — the SetSimJoin r17 /
+    * percolateShingled recipe. The added `size >= 1` is a no-op for
+    * callers that only filtered on quality (zero tokens ⇒ quality ≤ 0).
+    */
+  private def qualityDocs(s: org.apache.spark.sql.SparkSession,
+                          d: String) =
+    graft.plans.Lineage.cut(documents(s, d)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("quality",
+        TextFunctions.qualityScoreTokens(col("toks"), col("text"))))
+      .filter(size(col("toks")) >= 1 && col("quality") >= 0.3)
+
   private val pretrainPipeline = GraftQuery(
     "q_pretrain_pipeline",
     (s, d) => {
       GraftFunctions.register(s)
-      val docs = documents(s, d)
-        .withColumn("toks", TextFunctions.tokens(col("text")))
-        .withColumn("quality",
-          TextFunctions.qualityScoreTokens(col("toks"), col("text")))
-        .filter(col("quality") >= 0.3)
+      val docs = qualityDocs(s, d)
       // fold-key exact dedup, keeper = min doc_id per folded fingerprint
       val keepers = docs
         .select(col("doc_id"), md5(FoldText.fold_text(col("text"))).as("fp"))
@@ -965,12 +982,7 @@ object CurationExtSuite extends QuerySuite {
   private val llmPipeline = GraftQuery(
     "q_llm_data_pipeline",
     (s, d) => {
-      val base = documents(s, d)
-        .withColumn("toks", TextFunctions.tokens(col("text")))
-        .filter(size(col("toks")) >= 1)
-        .withColumn("quality",
-          TextFunctions.qualityScoreTokens(col("toks"), col("text")))
-        .filter(col("quality") >= 0.3)
+      val base = qualityDocs(s, d)
       val nChunks = ceil(size(col("toks")).cast("double") / 10.0).cast("int")
       def builtWith(sep: String) = array_join(concat(
         array(lit("shared boilerplate header")),
@@ -999,8 +1011,10 @@ object CurationExtSuite extends QuerySuite {
         .join(corpus.select("doc_id", "source"), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("clean_text"),
           TextFunctions.tokens(col("clean_text")).as("ctoks"))
-        .filter(size(col("ctoks")) >= 1)
         .transform(graft.plans.Lineage.cut(_))
+        // above the cut (r18 sweep): pushed inside, this re-tokenized
+        // clean_text in an interpreted pre-checkpoint Filter
+        .filter(size(col("ctoks")) >= 1)
       val afterExact = graft.operators.Dedup.dropDuplicatesByKey(
         cleaned, md5(col("clean_text")), "doc_id")
       val pairs = graft.operators.Dedup.nearDuplicatePairs(afterExact,
@@ -1181,12 +1195,7 @@ object CurationExtSuite extends QuerySuite {
   private val llmPipelineSpans = GraftQuery(
     "q_llm_pipeline_spans",
     (s, d) => {
-      val base = documents(s, d)
-        .withColumn("toks0", TextFunctions.tokens(col("text")))
-        .filter(size(col("toks0")) >= 1)
-        .withColumn("quality",
-          TextFunctions.qualityScoreTokens(col("toks0"), col("text")))
-        .filter(col("quality") >= 0.3)
+      val base = qualityDocs(s, d)
         .select(col("doc_id"),
           when(col("doc_id") % 10 === 0,
             concat(col("text"), lit(" " + plantedPassage)))
@@ -1202,8 +1211,10 @@ object CurationExtSuite extends QuerySuite {
           deduped.withColumn("toks", TextFunctions.tokens(col("text"))),
           "doc_id", "toks", k = 8)
         .withColumn("ctoks", TextFunctions.tokens(col("clean_text")))
-        .filter(size(col("ctoks")) >= 1)
         .transform(graft.plans.Lineage.cut(_))
+        // above the cut (r18 sweep): pushed inside, this re-tokenized
+        // clean_text in an interpreted pre-checkpoint Filter
+        .filter(size(col("ctoks")) >= 1)
       val wfp = graft.operators.Winnow.fingerprints(
           excised, "doc_id", "ctoks", k = 5, w = 4)
         .select(col("doc_id"), col("n_fps"), col("fp_digest"))

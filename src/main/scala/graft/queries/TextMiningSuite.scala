@@ -450,17 +450,27 @@ object TextMiningSuite extends QuerySuite {
     * repartitioned before the CPU-dense transform (r13 narrow-scan
     * lesson) and CUT once — `sh` feeds the index build, the registry
     * derivation, and the probe side.
+    *
+    * r18 (the pushed-predicate sweep, VERDICT r17 #8): the old
+    * `filter(size(tk) >= 5)` between the two projections was pushed by
+    * Catalyst below the token projection AND the repartition — the
+    * full tokenize ran a second time INTERPRETED (HOF predicates are
+    * CodegenFallback) at pre-repartition scan width. The min-length
+    * guard is now a `when` inside the shingle projection (short docs
+    * project null) with the filter ABOVE the lineage cut, where it
+    * reads a materialized column for free — the SetSimJoin r17 recipe.
     */
   private def percolateShingled(s: org.apache.spark.sql.SparkSession,
                                 d: String) =
     graft.plans.Lineage.cut(documents(s, d)
       .repartition(2 * s.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 5)
       .select(col("doc_id"),
-        concat_ws(" ", transform(sequence(lit(1), size(col("tk")) - 4),
-          g => substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
-            1, 15))).as("text")))
+        when(size(col("tk")) >= 5,
+          concat_ws(" ", transform(sequence(lit(1), size(col("tk")) - 4),
+            g => substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
+              1, 15)))).as("text")))
+      .filter(col("text").isNotNull)
 
   private def percolateRegQueries(sh: org.apache.spark.sql.DataFrame) =
     sh.filter(col("doc_id") % 10 === 0)
@@ -482,14 +492,7 @@ object TextMiningSuite extends QuerySuite {
       // derivation, and the probe side) — without the boundary the
       // shingling runs three times (TimeQ-measured: 17.3 s warm floor
       // without, 6.3 s with)
-      val sh = graft.plans.Lineage.cut(documents(s, d)
-        .repartition(2 * s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 5)
-        .select(col("doc_id"),
-          concat_ws(" ", transform(sequence(lit(1), size(col("tk")) - 4),
-            g => substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
-              1, 15))).as("text")))
+      val sh = percolateShingled(s, d)
       graft.operators.Bm25.saveIndex(sh, path)
       val reg = sh.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("query_id"),
@@ -523,14 +526,7 @@ object TextMiningSuite extends QuerySuite {
     (s, d) => {
       val path = s"${GateStates.dir}/" +
         s"bm25regst_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      val sh = graft.plans.Lineage.cut(documents(s, d)
-        .repartition(2 * s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 5)
-        .select(col("doc_id"),
-          concat_ws(" ", transform(sequence(lit(1), size(col("tk")) - 4),
-            g => substring(md5(concat_ws(" ", slice(col("tk"), g, lit(5)))),
-              1, 15))).as("text")))
+      val sh = percolateShingled(s, d)
       graft.operators.Bm25.saveIndex(sh, s"$path/index")
       val idx = graft.operators.Bm25.loadIndex(s, s"$path/index")
       val reg = sh.filter(col("doc_id") % 10 === 0)
