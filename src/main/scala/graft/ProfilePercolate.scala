@@ -76,6 +76,52 @@ object ProfilePercolate {
       .persist()
     val nQueries = reg.count()
 
+    def steal(): Long =
+      scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).map(_.split("\\s+")(8).toLong)
+        .getOrElse(0L)
+
+    // GRAFT_PERC_SHARDED=<R>: the cap-scale sharded-registry arm
+    // (VERDICT r17 #1 done-criterion "driver heap for compile bounded
+    // by shard, not total"). Skips the unsharded compile entirely —
+    // run with GRAFT_XMX=8g and copies=12 (≈945k queries): the
+    // unsharded one-row compile needed a 48 g driver at this scale,
+    // so completing compile+store+probe on the default heap IS the
+    // evidence. Alert volume must stay copy-0's (suffixed copies
+    // share no terms with the corpus).
+    sys.env.get("GRAFT_PERC_SHARDED").foreach { rStr =>
+      val r = rStr.toInt
+      val tC = System.nanoTime()
+      val sharded = graft.operators.Bm25
+        .compileShardedPercolateTable(idx, reg, r).persist()
+      val nRows = sharded.count()
+      println(f"SHARDED R=$r%d queries=$nQueries%d compile " +
+        f"${(System.nanoTime() - tC) / 1e9}%.1f s ($nRows%d shard rows)")
+      val store = java.nio.file.Files
+        .createTempDirectory("perc_sh").toString
+      val tS = System.nanoTime()
+      graft.operators.Bm25.saveShardedPercolateTable(sharded, store)
+      val loaded = graft.operators.Bm25
+        .loadShardedPercolateTable(spark, store)
+      val storeBytes = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(store))
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      println(f"SHARDED save+load ${(System.nanoTime() - tS) / 1e9}%.1f s " +
+        f"storeMB=${storeBytes / 1048576.0}%.1f")
+      (1 to 2).foreach { i =>
+        val s0 = steal(); val t = System.nanoTime()
+        val a = graft.operators.Bm25
+          .shardedPercolateJoin(sh, loaded, threshold = 5.0).count()
+        val sec = (System.nanoTime() - t) / 1e9
+        println(f"SHARDED probe rep$i $sec%.1f s " +
+          f"(${nDocs / sec}%.0f docs/s, alerts=$a%d, " +
+          f"stealTicks=${steal() - s0}%d)")
+      }
+      spark.stop()
+      sys.exit(0)
+    }
+
     val t0 = System.nanoTime()
     val compiled = graft.operators.Bm25.compilePercolateTable(idx, reg)
       .persist()
@@ -97,11 +143,6 @@ object ProfilePercolate {
         " aggregate=" + "aggregate\\(".r.findAllIn(p).size)
       println(p.take(4000))
     }
-    def steal(): Long =
-      scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).map(_.split("\\s+")(8).toLong)
-        .getOrElse(0L)
-
     // GRAFT_PERC_AB=1: the r18 root-cause drill-down for the measured
     // linear-in-registry probe cost. Three arms isolate WHERE the
     // linear term lives:
