@@ -91,15 +91,27 @@ object LinearClassifier {
   private def preparedFeatures(docs: DataFrame, idCol: String,
                                toksCol: String, labelCol: String,
                                numBuckets: Int): DataFrame = {
-    val spark = docs.sparkSession
     // one materialization, pre-partitioned on the doc id: every
     // iteration's doc-keyed reduce and residual join (and the final
     // scoring pass) reuse this partitioning instead of re-shuffling
-    // the corpus
-    val parted = features(docs, idCol, toksCol, labelCol, numBuckets)
+    // the corpus. localCheckpoint, NOT the LogicalRDD round-trip: the
+    // round-trip erases the output partitioning to UnknownPartitioning
+    // (plans/r18/q_linear_classify_before.txt — Scan ExistingRDD,
+    // UnknownPartitioning(0)), so every doc-keyed reduce and the
+    // gradient join re-shuffled the full feature stream each
+    // iteration; the checkpointed LogicalRDD keeps hash(idCol) visible
+    // to the planner (interleaved A/B: 4.08 vs 4.92 s gate floor at
+    // sf0.1). A PLAIN persist also keeps the partitioning but measured
+    // 2-5x WORSE here with wild variance (9-42 s) — the visible
+    // full lineage under the cache re-optimizes per consumer and
+    // interacts pathologically with the per-iteration uncache calls —
+    // so partitioning-preserving cuts in this loop must be
+    // checkpoint-shaped. Eviction: the slot's unpersist is a no-op on
+    // a checkpointed frame; blocks are reclaimed by the ContextCleaner
+    // once the slot drops the reference (the Lineage.cut convention).
+    val cutDf = features(docs, idCol, toksCol, labelCol, numBuckets)
       .repartition(col(idCol))
-    val cutDf = spark.createDataFrame(parted.rdd, parted.schema)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     LinearClassifier.synchronized {
       lastFeatsCache.foreach(_.unpersist(blocking = false))
       lastFeatsCache = Some(cutDf)
@@ -134,6 +146,14 @@ object LinearClassifier {
       s"linearClassifier: iters must be in [1, $MaxIters]")
     val spark = feats.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Only `w` is ITERATED (w_{i+1}'s plan would embed w_i's full plan,
+    // compounding across up to MaxIters rounds) — truncate ITS lineage
+    // with the LogicalRDD round-trip; it is ≤ B+1 rows, so the row
+    // conversion and the lost partitioning cost nothing. `resid` is
+    // rebuilt per iteration from (feats, w_i) — no compounding — and a
+    // plain persist keeps its hash(idCol) partitioning (inherited from
+    // the feats cache through the broadcast join + aggregate), so the
+    // gradient join needs no exchange on either side.
     def cut(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema).persist(lvl)
     val nDocs = feats.select(col(idCol)).distinct().count().toDouble
