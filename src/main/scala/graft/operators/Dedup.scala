@@ -554,11 +554,14 @@ object Dedup {
       numHashes: Int = 64,
       shardCols: Seq[String] = Nil,
       maxBucket: Int = 200): DataFrame = {
-    // signatures feed three consumers (banding + both estimate joins):
-    // cache them so the corpus-wide signature aggregation runs once, not
-    // three times. At 100 TB this is the difference between one and
-    // three full passes over the tokenized corpus.
-    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes,
+    // One per-doc attribute frame (sig + distinct tokens, ONE tokenize
+    // pass) feeds every consumer: banding, both estimate joins, and both
+    // exact-verify joins. Cached, so the corpus is scanned/tokenized
+    // once; the verify tail then enriches the (small) candidate-pair
+    // stream with TWO id-keyed joins instead of the previous four
+    // (sig-a, sig-b, toks-a, toks-b — r18 opt: the four SMJs exchanged
+    // a corpus-derived side each, and the corpus tokenized three times).
+    val attrs = attrFrame(docs, idCol, textCol, shingleK, numHashes,
         carryCols = shardCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // CacheManager pins persisted plans until an explicit unpersist, so a
@@ -567,36 +570,58 @@ object Dedup {
     // (safe for laziness: an unpersisted plan recomputes, it doesn't fail).
     Dedup.synchronized {
       lastSigCache.foreach(_.unpersist(blocking = false))
-      lastSigCache = Some(sigs)
+      lastSigCache = Some(attrs)
     }
-    val pairs = lshCandidatePairsFromSigs(sigs, numHashes,
+    val pairs = lshCandidatePairsFromSigs(attrs, numHashes,
       maxBucket = maxBucket, shardCols = shardCols)
-    // tokenize each doc ONCE before the pair join — per-pair jaccard then
-    // reads two materialized arrays instead of re-tokenizing both texts
-    // for every candidate pair
-    val toks = docs.select(
-      col(idCol).as("id"),
-      TextFunctions.distinctTokens(col(textCol)).as("toks"))
-    verifyCandidates(pairs, sigs, toks, minJaccard)
+    verifyCandidates(pairs, attrs, minJaccard)
+  }
+
+  /** Per-doc attribute frame shared by candidate generation and the
+    * verify tail: (id[, carryCols], sig, toks). The minhash signature
+    * and the distinct-token array come from ONE tokenize pass (`tk` is
+    * bound in its own projection so CollapseProject cannot inline the
+    * tokenizer into both consumers). Signature math and null semantics
+    * are bit-identical to [[signatures]]: same bound-column staging,
+    * same MinhashSig expression, same `sig IS NOT NULL` row drop — and
+    * a doc dropped here never reached the old verify output either (its
+    * pairs died in the inner toks join).
+    */
+  private def attrFrame(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numHashes: Int,
+                        carryCols: Seq[String] = Nil): DataFrame = {
+    require(numHashes <= seedPerms.length, s"numHashes > ${seedPerms.length}")
+    val carry = carryCols.map(col)
+    docs.select(
+        (col(idCol).as("id") +: carry) :+
+          TextFunctions.tokens(col(textCol)).as("tk"): _*)
+      .select(
+        (col("id") +: carry) :+
+          transform(col("tk"), t => xxhash64(t)).as("th") :+
+          array_distinct(col("tk")).as("toks"): _*)
+      .select(
+        (col("id") +: carry) :+
+          graft.functions.MinhashSig.minhash_sig(
+            col("th"), shingleK, numHashes).as("sig") :+
+          col("toks"): _*)
+      .where(col("sig").isNotNull)
   }
 
   /** The estimate-then-verify tail shared by the one-pass and two-pass
     * near-dup pipelines: signature-agreement estimate filter (slack
     * below `minJaccard` to protect recall) → exact token-set Jaccard on
-    * the survivors only.
+    * the survivors only. `attrs` is the [[attrFrame]] shape — both the
+    * signature and the token array attach in one join per pair side.
     */
-  private def verifyCandidates(pairs: DataFrame, sigs: DataFrame,
-                               toks: DataFrame,
+  private def verifyCandidates(pairs: DataFrame, attrs: DataFrame,
                                minJaccard: Double): DataFrame = {
-    val estimated = pairs
-      .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")
-      .join(sigs.select(col("id").as("b"), col("sig").as("sb")), "b")
+    val a = attrs.select(col("id").as("a"), col("sig").as("sa"),
+      col("toks").as("ta"))
+    val b = attrs.select(col("id").as("b"), col("sig").as("sb"),
+      col("toks").as("tb"))
+    pairs.join(a, "a").join(b, "b")
       .withColumn("est", signatureSimilarity(col("sa"), col("sb")))
       .filter(col("est") >= minJaccard - 0.15)
-      .select(col("a"), col("b"))
-    val da = toks.select(col("id").as("a"), col("toks").as("ta"))
-    val db = toks.select(col("id").as("b"), col("toks").as("tb"))
-    estimated.join(da, "a").join(db, "b")
       .withColumn("jaccard", jaccardTokens(col("ta"), col("tb")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
@@ -630,9 +655,10 @@ object Dedup {
     *   serves both the ingest-time and the full-corpus operator. A
     *   [[signatureTable]]-built frame carries its family version and is
     *   rejected loudly if stale; must have been built with the same
-    *   shingleK/numHashes. Used as-is (not persisted here — its storage
-    *   is the caller's); both LSH passes then skip the corpus signature
-    *   pass, the dominant corpus-side cost.
+    *   shingleK/numHashes. Joined once to the tokenize pass into this
+    *   operator's own cached attribute frame (released before return);
+    *   both LSH passes then skip the corpus signature pass, the
+    *   dominant corpus-side cost.
     */
   def crossShardDedupClusters(
       docs: DataFrame,
@@ -647,32 +673,35 @@ object Dedup {
     require(shardCols.nonEmpty,
       "crossShardDedupClusters needs shardCols; for a single-window corpus " +
       "use nearDuplicatePairs + connectedComponents directly")
-    val ownSigs = corpusSigs.isEmpty
-    val sigs = corpusSigs.map(checkSigFamily).getOrElse(
-      signatures(docs, idCol, textCol, shingleK, numHashes,
-          carryCols = shardCols)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // toks joins into BOTH verify passes on BOTH pair sides (a and b,
-    // different join keys — no exchange reuse), so without a cache the
-    // corpus tokenizes four times. Persisted for the operator's
-    // lifetime, released with the signature cache below.
-    val toks = docs.select(
-      col(idCol).as("id"),
-      TextFunctions.distinctTokens(col(textCol)).as("toks"))
+    // One cached per-doc attribute frame (sig + toks, [[attrFrame]])
+    // serves banding AND both verify passes on both pair sides — the
+    // previous shape cached signatures and tokens separately and paid
+    // four id-keyed verify joins per pass (r18 opt). A caller-provided
+    // signature table skips the signature pass: its rows join once to
+    // the tokenize pass and the product is cached here (the join runs
+    // at cache build, not per consumer).
+    val attrs = corpusSigs.map { cs =>
+      checkSigFamily(cs).join(
+        docs.select(col(idCol).as("id"),
+          TextFunctions.distinctTokens(col(textCol)).as("toks")),
+        Seq("id"))
+    }.getOrElse(
+      attrFrame(docs, idCol, textCol, shingleK, numHashes,
+        carryCols = shardCols))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: within-shard pairs → within-shard clusters. Labels are
     // caller-owned (registerCache=false): the default slot would be
     // evicted by the SECOND connectedComponents call below while the
     // stitch join still needs these labels live.
     val withinPairs = verifyCandidates(
-      lshCandidatePairsFromSigs(sigs, numHashes, maxBucket = maxBucket,
+      lshCandidatePairsFromSigs(attrs, numHashes, maxBucket = maxBucket,
         shardCols = shardCols),
-      sigs, toks, minJaccard)
+      attrs, minJaccard)
     // node counts for the CC dense-graph probe come from frames this
-    // operator materializes anyway (one signature row per doc, labels
+    // operator materializes anyway (one attr row per doc, labels
     // cached by CC) — never a fresh corpus scan (ADVICE r8): counting
-    // `sigs` triggers the signature computation both passes reuse.
-    val nDocs = sigs.count()
+    // `attrs` triggers the signature computation both passes reuse.
+    val nDocs = attrs.count()
     val shardLabels = connectedComponents(
       docs.select(col(idCol).as("id")), withinPairs,
       registerCache = false, nodesCount = Some(nDocs))
@@ -680,20 +709,20 @@ object Dedup {
     // exactly the doc whose id == its label (singletons represent
     // themselves)
     val reps = shardLabels.filter(col("id") === col("label")).select("id")
-    val repSigs = sigs.join(reps, Seq("id"), "left_semi")
+    val repAttrs = attrs.join(reps, Seq("id"), "left_semi")
     // pass 2: GLOBAL pairs over representatives (no shard key in the
     // bucket join) → rep-level clusters; the rep count scans the cached
     // label frame only
     val repPairs = verifyCandidates(
-      lshCandidatePairsFromSigs(repSigs, numHashes, maxBucket = maxBucket),
-      repSigs, toks, minJaccard)
+      lshCandidatePairsFromSigs(repAttrs, numHashes, maxBucket = maxBucket),
+      repAttrs, minJaccard)
     val repLabels = connectedComponents(reps, repPairs,
       registerCache = false, nodesCount = Some(reps.count()))
-    // both passes have materialized through the signature and token
-    // caches by now (connectedComponents rounds are eager actions);
-    // a caller-provided signature table is the caller's to manage
-    if (ownSigs) sigs.unpersist(blocking = false)
-    toks.unpersist(blocking = false)
+    // both passes have materialized through the attribute cache by now
+    // (connectedComponents rounds are eager actions); the cache is this
+    // operator's own in both branches (the caller-provided signature
+    // table itself was only read to build it)
+    attrs.unpersist(blocking = false)
     // the two label frames feed the lazy stitch join the caller consumes;
     // evict the previous call's pair so repeated invocations can't
     // accumulate dead caches (same contract as the other slots).
