@@ -500,19 +500,23 @@ object Dedup {
     // source/date window, each shard an independent, smaller bucket join)
     val key = shardCols ++ Seq("band", "bh")
     val banded = bandedRows(sigs, numBands, rowsPerBand, shardCols)
-    // Skew guard as a broadcast ANTI-join against the (tiny) set of
-    // oversized buckets — not a count() window, which would total-sort
-    // every banded row by bucket. The agg is map-side partial; the
-    // blacklist is by construction < |corpus|/maxBucket rows.
-    val oversized = banded.groupBy(key.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
-      .select(key.map(col): _*)
-    val guarded = banded.join(broadcast(oversized), key, "left_anti")
-    val l = guarded.select(key.map(col) :+ col("id").as("a"): _*)
-    val r = guarded.select(key.map(col) :+ col("id").as("b"): _*)
-    l.join(r, key)
+    // ONE bucket aggregation replaces the previous self-join shape
+    // (r18 opt): grouping the banded rows per bucket and expanding the
+    // id array in-row pays a single exchange where the self-join paid
+    // three (the oversized-bucket count, then each join side — the two
+    // sides also re-derived the whole banding subtree, DataFrame plans
+    // being trees). The skew guard is now a plain size filter on the
+    // grouped array: buckets larger than maxBucket (pathological
+    // boilerplate) drop exactly as the old broadcast anti-join dropped
+    // them, and a degenerate bucket costs one maxBucket-bounded row,
+    // never an O(n²) join. Pair expansion (all a < b within a bucket)
+    // is two codegen Generates — row counts identical to the join's.
+    banded.groupBy(key.map(col): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
       .distinct()
   }
 

@@ -151,13 +151,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s"all-pairs join appeared:\n$s")
   }
 
-  test("q_dedup_minhash_sharded: skew guard present; shard key joins the bucket key") {
+  test("q_dedup_minhash_sharded: skew guard present; shard key in the bucket grouping") {
     val s = planNoExec("q_dedup_minhash_sharded")
-    assert(s.contains("LeftAnti"), s"maxBucket anti-join guard missing:\n$s")
-    // the candidate self-join must key on (source, band, bh) — a plan
-    // that pairs across shards would drop `source` from the join keys
+    // r18 opt: candidate generation is a single bucket aggregation
+    // (collect_list per (shard, band, bh)) + in-row pair expansion, not
+    // a self-join — the skew guard is the size cap on the grouped id
+    // array (buckets > maxBucket drop, exactly as the old broadcast
+    // anti-join dropped them)
+    assert(s.contains("collect_list"),
+      s"bucket aggregation missing (collect_list):\n$s")
+    assert("""size\(ids#\d+[^\n]*<= 200""".r.findFirstIn(s).isDefined ||
+      s.contains("<= 200"),
+      s"maxBucket size-cap guard missing:\n$s")
+    // the bucket grouping must key on (source, band, bh) — a plan that
+    // pairs across shards would drop `source` from the grouping keys
     assert("""source#\d+[^\n]*band#\d+[^\n]*bh#\d+""".r.findFirstIn(s).isDefined,
-      s"shard key not in the bucket join:\n$s")
+      s"shard key not in the bucket grouping:\n$s")
   }
 
   test("q_incremental_dedup: batch bloom probes the corpus scan; exact anti-join on top") {
