@@ -147,12 +147,22 @@ object Bm25 {
       .delete(mk, false)
     withMutationMarker(docs.sparkSession, path, "saveIndex") {
       val tf = termFrequencies(docs, idCol, textCol)
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.withColumn("index_format", lit(IndexFormatPrefix))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      // dfreq derives from the postings JUST WRITTEN, not from a second
+      // tokenize+explode+exchange of the corpus (r18 opt: the lazy `tf`
+      // was referenced twice, and DataFrame plans are trees — the whole
+      // term-frequency pipeline ran twice per save). The read-back scan
+      // prunes to the `tok` column, so at any scale it costs one
+      // columnar pass over one column of the postings, and df == the
+      // old groupBy by construction (one postings row per (doc, tok)).
+      val dfreq = docs.sparkSession.read.parquet(s"$path/postings")
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      // stats stays a direct corpus aggregate: postings drop zero-token
+      // docs, but `n` must count every document
       val stats = docs.agg(
         count(lit(1)).as("n"),
         sum(size(TextFunctions.tokens(col(textCol)))).as("sum_dl"))
-      tf.withColumn("index_format", lit(IndexFormatPrefix))
-        .write.mode("overwrite").parquet(s"$path/postings")
       dfreq.withColumn("index_format", lit(IndexFormatPrefix))
         .write.mode("overwrite").parquet(s"$path/dfreq")
       stats.withColumn("index_format", lit(IndexFormatPrefix))
@@ -577,8 +587,20 @@ object Bm25 {
                                        maxQueries: Long,
                                        maxTermsPerQuery: Int)
       : (DataFrame, Double, String) = {
-    val qn = queries.limit((math.min(maxQueries, Int.MaxValue - 1L) + 1L)
-      .toInt).count()
+    // ONE registry pass answers the three row-level guards (row count,
+    // null/non-numeric ids, duplicate ids after the long cast) that
+    // previously ran as three separate scan jobs (r18 opt — at registry
+    // scale each was a full pass; the require order keeps the old
+    // check precedence, so callers see the same first error).
+    val qguard = queries.select(col("query_id").cast("long").as("qid"))
+      .groupBy("qid").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("qn"),
+        coalesce(sum(when(col("qid").isNull, col("c"))), lit(0L))
+          .as("n_null"),
+        coalesce(max(when(col("qid").isNotNull, col("c"))), lit(0L))
+          .as("max_c"))
+      .head()
+    val qn = qguard.getLong(0)
     require(qn > 0 && qn <= maxQueries,
       s"compilePercolateTable: query side must have 1..$maxQueries rows, " +
       s"got $qn")
@@ -589,18 +611,13 @@ object Bm25 {
     // null query_id is a loud error, not a row to drop: the segment
     // fold in percolateJoin uses a null accumulator as its
     // "no open segment" sentinel, and a null registry id would alias it
-    val nNull = queries.filter(col("query_id").isNull ||
-      col("query_id").cast("long").isNull).limit(1).count()
-    require(nNull == 0L,
+    require(qguard.getLong(1) == 0L,
       "compilePercolateTable: registry has null (or non-numeric) " +
       "query_id rows — every registered query needs a long id")
     // duplicate qids after the long cast would silently SUM their term
     // scores in percolateJoin's qid-major segment fold — the
     // compileContainmentRegistry hazard, guarded the same way
-    val nDup = queries.select(col("query_id").cast("long").as("qid"))
-      .groupBy("qid").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).count()
-    require(nDup == 0L,
+    require(qguard.getLong(2) <= 1L,
       "compilePercolateTable: registry has duplicate query ids " +
       "(possibly distinct source ids colliding after the long cast) — " +
       "duplicate-qid postings would silently merge scores in the " +
