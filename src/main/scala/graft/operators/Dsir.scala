@@ -53,20 +53,15 @@ object Dsir {
         % numBuckets).as("bucket"))
   }
 
-  /** Add-one-smoothed log-probability table of one corpus' bucket
-    * distribution: `bucket, logp` (≤ numBuckets rows — broadcast-sized).
-    * Buckets unseen in the corpus are covered by the smoothing term at
-    * score time, not materialized here.
+  /** Per-bucket feature counts (≤ numBuckets rows — broadcast-sized).
+    * The smoothed log-probabilities and the corpus totals both derive
+    * from THIS frame downstream: deriving them from `feats` directly
+    * (as the first cut did) referenced the corpus-sized feature explode
+    * once per aggregate, and DataFrame plans are trees — the explode +
+    * per-n-gram md5 ran four times per raw corpus (r18 opt).
     */
-  private def bucketLogProbs(feats: DataFrame, numBuckets: Int,
-                             outCol: String): DataFrame = {
-    val counts = feats.groupBy("bucket").agg(count(lit(1)).as("c"))
-    val total = feats.agg(count(lit(1)).as("n"))
-    counts.crossJoin(broadcast(total)) // one-row scalar
-      .select(col("bucket"),
-        log((col("c") + lit(1.0)) / (col("n") + lit(numBuckets.toDouble)))
-          .as(outCol))
-  }
+  private def bucketCounts(feats: DataFrame): DataFrame =
+    feats.groupBy("bucket").agg(count(lit(1)).as("c"))
 
   /** Per-raw-doc DSIR importance weight:
     * `idCol, n_features, log_weight` (log_weight rounded 6 dp — the
@@ -83,19 +78,26 @@ object Dsir {
                         numBuckets: Int = 4096): DataFrame = {
     val rawF = hashedNgrams(raw, idCol, toksCol, numBuckets)
     val tgtF = hashedNgrams(target, idCol, toksCol, numBuckets)
-    val pT = bucketLogProbs(tgtF, numBuckets, "logp_t")
-    val pR = bucketLogProbs(rawF, numBuckets, "logp_r")
-    val nT = tgtF.agg(count(lit(1)).as("n_t"))
-    val nR = rawF.agg(count(lit(1)).as("n_r"))
-    // llr table ≤ numBuckets rows: broadcast; unseen-side fallback is
-    // the smoothing floor log(1/(N+B)).
-    val llr = pT.join(pR, Seq("bucket"), "full_outer")
+    // ONE pass per side builds the bucket histogram; totals are B-row
+    // sums over it (NOT fresh corpus-sized count jobs — the target
+    // explode now runs once, the raw explode twice: histogram +
+    // scoring join, down from three and four references).
+    val cT = bucketCounts(tgtF)
+    val cR = bucketCounts(rawF)
+    val nT = cT.agg(coalesce(sum(col("c")), lit(0L)).as("n_t"))
+    val nR = cR.agg(coalesce(sum(col("c")), lit(0L)).as("n_r"))
+    // llr table ≤ numBuckets rows: broadcast; a side's unseen bucket
+    // contributes coalesce(c, 0), so log((0+1)/(N+B)) IS the smoothing
+    // floor log(1/(N+B)) — bit-identical to the previous
+    // coalesce-on-logp form (same doubles through the same log).
+    val llr = cT.withColumnRenamed("c", "c_t")
+      .join(cR.withColumnRenamed("c", "c_r"), Seq("bucket"), "full_outer")
       .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
       .select(col("bucket"),
-        (coalesce(col("logp_t"),
-           log(lit(1.0) / (col("n_t") + lit(numBuckets.toDouble)))) -
-         coalesce(col("logp_r"),
-           log(lit(1.0) / (col("n_r") + lit(numBuckets.toDouble)))))
+        (log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) /
+             (col("n_t") + lit(numBuckets.toDouble))) -
+         log((coalesce(col("c_r"), lit(0L)) + lit(1.0)) /
+             (col("n_r") + lit(numBuckets.toDouble))))
           .as("llr"))
     rawF.join(broadcast(llr), Seq("bucket"))
       .groupBy(col(idCol))
