@@ -138,9 +138,18 @@ object LinearClassifier {
       preparedFeatures(docs, idCol, toksCol, labelCol, numBuckets),
       idCol, iters, lr, init)
 
+  /** @param trackLoss when false the per-iteration mean-loss
+    *   aggregation is skipped and the returned history is empty — the
+    *   [[trainScoreBinary]] path, whose callers discard it (r18 opt:
+    *   the loss is one extra job per iteration, and with it gone the
+    *   residual frame is consumed exactly once by the gradient join, so
+    *   its checkpoint+persist boundary goes too; the weight math is
+    *   untouched). Loss-consuming callers ([[train]]) keep the default.
+    */
   private def trainOnFeats(feats: DataFrame, idCol: String, iters: Int,
                            lr: Double,
-                           init: Option[DataFrame] = None)
+                           init: Option[DataFrame] = None,
+                           trackLoss: Boolean = true)
       : (DataFrame, Seq[Double]) = {
     require(iters >= 1 && iters <= MaxIters,
       s"linearClassifier: iters must be in [1, $MaxIters]")
@@ -176,17 +185,25 @@ object LinearClassifier {
     val history = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 0 until iters) {
       // residuals r_d = p_d − y_d at the CURRENT weights (one doc-keyed
-      // reduce, no exchange thanks to the id partitioning)
-      val resid = cut(feats.join(broadcast(w), Seq("bucket"))
+      // reduce, no exchange thanks to the id partitioning). With loss
+      // tracking the frame is consumed twice (loss agg + gradient join)
+      // and gets the checkpoint+persist boundary; without, the gradient
+      // join is its only consumer and the residuals inline into that
+      // one pass (the agg preserves the hash(idCol) partitioning either
+      // way, so the gradient join pays no exchange in both shapes).
+      val residRaw = feats.join(broadcast(w), Seq("bucket"))
         .groupBy(col(idCol))
         .agg(first(col("y")).as("y"), sum(col("wt") * col("x")).as("s"))
         .select(col(idCol), col("y").cast("double").as("yd"),
-                sigmoid(col("s")).as("p")))
-      val loss = resid.agg(avg(
-        -(col("yd") * log(col("p")) +
-          (lit(1.0) - col("yd")) * log(lit(1.0) - col("p")))))
-        .head().getDouble(0)
-      history += loss
+                sigmoid(col("s")).as("p"))
+      val resid = if (trackLoss) cut(residRaw) else residRaw
+      if (trackLoss) {
+        val loss = resid.agg(avg(
+          -(col("yd") * log(col("p")) +
+            (lit(1.0) - col("yd")) * log(lit(1.0) - col("p")))))
+          .head().getDouble(0)
+        history += loss
+      }
       // mean gradient per bucket, rounded 9 dp (cross-engine step
       // determinism); partial agg collapses to ≤ B+1 rows per partition
       val grads = feats
@@ -200,7 +217,7 @@ object LinearClassifier {
             .as("wt")))
       wNew.count() // materialize (≤ B+1 rows) before parents release
       w.unpersist(blocking = false)
-      resid.unpersist(blocking = false)
+      if (trackLoss) resid.unpersist(blocking = false)
       w = wNew
     }
     // feats stays persisted — the lastFeatsCache slot owns its
@@ -234,7 +251,7 @@ object LinearClassifier {
     // scoreColumns where STATELESSNESS is the requirement (streaming
     // ingest), not as a batch speedup.
     val feats = preparedFeatures(docs, idCol, toksCol, labelCol, numBuckets)
-    val (w, _) = trainOnFeats(feats, idCol, iters, lr)
+    val (w, _) = trainOnFeats(feats, idCol, iters, lr, trackLoss = false)
     scoreJoined(feats, w, idCol)
   }
 
