@@ -146,27 +146,33 @@ object Bm25 {
     mk.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
       .delete(mk, false)
     withMutationMarker(docs.sparkSession, path, "saveIndex") {
+      // dfreq derives from the SAME tf pass as the postings (r18 opt:
+      // the lazy `tf` was referenced twice, and DataFrame plans are
+      // trees — the whole term-frequency pipeline ran twice per save).
+      // Persisted for the save's duration rather than read back from
+      // the postings parquet written one statement earlier (ADVICE r18
+      // low): the read-back coupled index internal consistency to
+      // filesystem read-after-write visibility — a partial postings
+      // write inside the marker window would have yielded a dfreq
+      // consistent with the partial postings instead of failing the
+      // save. One tokenize pass either way; dfreq == the old groupBy
+      // by construction (one postings row per (doc, tok)).
       val tf = termFrequencies(docs, idCol, textCol)
-      tf.withColumn("index_format", lit(IndexFormatPrefix))
-        .write.mode("overwrite").parquet(s"$path/postings")
-      // dfreq derives from the postings JUST WRITTEN, not from a second
-      // tokenize+explode+exchange of the corpus (r18 opt: the lazy `tf`
-      // was referenced twice, and DataFrame plans are trees — the whole
-      // term-frequency pipeline ran twice per save). The read-back scan
-      // prunes to the `tok` column, so at any scale it costs one
-      // columnar pass over one column of the postings, and df == the
-      // old groupBy by construction (one postings row per (doc, tok)).
-      val dfreq = docs.sparkSession.read.parquet(s"$path/postings")
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-      // stats stays a direct corpus aggregate: postings drop zero-token
-      // docs, but `n` must count every document
-      val stats = docs.agg(
-        count(lit(1)).as("n"),
-        sum(size(TextFunctions.tokens(col(textCol)))).as("sum_dl"))
-      dfreq.withColumn("index_format", lit(IndexFormatPrefix))
-        .write.mode("overwrite").parquet(s"$path/dfreq")
-      stats.withColumn("index_format", lit(IndexFormatPrefix))
-        .write.mode("overwrite").parquet(s"$path/stats")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        tf.withColumn("index_format", lit(IndexFormatPrefix))
+          .write.mode("overwrite").parquet(s"$path/postings")
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        // stats stays a direct corpus aggregate: postings drop zero-token
+        // docs, but `n` must count every document
+        val stats = docs.agg(
+          count(lit(1)).as("n"),
+          sum(size(TextFunctions.tokens(col(textCol)))).as("sum_dl"))
+        dfreq.withColumn("index_format", lit(IndexFormatPrefix))
+          .write.mode("overwrite").parquet(s"$path/dfreq")
+        stats.withColumn("index_format", lit(IndexFormatPrefix))
+          .write.mode("overwrite").parquet(s"$path/stats")
+      } finally tf.unpersist(blocking = false)
     }
   }
 

@@ -502,18 +502,30 @@ object Dedup {
     val banded = bandedRows(sigs, numBands, rowsPerBand, shardCols)
     // ONE bucket aggregation replaces the previous self-join shape
     // (r18 opt): grouping the banded rows per bucket and expanding the
-    // id array in-row pays a single exchange where the self-join paid
-    // three (the oversized-bucket count, then each join side — the two
-    // sides also re-derived the whole banding subtree, DataFrame plans
-    // being trees). The skew guard is now a plain size filter on the
-    // grouped array: buckets larger than maxBucket (pathological
-    // boilerplate) drop exactly as the old broadcast anti-join dropped
-    // them, and a degenerate bucket costs one maxBucket-bounded row,
-    // never an O(n²) join. Pair expansion (all a < b within a bucket)
-    // is two codegen Generates — row counts identical to the join's.
-    banded.groupBy(key.map(col): _*)
+    // id array in-row pays a single full-width exchange where the
+    // self-join paid three (the two join sides also re-derived the
+    // whole banding subtree, DataFrame plans being trees). Pair
+    // expansion (all a < b within a bucket) is two codegen Generates —
+    // row counts identical to the join's.
+    //
+    // The skew guard must run BEFORE the collect_list (ADVICE r18
+    // medium): a size filter on the grouped array only drops an
+    // oversized bucket AFTER its whole id list materialized in one
+    // aggregation buffer — O(bucket) executor memory for exactly the
+    // pathological boilerplate bucket maxBucket exists for. The
+    // count-per-bucket aggregation partial-aggregates to tiny (key, n)
+    // rows, its oversized survivors are few by construction, and the
+    // broadcast anti-join drops their banded rows before any list
+    // forms. The count pass re-derives the banding subtree, but off
+    // the caller's cached attrs frame that is one in-memory scan plus
+    // the explode; its exchange ships partial counts, not ids.
+    val oversized = banded.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > maxBucket)
+      .select(key.map(col): _*)
+    banded.join(broadcast(oversized), key, "left_anti")
+      .groupBy(key.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))

@@ -88,7 +88,7 @@ object LinearClassifier {
     */
   private var lastFeatsCache: Option[DataFrame] = None
 
-  private def preparedFeatures(docs: DataFrame, idCol: String,
+  private[operators] def preparedFeatures(docs: DataFrame, idCol: String,
                                toksCol: String, labelCol: String,
                                numBuckets: Int): DataFrame = {
     // one materialization, pre-partitioned on the doc id: every
@@ -146,7 +146,7 @@ object LinearClassifier {
     *   its checkpoint+persist boundary goes too; the weight math is
     *   untouched). Loss-consuming callers ([[train]]) keep the default.
     */
-  private def trainOnFeats(feats: DataFrame, idCol: String, iters: Int,
+  private[operators] def trainOnFeats(feats: DataFrame, idCol: String, iters: Int,
                            lr: Double,
                            init: Option[DataFrame] = None,
                            trackLoss: Boolean = true)

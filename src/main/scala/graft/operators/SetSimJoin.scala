@@ -644,18 +644,34 @@ object SetSimJoin {
     * worst case (an identical re-sent doc) produces EMPTY output, so a
     * lazy output-riding guard (the maxBucket convention) would never
     * evaluate exactly when it matters. Eager is consistent here:
-    * [[loadSets]] already runs its stamp-check jobs at call time, and
-    * this one is column-pruned to the two id columns (the batch's
-    * tokenize lineage is never touched).
+    * [[loadSets]] already runs its stamp-check jobs at call time.
+    *
+    * Takes the batch's LINEAGE-CUT (sid, stoks, n) frame, not the raw
+    * newDocs (r19): checking raw newDocs re-ran the caller's whole
+    * tokenize/shingle tower a second time — column pruning cannot
+    * delete a `filter(size(tokens) >= k)` the caller put under the id
+    * column — so the audit paid one extra full batch derivation per
+    * call. And it is FUSED with the audit's batch measurement (r19):
+    * the disjoint semi-join, the checkpoint materialization, and the
+    * batch-stats aggregate were three serial driver round-trips at the
+    * head of every audit, each paying its own planning + scheduling
+    * floor; one left join + one-row aggregate does all three. The id
+    * set checked is identical to raw newDocs (the n >= 1 filter sits
+    * ABOVE the cut), and (r, t) count exactly the n >= 1 rows the old
+    * stats aggregate saw. Returns (batchRows, batchTotalToks).
     */
-  private def requireDisjointIds(stored: DataFrame, newDocs: DataFrame,
-                                 idCol: String, op: String): Unit = {
-    val overlap = newDocs.select(col(idCol).as("sid"))
-      .join(stored.select(col("sid")), Seq("sid"), "left_semi")
-      .limit(1).count()
-    require(overlap == 0L,
+  private def batchStatsRequireDisjoint(stored: DataFrame,
+                                        batchCut: DataFrame,
+                                        op: String): (Long, Long) = {
+    val st = batchCut.select(col("sid"), col("n"))
+      .join(stored.select(col("sid"), lit(1).as("__hit")), Seq("sid"), "left")
+      .agg(count(when(col("n") >= 1, lit(1))).as("r"),
+        coalesce(sum(when(col("n") >= 1, col("n"))), lit(0L)).as("t"),
+        count(col("__hit")).as("overlap")).head()
+    require(st.getLong(2) == 0L,
       s"$op: batch ids collide with stored ids — re-id the batch " +
       "or rebuild with saveSets")
+    (st.getLong(0), st.getLong(1))
   }
 
   /** Every pair (a, b, inter, jaccard ≥ t) the BATCH introduces against
@@ -796,9 +812,11 @@ object SetSimJoin {
     require(threshold > 0.0 && threshold <= 1.0,
       s"incrementalJaccardPairs: threshold must be in (0,1], got $threshold")
     val stored = loadSets(spark, path)
-    requireDisjointIds(stored, newDocs, idCol, "incrementalJaccardPairs")
-    val batch = graft.plans.Lineage.cut(
-      orderedSetsRaw(newDocs, idCol, toksCol)).filter(col("n") >= 1)
+    val batchCut = graft.plans.Lineage.cut(
+      orderedSetsRaw(newDocs, idCol, toksCol))
+    val (bRows, bToks) = batchStatsRequireDisjoint(stored, batchCut,
+      "incrementalJaccardPairs")
+    val batch = batchCut.filter(col("n") >= 1)
     val union = graft.plans.Lineage.cut(stored.unionByName(batch))
     def prefixes(ranked: DataFrame) = ranked.select(col("sid"), col("n"),
       posexplode(slice(col("stoks"), lit(1),
@@ -849,12 +867,10 @@ object SetSimJoin {
     // threshold the planner broadcasts them, the a-side never
     // exchanges, and the Bloom would be pure measured overhead
     // (ProfileIncPrune: +0.9 s on the gate corpus for zero exchange
-    // saved) — so the prune engages only above it. The one-row stats
-    // agg triggers the batch's checkpoint materialization, which the
-    // main query reuses.
-    val bst = batch.agg(count(lit(1)).as("r"),
-      coalesce(sum(col("n")), lit(0L)).as("t")).head()
-    val batchSlimBytes = 24L * (bst.getLong(0) + bst.getLong(1))
+    // saved) — so the prune engages only above it. The batch stats
+    // came from the fused disjoint-check job above, which also
+    // materialized the batch checkpoint the main query reuses.
+    val batchSlimBytes = 24L * (bRows + bToks)
     val bThr = spark.sessionState.conf.autoBroadcastJoinThreshold
     val fitsBroadcast = bThr >= 0 && batchSlimBytes <= bThr
     val prune = bloomItems > 0 && !fitsBroadcast
@@ -1310,10 +1326,16 @@ object SetSimJoin {
       s"incrementalContainmentPairs: threshold must be in (0,1], got " +
         s"$threshold")
     val stored0 = loadSets(spark, path)
-    requireDisjointIds(stored0, newDocs, idCol, "incrementalContainmentPairs")
+    val batchCut = graft.plans.Lineage.cut(
+      orderedSetsRaw(newDocs, idCol, toksCol))
+    val (bRows, bToks) = batchStatsRequireDisjoint(stored0, batchCut,
+      "incrementalContainmentPairs")
+    // the stored side IS lineage-cut here (measured r19: warm gate
+    // 3.9-4.4 s with the cut vs 4.9-5.4 without — union, branch 2's
+    // full-instance side, and the fetch all re-read it, and the block
+    // reads beat three more parquet scans of the archive)
     val stored = graft.plans.Lineage.cut(stored0)
-    val batch = graft.plans.Lineage.cut(
-      orderedSetsRaw(newDocs, idCol, toksCol)).filter(col("n") >= 1)
+    val batch = batchCut.filter(col("n") >= 1)
     val union = graft.plans.Lineage.cut(stored.unionByName(batch))
     def prefixes(ranked: DataFrame) = ranked.select(col("sid"), col("n"),
       posexplode(slice(col("stoks"), lit(1),
@@ -1379,11 +1401,9 @@ object SetSimJoin {
     // branches broadcast their batch-sized input, no archive exchange
     // exists, and every Bloom is measured pure overhead (+1.5–2 s on
     // the gate corpus, ProfileIncPrune) — engage only above it. The
-    // one-row stats agg triggers the batch checkpoint the main query
-    // reuses.
-    val bst = batch.agg(count(lit(1)).as("r"),
-      coalesce(sum(col("n")), lit(0L)).as("t")).head()
-    val batchSlimBytes = 24L * (bst.getLong(0) + bst.getLong(1))
+    // batch stats came from the fused disjoint-check job above, which
+    // also materialized the batch checkpoint the main query reuses.
+    val batchSlimBytes = 24L * (bRows + bToks)
     val bThr = spark.sessionState.conf.autoBroadcastJoinThreshold
     val fitsBroadcast = bThr >= 0 && batchSlimBytes <= bThr
     val pruneOn = bloomItems > 0 && !fitsBroadcast

@@ -153,16 +153,19 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_dedup_minhash_sharded: skew guard present; shard key in the bucket grouping") {
     val s = planNoExec("q_dedup_minhash_sharded")
-    // r18 opt: candidate generation is a single bucket aggregation
-    // (collect_list per (shard, band, bh)) + in-row pair expansion, not
-    // a self-join — the skew guard is the size cap on the grouped id
-    // array (buckets > maxBucket drop, exactly as the old broadcast
-    // anti-join dropped them)
+    // r18 opt + r19 guard fix (ADVICE r18 medium): candidate generation
+    // is a single bucket aggregation (collect_list per (shard, band,
+    // bh)) + in-row pair expansion, not a self-join — and oversized
+    // buckets drop BEFORE the list forms, via a count-per-bucket
+    // aggregation + broadcast anti-join, so a degenerate boilerplate
+    // bucket never materializes an O(bucket) aggregation buffer
     assert(s.contains("collect_list"),
       s"bucket aggregation missing (collect_list):\n$s")
-    assert("""size\(ids#\d+[^\n]*<= 200""".r.findFirstIn(s).isDefined ||
-      s.contains("<= 200"),
-      s"maxBucket size-cap guard missing:\n$s")
+    assert(s.contains("LeftAnti"),
+      s"maxBucket pre-aggregation anti-join guard missing:\n$s")
+    assert("""cnt#\d+L? > 200""".r.findFirstIn(s).isDefined ||
+      s.contains("> 200"),
+      s"maxBucket count filter missing:\n$s")
     // the bucket grouping must key on (source, band, bh) — a plan that
     // pairs across shards would drop `source` from the grouping keys
     assert("""source#\d+[^\n]*band#\d+[^\n]*bh#\d+""".r.findFirstIn(s).isDefined,

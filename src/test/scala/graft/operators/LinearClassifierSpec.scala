@@ -70,6 +70,23 @@ class LinearClassifierSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("trackLoss=false trains bit-identical weights to train()") {
+    // ADVICE r18: with trackLoss=false the residual frame loses its
+    // checkpoint+persist cut, so the gradient join's physical shape
+    // (partitioning, row arrival order into sum(r*x)) differs from the
+    // trackLoss=true path. The per-step round(..., 9) must absorb that
+    // summation-order noise for the doc's determinism/warm-start claim
+    // to hold ACROSS entry points, not just across runs of one shape —
+    // pin the cross-shape weight parity explicitly.
+    def weights(trackLoss: Boolean) = LinearClassifier.trainOnFeats(
+        LinearClassifier.preparedFeatures(planted, "doc_id", "toks", "y",
+          2048),
+        "doc_id", iters = 3, lr = 5.0, trackLoss = trackLoss)._1
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq
+    assert(weights(trackLoss = true) == weights(trackLoss = false))
+  }
+
   test("stateless in-row scoring is bit-identical to the join path") {
     val B = 2048
     val (w, _) = LinearClassifier.train(planted, "doc_id", "toks", "y",
