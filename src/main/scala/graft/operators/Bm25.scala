@@ -163,15 +163,42 @@ object Bm25 {
         tf.withColumn("index_format", lit(IndexFormatPrefix))
           .write.mode("overwrite").parquet(s"$path/postings")
         val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        // stats stays a direct corpus aggregate: postings drop zero-token
-        // docs, but `n` must count every document
-        val stats = docs.agg(
-          count(lit(1)).as("n"),
-          sum(size(TextFunctions.tokens(col(textCol)))).as("sum_dl"))
-        dfreq.withColumn("index_format", lit(IndexFormatPrefix))
-          .write.mode("overwrite").parquet(s"$path/dfreq")
-        stats.withColumn("index_format", lit(IndexFormatPrefix))
-          .write.mode("overwrite").parquet(s"$path/stats")
+        // stats (r19): `n` stays a direct corpus count (postings drop
+        // zero-token docs, but n must count every document) — a
+        // column-pruned scan, no tokenize. sum_dl folds out of the SAME
+        // persisted tf pass: Σ tf over postings ≡ Σ dl over docs with
+        // ≥ 1 token, exactly what the old sum(size(tokens(text)))
+        // computed — that shape re-tokenized the whole corpus a second
+        // time per save. (Delta confined to null-text docs, where
+        // size(null) = -1 used to contribute -1; they now contribute 0,
+        // the zero-token doc they are for scoring.)
+        val stats = docs.agg(count(lit(1)).as("n")).crossJoin(
+          tf.agg(coalesce(sum(col("tf")), lit(0L)).as("sum_dl")))
+        // dfreq and stats are independent reads of the tf cache the
+        // postings write just materialized — overlap their write jobs
+        // (guide §2.6) instead of serializing two more job floors; the
+        // mutation marker already brackets all three tables.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val jobs = Seq(
+            pool.submit(new Runnable {
+              override def run(): Unit =
+                dfreq.withColumn("index_format", lit(IndexFormatPrefix))
+                  .write.mode("overwrite").parquet(s"$path/dfreq")
+            }),
+            pool.submit(new Runnable {
+              override def run(): Unit =
+                stats.withColumn("index_format", lit(IndexFormatPrefix))
+                  .write.mode("overwrite").parquet(s"$path/stats")
+            }))
+          jobs.foreach { j =>
+            try j.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
+        } finally pool.shutdown()
       } finally tf.unpersist(blocking = false)
     }
   }
@@ -236,8 +263,28 @@ object Bm25 {
       "mutation died mid-sequence and the postings/dfreq/stats tables " +
       "may be mutually inconsistent; rebuild with Bm25.saveIndex (or " +
       s"restore the tables and delete $mk)")
-    Bm25Index(checkedRead(spark, path, "postings"),
-      checkedRead(spark, path, "dfreq"), checkedRead(spark, path, "stats"))
+    // The three stamp checks each run a tiny distinct-limit job; done
+    // sequentially they serialize three planning+scheduling floors at
+    // the head of every index load. Spark's scheduler runs concurrent
+    // jobs fine (guide §2.6 overlap-independent-jobs) — submit them
+    // from a 3-thread pool and join.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val fs3 = Seq("postings", "dfreq", "stats").map { sub =>
+        pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = checkedRead(spark, path, sub)
+        })
+      }
+      def await(f: java.util.concurrent.Future[DataFrame]): DataFrame =
+        try f.get()
+        catch {
+          // surface the stamp check's own require() failure, not the
+          // pool's wrapper (callers and specs match on the message/type)
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      Bm25Index(await(fs3(0)), await(fs3(1)), await(fs3(2)))
+    } finally pool.shutdown()
   }
 
   /** Append a NEW batch of documents to a stored index without
@@ -597,21 +644,46 @@ object Bm25 {
     // null/non-numeric ids, duplicate ids after the long cast) that
     // previously ran as three separate scan jobs (r18 opt — at registry
     // scale each was a full pass; the require order keeps the old
-    // check precedence, so callers see the same first error).
-    val qguard = queries.select(col("query_id").cast("long").as("qid"))
-      .groupBy("qid").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("qn"),
-        coalesce(sum(when(col("qid").isNull, col("c"))), lit(0L))
-          .as("n_null"),
-        coalesce(max(when(col("qid").isNotNull, col("c"))), lit(0L))
-          .as("max_c"))
-      .head()
+    // check precedence, so callers see the same first error). r19: the
+    // registry guard pass, the index-stats read, and the dfreq
+    // fingerprint are INDEPENDENT jobs — run them concurrently (guide
+    // §2.6) instead of serializing three planning+scheduling floors;
+    // the requires still apply in the old precedence order afterward.
+    // Only the registry TOKENIZE guard stays sequential, behind the
+    // row-count cap: an oversized registry must refuse before paying
+    // its tokenize pass.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    def submit[T](f: => T) =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f
+      })
+    def await[T](fu: java.util.concurrent.Future[T]): T =
+      try fu.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    val (qguard, stats, dfh) =
+      try {
+        val qgF = submit(
+          queries.select(col("query_id").cast("long").as("qid"))
+            .groupBy("qid").agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(col("c")), lit(0L)).as("qn"),
+              coalesce(sum(when(col("qid").isNull, col("c"))), lit(0L))
+                .as("n_null"),
+              coalesce(max(when(col("qid").isNotNull, col("c"))), lit(0L))
+                .as("max_c"))
+            .head())
+        val stF = submit(index.stats
+          .select(col("n").cast("long"), col("sum_dl").cast("long")).head())
+        val dfF = submit(index.dfreq
+          .agg(coalesce(sum(xxhash64(col("tok"), col("df"))), lit(0L)))
+          .head().getLong(0))
+        (await(qgF), await(stF), await(dfF))
+      } finally pool.shutdown()
     val qn = qguard.getLong(0)
     require(qn > 0 && qn <= maxQueries,
       s"compilePercolateTable: query side must have 1..$maxQueries rows, " +
       s"got $qn")
-    val stats = index.stats
-      .select(col("n").cast("long"), col("sum_dl").cast("long")).head()
     val n = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / n
     // null query_id is a loud error, not a row to drop: the segment
@@ -648,7 +720,7 @@ object Bm25 {
     (qt.join(index.dfreq, Seq("tok"), "left")
        .select(col("query_id"), col("tok"),
          idf(lit(n), coalesce(col("df"), lit(0L))).as("idf")),
-     avgdl, statsFingerprint(index, n, stats.getLong(1)))
+     avgdl, s"n=$n;sum_dl=${stats.getLong(1)};dfh=$dfh")
   }
 
   /** Content fingerprint of the index statistics a registry was

@@ -512,20 +512,24 @@ object Dedup {
     // medium): a size filter on the grouped array only drops an
     // oversized bucket AFTER its whole id list materialized in one
     // aggregation buffer — O(bucket) executor memory for exactly the
-    // pathological boilerplate bucket maxBucket exists for. The
-    // count-per-bucket aggregation partial-aggregates to tiny (key, n)
-    // rows, its oversized survivors are few by construction, and the
-    // broadcast anti-join drops their banded rows before any list
-    // forms. The count pass re-derives the banding subtree, but off
-    // the caller's cached attrs frame that is one in-memory scan plus
-    // the explode; its exchange ships partial counts, not ids.
-    val oversized = banded.groupBy(key.map(col): _*)
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > maxBucket)
-      .select(key.map(col): _*)
-    banded.join(broadcast(oversized), key, "left_anti")
+    // pathological boilerplate bucket maxBucket exists for. The guard
+    // is a bucket-partitioned WINDOW count + filter: WindowExec
+    // buffers one bucket's rows in a SPILLABLE buffer (never an
+    // in-memory aggregation buffer), so a degenerate bucket costs
+    // bounded memory, and only ≤ maxBucket buckets ever reach the
+    // collect_list. The window keys on the same columns as the
+    // grouping, so the whole guard rides the aggregation's one
+    // exchange — measured r19: the ADVICE-suggested count-per-bucket
+    // agg + broadcast anti-join costs 1.18–1.37× across the minhash
+    // family (a second banding derivation plus a broadcast-build job
+    // per LSH invocation, twice in cross_shard); the window shape
+    // costs one in-partition sort.
+    val bucketCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(key.map(col): _*))
+    banded.withColumn("__bn", bucketCount)
+      .filter(col("__bn").between(2, maxBucket))
       .groupBy(key.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))

@@ -156,16 +156,17 @@ class PlanSpec extends AnyFunSuite {
     // r18 opt + r19 guard fix (ADVICE r18 medium): candidate generation
     // is a single bucket aggregation (collect_list per (shard, band,
     // bh)) + in-row pair expansion, not a self-join — and oversized
-    // buckets drop BEFORE the list forms, via a count-per-bucket
-    // aggregation + broadcast anti-join, so a degenerate boilerplate
-    // bucket never materializes an O(bucket) aggregation buffer
+    // buckets drop BEFORE the list forms, via a bucket-partitioned
+    // window count + filter (WindowExec's spillable buffer, riding the
+    // aggregation's one exchange), so a degenerate boilerplate bucket
+    // never materializes an O(bucket) aggregation buffer
     assert(s.contains("collect_list"),
       s"bucket aggregation missing (collect_list):\n$s")
-    assert(s.contains("LeftAnti"),
-      s"maxBucket pre-aggregation anti-join guard missing:\n$s")
-    assert("""cnt#\d+L? > 200""".r.findFirstIn(s).isDefined ||
-      s.contains("> 200"),
-      s"maxBucket count filter missing:\n$s")
+    assert(s.contains("Window"),
+      s"maxBucket window-count guard missing:\n$s")
+    assert("""__bn#\d+L? (<= 200|BETWEEN 2 AND 200)""".r.findFirstIn(s)
+        .isDefined || s.contains("<= 200"),
+      s"maxBucket window filter missing:\n$s")
     // the bucket grouping must key on (source, band, bh) — a plan that
     // pairs across shards would drop `source` from the grouping keys
     assert("""source#\d+[^\n]*band#\d+[^\n]*bh#\d+""".r.findFirstIn(s).isDefined,
