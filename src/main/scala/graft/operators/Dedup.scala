@@ -581,8 +581,37 @@ object Dedup {
     // stream with TWO id-keyed joins instead of the previous four
     // (sig-a, sig-b, toks-a, toks-b — r18 opt: the four SMJs exchanged
     // a corpus-derived side each, and the corpus tokenized three times).
-    val attrs = attrFrame(docs, idCol, textCol, shingleK, numHashes,
-        carryCols = shardCols)
+    nearDupFromAttrs(attrFrame(docs, idCol, textCol, shingleK, numHashes,
+      carryCols = shardCols), minJaccard, numHashes, shardCols, maxBucket)
+  }
+
+  /** [[nearDuplicatePairs]] over a PRE-TOKENIZED corpus — the composed
+    * pipelines' shape (r19): their lineage-cut upstream already
+    * materialized the token arrays, and running the tokenizer on the
+    * text column again inside the minhash stage was a second full
+    * corpus tokenize per pipeline. Identical output to
+    * [[nearDuplicatePairs]] whenever `docs(toksCol) ==
+    * TextFunctions.tokens(docs(textCol))` (parity spec-pinned);
+    * signature math, null semantics, and the verify tail are the same
+    * code.
+    */
+  def nearDuplicatePairsTokens(
+      docs: DataFrame,
+      minJaccard: Double = 0.8,
+      idCol: String = "doc_id",
+      toksCol: String = "toks",
+      shingleK: Int = DefaultShingleK,
+      numHashes: Int = 64,
+      shardCols: Seq[String] = Nil,
+      maxBucket: Int = 200): DataFrame =
+    nearDupFromAttrs(
+      attrFrameFromToks(docs, idCol, toksCol, shingleK, numHashes,
+        carryCols = shardCols), minJaccard, numHashes, shardCols, maxBucket)
+
+  private def nearDupFromAttrs(attrFrame: DataFrame, minJaccard: Double,
+                               numHashes: Int, shardCols: Seq[String],
+                               maxBucket: Int): DataFrame = {
+    val attrs = attrFrame
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // CacheManager pins persisted plans until an explicit unpersist, so a
     // long-lived session calling this operator repeatedly would accumulate
@@ -609,12 +638,31 @@ object Dedup {
     */
   private def attrFrame(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, numHashes: Int,
-                        carryCols: Seq[String] = Nil): DataFrame = {
+                        carryCols: Seq[String] = Nil): DataFrame =
+    attrsFromTk(docs.select(
+        (col(idCol).as("id") +: carryCols.map(col)) :+
+          TextFunctions.tokens(col(textCol)).as("tk"): _*),
+      shingleK, numHashes, carryCols)
+
+  /** [[attrFrame]] from a pre-materialized token-array column — no
+    * tokenizer in the plan at all; everything from the `tk` binding on
+    * is the same code (same MinhashSig expression, same staging, same
+    * null-row drop).
+    */
+  private def attrFrameFromToks(docs: DataFrame, idCol: String,
+                                toksCol: String, shingleK: Int,
+                                numHashes: Int,
+                                carryCols: Seq[String] = Nil): DataFrame =
+    attrsFromTk(docs.select(
+        (col(idCol).as("id") +: carryCols.map(col)) :+
+          col(toksCol).as("tk"): _*),
+      shingleK, numHashes, carryCols)
+
+  private def attrsFromTk(staged: DataFrame, shingleK: Int, numHashes: Int,
+                          carryCols: Seq[String]): DataFrame = {
     require(numHashes <= seedPerms.length, s"numHashes > ${seedPerms.length}")
     val carry = carryCols.map(col)
-    docs.select(
-        (col(idCol).as("id") +: carry) :+
-          TextFunctions.tokens(col(textCol)).as("tk"): _*)
+    staged
       .select(
         (col("id") +: carry) :+
           transform(col("tk"), t => xxhash64(t)).as("th") :+

@@ -1017,8 +1017,11 @@ object CurationExtSuite extends QuerySuite {
         .filter(size(col("ctoks")) >= 1)
       val afterExact = graft.operators.Dedup.dropDuplicatesByKey(
         cleaned, md5(col("clean_text")), "doc_id")
-      val pairs = graft.operators.Dedup.nearDuplicatePairs(afterExact,
-        minJaccard = 0.9, idCol = "doc_id", textCol = "clean_text")
+      // tokens entry (r19): ctoks IS tokens(clean_text), materialized
+      // in the cut above — the textCol entry re-ran the tokenizer over
+      // the whole cleaned corpus inside the minhash stage
+      val pairs = graft.operators.Dedup.nearDuplicatePairsTokens(afterExact,
+        minJaccard = 0.9, idCol = "doc_id", toksCol = "ctoks")
       val fps = afterExact.select(col("doc_id"),
         TextFunctions.exactFingerprintTokens(col("ctoks")).as("fp"))
       val dropIds = pairs

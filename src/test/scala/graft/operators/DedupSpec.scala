@@ -49,6 +49,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L), "unrelated doc flagged")
   }
 
+  test("tokens entry == text entry on pre-tokenized docs (bit parity)") {
+    // r19: composed pipelines call nearDuplicatePairsTokens over the
+    // token arrays their lineage cut already materialized — its output
+    // must be identical to the textCol entry whenever toks ==
+    // tokens(text), including the empty-doc row drop
+    val toksed = corpus.select($"doc_id",
+      graft.functions.TextFunctions.tokens($"text").as("toks"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(norm(Dedup.nearDuplicatePairsTokens(toksed, minJaccard = 0.8)) ==
+      norm(Dedup.nearDuplicatePairs(corpus, minJaccard = 0.8)))
+  }
+
   test("sharded minhash: pairs form within a shard, never across") {
     // same text planted in two shards: (1,2) share shard A, 3 sits alone
     // in shard B with the identical text — unsharded finds (1,3),(2,3);
