@@ -524,12 +524,26 @@ object Dedup {
     // family (a second banding derivation plus a broadcast-build job
     // per LSH invocation, twice in cross_shard); the window shape
     // costs one in-partition sort.
-    val bucketCount = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(key.map(col): _*))
-    banded.withColumn("__bn", bucketCount)
-      .filter(col("__bn").between(2, maxBucket))
-      .groupBy(key.map(col): _*)
-      .agg(collect_list(col("id")).as("ids"))
+    // GRAFT_LSH_GUARD=size is the measurement escape hatch (the
+    // GRAFT_WSCG convention): it restores the r18 filter-after-collect
+    // shape for interleaved A/B of the guard's cost — NOT for
+    // production use (that shape materializes a degenerate bucket's
+    // whole id list in one aggregation buffer).
+    val guarded =
+      if (sys.env.get("GRAFT_LSH_GUARD").contains("size"))
+        banded.groupBy(key.map(col): _*)
+          .agg(collect_list(col("id")).as("ids"))
+          .filter(size(col("ids")).between(2, maxBucket))
+      else {
+        val bucketCount = count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(key.map(col): _*))
+        banded.withColumn("__bn", bucketCount)
+          .filter(col("__bn").between(2, maxBucket))
+          .groupBy(key.map(col): _*)
+          .agg(collect_list(col("id")).as("ids"))
+      }
+    guarded
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
