@@ -213,8 +213,7 @@ object Bm25 {
       s"stored BM25 $sub table at $path has no index_format column — " +
       "not an index table or a pre-versioning build; rebuild with " +
       "Bm25.saveIndex")
-    val stamps = df.select(col("index_format")).distinct().limit(2)
-      .collect().map(_.getString(0))
+    val stamps = StoreStamp.distinctVals(df, "index_format")
     require(stamps.length == 1 && stamps.head == IndexFormatPrefix,
       s"stored BM25 $sub table at $path has layout " +
       s"'${stamps.mkString(",")}', this build reads '$IndexFormatPrefix' " +
@@ -800,8 +799,7 @@ object Bm25 {
       s"stored percolate registry at $path has no registry_format " +
       "column — not a savePercolateTable table; rebuild with " +
       "compilePercolateTable + savePercolateTable")
-    val stamps = df.select(col("registry_format")).distinct().limit(2)
-      .collect().map(_.getString(0))
+    val stamps = StoreStamp.distinctVals(df, "registry_format")
     require(stamps.length == 1 && stamps.head == PercolateFormatStamp,
       s"stored percolate registry at $path has layout " +
       s"'${stamps.mkString(",")}', this build reads " +
@@ -888,8 +886,7 @@ object Bm25 {
     require(df.columns.contains("registry_format"),
       s"stored sharded percolate registry at $path has no " +
       "registry_format column — not a saveShardedPercolateTable table")
-    val stamps = df.select(col("registry_format")).distinct().limit(2)
-      .collect().map(_.getString(0))
+    val stamps = StoreStamp.distinctVals(df, "registry_format")
     require(stamps.length == 1 && stamps.head == ShardedPercolateFormatStamp,
       s"stored sharded percolate registry at $path has layout " +
       s"'${stamps.mkString(",")}', this build reads " +

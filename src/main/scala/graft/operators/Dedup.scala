@@ -215,8 +215,7 @@ object Dedup {
     require(df.columns.contains("sig_store"),
       s"stored signature table at $path has no sig_store column — not a " +
       "saveSignatureStore table; rebuild with Dedup.saveSignatureStore")
-    val stamps = df.select(col("sig_store")).distinct().limit(2)
-      .collect().map(_.getString(0))
+    val stamps = StoreStamp.distinctVals(df, "sig_store")
     require(stamps.length == 1 && stamps.head != null &&
         stamps.head.startsWith(s"graft-minhashsig-v$signatureFamilyVersion;"),
       s"stored signature table at $path has stamp " +

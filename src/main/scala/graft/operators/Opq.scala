@@ -452,8 +452,7 @@ object Opq {
     require(rdf.columns.contains("rotation_format"),
       s"stored OPQ rotation at $path has no rotation_format column — " +
       "not an OPQ index; rebuild with Opq.saveIndex")
-    val stamps = rdf.select(col("rotation_format")).distinct().limit(2)
-      .collect().map(_.getString(0))
+    val stamps = StoreStamp.distinctVals(rdf, "rotation_format")
     require(stamps.length == 1 && stamps.head != null &&
         stamps.head.startsWith(RotationFormatPrefix),
       s"stored OPQ rotation at $path has layout '${stamps.mkString(",")}', " +

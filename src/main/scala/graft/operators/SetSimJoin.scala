@@ -493,8 +493,7 @@ object SetSimJoin {
     require(df.columns.contains("setsim_format"),
       s"stored set-similarity state at $path has no setsim_format column " +
       "— not a saveSets table; rebuild with SetSimJoin.saveSets")
-    val stamps = df.select(col("setsim_format")).distinct().limit(2)
-      .collect().map(_.getString(0))
+    val stamps = StoreStamp.distinctVals(df, "setsim_format")
     require(stamps.length == 1 && stamps.head == SetsFormatStamp,
       s"stored set-similarity state at $path has layout " +
       s"'${stamps.mkString(",")}', this build reads '$SetsFormatStamp' — " +
@@ -1053,8 +1052,7 @@ object SetSimJoin {
       s"stored registry at $path has no registry_format column — not a " +
       "saveContainmentRegistry table; rebuild with " +
       "compileContainmentRegistry + saveContainmentRegistry")
-    val stamps = df.select(col("registry_format")).distinct().limit(2)
-      .collect().map(_.getString(0))
+    val stamps = StoreStamp.distinctVals(df, "registry_format")
     require(stamps.length == 1 && stamps.head == RegistryFormatStamp,
       s"stored registry at $path has layout '${stamps.mkString(",")}', " +
       s"this build reads '$RegistryFormatStamp' (the radix bucket " +
