@@ -1042,9 +1042,17 @@ object CurationExtSuite extends QuerySuite {
       val selected = graft.operators.Dsir
         .resampleTopK(weights, "doc_id", "log_weight", k = 200)
         .select("doc_id")
+      // Cut the packing input (r19): packFixedLength's
+      // repartitionByRange needs range bounds, and RangePartitioner's
+      // sampling sketch is a FULL pass over its child — without the
+      // boundary the child is the semi-join + the whole DSIR weights
+      // tower, recomputed once for the sampling pass and once for the
+      // real one. The cut is ~k rows (the DSIR top-k survivors), so the
+      // boundary costs nothing and the DSIR tower runs once.
       graft.operators.Packing.packFixedLength(
-          afterNear.join(selected, Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), col("clean_text").as("text")),
+          graft.plans.Lineage.cut(
+            afterNear.join(selected, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("clean_text").as("text"))),
           seqLen = 256L)
         .select(col("doc_id"), col("n_tokens"), col("g_start"),
           col("first_seq"), col("last_seq"),
