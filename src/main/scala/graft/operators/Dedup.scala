@@ -507,42 +507,27 @@ object Dedup {
     // expansion (all a < b within a bucket) is two codegen Generates —
     // row counts identical to the join's.
     //
-    // The skew guard must run BEFORE the collect_list (ADVICE r18
-    // medium): a size filter on the grouped array only drops an
-    // oversized bucket AFTER its whole id list materialized in one
-    // aggregation buffer — O(bucket) executor memory for exactly the
-    // pathological boilerplate bucket maxBucket exists for. The guard
-    // is a bucket-partitioned WINDOW count + filter: WindowExec
-    // buffers one bucket's rows in a SPILLABLE buffer (never an
-    // in-memory aggregation buffer), so a degenerate bucket costs
-    // bounded memory, and only ≤ maxBucket buckets ever reach the
-    // collect_list. The window keys on the same columns as the
-    // grouping, so the whole guard rides the aggregation's one
-    // exchange — measured r19: the ADVICE-suggested count-per-bucket
-    // agg + broadcast anti-join costs 1.18–1.37× across the minhash
-    // family (a second banding derivation plus a broadcast-build job
-    // per LSH invocation, twice in cross_shard); the window shape
-    // costs one in-partition sort.
-    // GRAFT_LSH_GUARD=size is the measurement escape hatch (the
-    // GRAFT_WSCG convention): it restores the r18 filter-after-collect
-    // shape for interleaved A/B of the guard's cost — NOT for
-    // production use (that shape materializes a degenerate bucket's
-    // whole id list in one aggregation buffer).
-    val guarded =
-      if (sys.env.get("GRAFT_LSH_GUARD").contains("size"))
-        banded.groupBy(key.map(col): _*)
-          .agg(collect_list(col("id")).as("ids"))
-          .filter(size(col("ids")).between(2, maxBucket))
-      else {
-        val bucketCount = count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(key.map(col): _*))
-        banded.withColumn("__bn", bucketCount)
-          .filter(col("__bn").between(2, maxBucket))
-          .groupBy(key.map(col): _*)
-          .agg(collect_list(col("id")).as("ids"))
-      }
-    guarded
+    // The skew guard must bound the aggregation buffer, not just the
+    // output (ADVICE r18 medium): a size filter on the grouped array
+    // only drops an oversized bucket AFTER its whole id list
+    // materialized in one aggregation buffer — O(bucket) executor
+    // memory for exactly the pathological boilerplate bucket maxBucket
+    // exists for. The collect is therefore CAPPED at maxBucket + 1
+    // elements per bucket ([[graft.functions.CollectListCapped]]): a
+    // valid bucket collects everything (plain collect_list), a
+    // degenerate one stops at maxBucket + 1 — enough for the size
+    // filter to detect and drop it — so the buffer is O(maxBucket) by
+    // construction in the partial, the merge, and the final. Same
+    // single-aggregation plan shape and one exchange as r18. The two
+    // plan-level guard shapes both measured worse (r19, interleaved
+    // A/B): count-per-bucket agg + broadcast anti-join 1.18–1.37×
+    // across the minhash family (a second banding derivation plus a
+    // broadcast-build job per call, twice in cross_shard);
+    // window-count pre-filter 1.08–1.13× (the sort + extra pass).
+    banded.groupBy(key.map(col): _*)
+      .agg(graft.functions.CollectListCapped(col("id"), maxBucket + 1)
+        .as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))

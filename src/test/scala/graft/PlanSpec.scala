@@ -154,19 +154,15 @@ class PlanSpec extends AnyFunSuite {
   test("q_dedup_minhash_sharded: skew guard present; shard key in the bucket grouping") {
     val s = planNoExec("q_dedup_minhash_sharded")
     // r18 opt + r19 guard fix (ADVICE r18 medium): candidate generation
-    // is a single bucket aggregation (collect_list per (shard, band,
-    // bh)) + in-row pair expansion, not a self-join — and oversized
-    // buckets drop BEFORE the list forms, via a bucket-partitioned
-    // window count + filter (WindowExec's spillable buffer, riding the
-    // aggregation's one exchange), so a degenerate boilerplate bucket
-    // never materializes an O(bucket) aggregation buffer
-    assert(s.contains("collect_list"),
-      s"bucket aggregation missing (collect_list):\n$s")
-    assert(s.contains("Window"),
-      s"maxBucket window-count guard missing:\n$s")
-    assert("""__bn#\d+L? (<= 200|BETWEEN 2 AND 200)""".r.findFirstIn(s)
-        .isDefined || s.contains("<= 200"),
-      s"maxBucket window filter missing:\n$s")
+    // is a single bucket aggregation per (shard, band, bh) + in-row
+    // pair expansion, not a self-join — and the collect is CAPPED at
+    // maxBucket + 1 elements (collect_list_capped), so a degenerate
+    // boilerplate bucket never materializes an O(bucket) aggregation
+    // buffer; the size filter then drops the detected-oversized groups
+    assert(s.contains("collect_list_capped"),
+      s"capped bucket aggregation missing (collect_list_capped):\n$s")
+    assert(s.contains("<= 200"),
+      s"maxBucket size-cap guard missing:\n$s")
     // the bucket grouping must key on (source, band, bh) — a plan that
     // pairs across shards would drop `source` from the grouping keys
     assert("""source#\d+[^\n]*band#\d+[^\n]*bh#\d+""".r.findFirstIn(s).isDefined,

@@ -49,6 +49,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L), "unrelated doc flagged")
   }
 
+  test("collect_list_capped: full list under the bound, detectable over") {
+    // the skew guard's aggregate (r19): a valid group collects every
+    // element; an over-bound group stops at exactly `bound` elements —
+    // O(bound) buffer by construction — which the size filter drops
+    val df = (1 to 500).map(i => (if (i <= 3) "small" else "big", i.toLong))
+      .toDF("k", "v")
+    val got = df.groupBy("k")
+      .agg(graft.functions.CollectListCapped(col("v"), 201).as("ids"))
+      .select($"k", size($"ids").as("n"), $"ids")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("small").getInt(1) == 3)
+    assert(got("small").getSeq[Long](2).sorted == Seq(1L, 2L, 3L))
+    assert(got("big").getInt(1) == 201, "over-bound group must stop at bound")
+    // and the guard semantics: under a maxBucket=200 filter, the big
+    // group reads as oversized and drops, the small one survives whole
+    val kept = df.groupBy("k")
+      .agg(graft.functions.CollectListCapped(col("v"), 201).as("ids"))
+      .filter(size($"ids").between(2, 200))
+      .select("k").as[String].collect().toSeq
+    assert(kept == Seq("small"))
+  }
+
   test("tokens entry == text entry on pre-tokenized docs (bit parity)") {
     // r19: composed pipelines call nearDuplicatePairsTokens over the
     // token arrays their lineage cut already materialized — its output
