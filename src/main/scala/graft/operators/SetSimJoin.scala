@@ -489,16 +489,60 @@ object SetSimJoin {
 
   def loadSets(spark: org.apache.spark.sql.SparkSession,
                path: String): DataFrame = {
+    val df = readSetsSchemaChecked(spark, path)
+    requireSetsStamp(df, path)
+    df.drop("setsim_format")
+  }
+
+  /** Schema half of the loadSets check — metadata-only, no job. */
+  private def readSetsSchemaChecked(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): DataFrame = {
     val df = spark.read.parquet(path)
     require(df.columns.contains("setsim_format"),
       s"stored set-similarity state at $path has no setsim_format column " +
       "— not a saveSets table; rebuild with SetSimJoin.saveSets")
+    df
+  }
+
+  /** Stamp-value half of the loadSets check — one partial-aggregating
+    * job. Split out (r19) so the incremental audits can overlap it
+    * with their batch-stats job (two independent one-row aggregates;
+    * guide §2.6) instead of serializing another job floor at the head
+    * of every audit.
+    */
+  private def requireSetsStamp(df: DataFrame, path: String): Unit = {
     val stamps = StoreStamp.distinctVals(df, "setsim_format")
     require(stamps.length == 1 && stamps.head == SetsFormatStamp,
       s"stored set-similarity state at $path has layout " +
       s"'${stamps.mkString(",")}', this build reads '$SetsFormatStamp' — " +
       "rebuild with SetSimJoin.saveSets")
-    df.drop("setsim_format")
+  }
+
+  /** The audits' overlapped load + head measurement (r19): runs the
+    * stamp-value job on a side thread while the caller thread runs the
+    * fused batch-stats/disjoint job, then joins both. Failure contract
+    * unchanged up to ordering: schema problems still surface eagerly
+    * before any job; a foreign stamp still aborts the audit with
+    * loadSets' message (now possibly after the disjoint check's, both
+    * are loud requires).
+    */
+  private def loadSetsWithBatchStats(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batchCut: DataFrame, op: String): (DataFrame, Long, Long) = {
+    val raw = readSetsSchemaChecked(spark, path)
+    val stored = raw.drop("setsim_format")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val stampF = pool.submit(new Runnable {
+        override def run(): Unit = requireSetsStamp(raw, path)
+      })
+      val (bRows, bToks) = batchStatsRequireDisjoint(stored, batchCut, op)
+      try stampF.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+      (stored, bRows, bToks)
+    } finally pool.shutdown()
   }
 
   /** Append a new batch's sets after an id-collision check (duplicate
@@ -810,11 +854,10 @@ object SetSimJoin {
                               observeSalt: Option[String] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"incrementalJaccardPairs: threshold must be in (0,1], got $threshold")
-    val stored = loadSets(spark, path)
     val batchCut = graft.plans.Lineage.cut(
       orderedSetsRaw(newDocs, idCol, toksCol))
-    val (bRows, bToks) = batchStatsRequireDisjoint(stored, batchCut,
-      "incrementalJaccardPairs")
+    val (stored, bRows, bToks) = loadSetsWithBatchStats(spark, path,
+      batchCut, "incrementalJaccardPairs")
     val batch = batchCut.filter(col("n") >= 1)
     val union = graft.plans.Lineage.cut(stored.unionByName(batch))
     def prefixes(ranked: DataFrame) = ranked.select(col("sid"), col("n"),
@@ -1323,11 +1366,10 @@ object SetSimJoin {
     require(threshold > 0.0 && threshold <= 1.0,
       s"incrementalContainmentPairs: threshold must be in (0,1], got " +
         s"$threshold")
-    val stored0 = loadSets(spark, path)
     val batchCut = graft.plans.Lineage.cut(
       orderedSetsRaw(newDocs, idCol, toksCol))
-    val (bRows, bToks) = batchStatsRequireDisjoint(stored0, batchCut,
-      "incrementalContainmentPairs")
+    val (stored0, bRows, bToks) = loadSetsWithBatchStats(spark, path,
+      batchCut, "incrementalContainmentPairs")
     // the stored side IS lineage-cut here (measured r19: warm gate
     // 3.9-4.4 s with the cut vs 4.9-5.4 without — union, branch 2's
     // full-instance side, and the fetch all re-read it, and the block
