@@ -48,20 +48,23 @@ object ProfilePercGate {
           .filter(col("text").isNotNull)
       }
       time("saveIndex")(graft.operators.Bm25.saveIndex(sh, path))
-      // saveIndex internals, split
+      // saveIndex internals, split (mirrors the r19 body: persisted tf
+      // feeds postings, dfreq, and stats' sum_dl; dfreq/stats writes
+      // overlap inside the real saveIndex — here timed separately)
       val tf0 = graft.operators.Bm25.termFrequencies(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("  tf compute (noop)")(
         tf0.write.format("noop").mode("overwrite").save())
       time("  postings write")(
         tf0.write.mode("overwrite").parquet(s"$path/_p_postings"))
-      time("  dfreq from read-back + write")(
-        spark.read.parquet(s"$path/_p_postings")
-          .groupBy("tok").agg(count(lit(1)).as("df"))
+      time("  dfreq from tf cache + write")(
+        tf0.groupBy("tok").agg(count(lit(1)).as("df"))
           .write.mode("overwrite").parquet(s"$path/_p_dfreq"))
-      time("  stats agg + write")(
-        sh.agg(count(lit(1)).as("n"),
-          sum(size(TextFunctions.tokens(col("text")))).as("sum_dl"))
+      time("  stats from tf cache + write")(
+        sh.agg(count(lit(1)).as("n")).crossJoin(
+            tf0.agg(coalesce(sum(col("tf")), lit(0L)).as("sum_dl")))
           .write.mode("overwrite").parquet(s"$path/_p_stats"))
+      tf0.unpersist(blocking = false)
       val idx = time("loadIndex")(graft.operators.Bm25.loadIndex(spark, path))
       val reg = sh.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("query_id"),
