@@ -48,9 +48,17 @@ object Packing {
     */
   private def withGlobalPrefix(docs: DataFrame, idCol: String,
                                textCol: String): DataFrame = {
-    val parted = docs.select(
+    // Lineage-cut the narrow (id, n_tokens) frame BEFORE the range
+    // exchange (r19): repartitionByRange's RangePartitioner SAMPLES its
+    // child for range bounds — a full pass — and the real exchange then
+    // recomputes it, so without the boundary every caller tokenizes its
+    // whole corpus twice (plus whatever subtree sits under `docs`). The
+    // checkpoint is 16 bytes/row regardless of document size; the
+    // sampler and the exchange both read it instead of re-deriving.
+    val counted = graft.plans.Lineage.cut(docs.select(
         col(idCol).as("id"),
-        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens")))
+    val parted = counted
       .repartitionByRange(col("id"))
       .withColumn("part", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

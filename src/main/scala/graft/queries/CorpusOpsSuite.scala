@@ -440,8 +440,19 @@ object CorpusOpsSuite extends QuerySuite {
         .select(col("doc_id"), col("host"), col("text"))
       val keepers = s4.groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"))
-      val s5 = s4.withColumn("fp", md5(col("text")))
-        .join(keepers, Seq("fp", "doc_id"), "left_semi")
+      // Cut the dedup survivors (r19): without the boundary this
+      // semi-join subtree executes THREE times — packByTokenBudget's
+      // repartitionByRange samples its child for range bounds (a full
+      // pass), the real exchange recomputes it, and the host join-back
+      // probes it again. The multimodal pipeline already cuts here;
+      // survivors are a row-subset of the already-cut `sig`, so the
+      // boundary is bounded by the corpus and the md5 agg + semi-join
+      // run once. fp is projected away — the checkpoint carries only
+      // what downstream reads.
+      val s5 = graft.plans.Lineage.cut(
+        s4.withColumn("fp", md5(col("text")))
+          .join(keepers, Seq("fp", "doc_id"), "left_semi")
+          .select(col("doc_id"), col("host"), col("text")))
       graft.operators.Packing.packByTokenBudget(s5, budget = 1500L)
         .join(s5.select(col("doc_id"), col("host")), Seq("doc_id"))
         .select(col("doc_id"), col("host"), col("n_tokens"), col("pack_id"))
@@ -764,8 +775,16 @@ object CorpusOpsSuite extends QuerySuite {
         .filter(col("wc") >= 15)
       val keepers = q.groupBy(md5(col("txt")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"))
-      val s5 = q.withColumn("fp", md5(col("txt")))
-        .join(keepers, Seq("fp", "doc_id"), "left_semi")
+      // Cut the dedup survivors (r19, the q_web_pipeline boundary):
+      // uncut, the HTML extraction + tokenize tower under this
+      // semi-join re-executes for the range-partitioner sampling pass,
+      // the real exchange, AND the title join-back — three full
+      // extractions of the corpus. One materialization of the
+      // survivors (id, title, extracted text) runs it once.
+      val s5 = graft.plans.Lineage.cut(
+        q.withColumn("fp", md5(col("txt")))
+          .join(keepers, Seq("fp", "doc_id"), "left_semi")
+          .select(col("doc_id"), col("title"), col("txt")))
       graft.operators.Packing.packByTokenBudget(
           s5.select(col("doc_id"), col("txt").as("text")), budget = 1500L)
         .join(s5.select(col("doc_id"), col("title")), Seq("doc_id"))

@@ -482,8 +482,15 @@ object CurationExtSuite extends QuerySuite {
         .select(col("doc_id"), md5(FoldText.fold_text(col("text"))).as("fp"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
-        .select("doc_id", "text")
+      // Cut the dedup survivors (r19, the q_llm_data_pipeline packing
+      // boundary): packFixedLength's repartitionByRange samples its
+      // child for range bounds — uncut, the fold-key groupBy +
+      // semi-join recompute for the sampling pass and again for the
+      // real exchange. The cut (survivor id + text, a row-subset of
+      // the already-cut qualityDocs) runs the dedup once.
+      val deduped = graft.plans.Lineage.cut(
+        docs.join(keepers, Seq("doc_id"), "left_semi")
+          .select("doc_id", "text"))
       graft.operators.Packing.packFixedLength(deduped, seqLen = 512L)
         .orderBy(asc("doc_id"))
     },

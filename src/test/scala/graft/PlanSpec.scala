@@ -297,6 +297,23 @@ class PlanSpec extends AnyFunSuite {
       s"signal-boundary localCheckpoint missing — plan:\n$s")
   }
 
+  test("q_html_pipeline: dedup survivors are cut before packing") {
+    // packByTokenBudget's repartitionByRange SAMPLES its child for
+    // range bounds; uncut, the HTML-extraction tower under the
+    // semi-join executes three times (sampler, exchange, title
+    // join-back). The survivors boundary must stay a checkpoint scan.
+    val s = planNoExec("q_html_pipeline")
+    assert(s.contains("ExistingRDD"),
+      s"survivor-boundary localCheckpoint missing — plan:\n$s")
+  }
+
+  test("q_pretrain_pipeline: dedup survivors are cut before packing") {
+    // same contract as q_html_pipeline for the fixed-length packer
+    val s = planNoExec("q_pretrain_pipeline")
+    assert(s.contains("ExistingRDD"),
+      s"survivor-boundary localCheckpoint missing — plan:\n$s")
+  }
+
   test("parquet MIN/MAX/COUNT aggregates push down to the scan") {
     // scan-efficiency contract at 100 TB: a bare min/max/count over a
     // parquet table must answer from footer statistics (PushedAggregation
